@@ -1,0 +1,48 @@
+"""Render configuration — the TPU-native replacement for mitsuba2 variants.
+
+The reference compiles the cartesian product {scalar,packet,gpu,gpu_autodiff}
+x {mono,rgb,spectral}[_polarized][_double] as C++ template instantiations
+selected by `mitsuba.set_variant()` (mitsuba.conf + codegen, SURVEY.md §5.6).
+Under JAX one codebase retraces per static config instead: `RenderConfig` is
+a frozen dataclass passed as a static jit argument.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+COLOR_MODES = ("mono", "rgb", "spectral")
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (hashable -> usable as jit static arg)."""
+    color_mode: str = "rgb"           # mono | rgb | spectral
+    polarized: bool = False           # Stokes-vector radiance (post-MVP)
+    max_depth: int = 2                # path depth; 2 = direct illumination
+    rr_depth: int = 5                 # start Russian roulette at this depth
+    spp: int = 64                     # samples per pixel
+    spp_per_pass: int = 64            # wavefront chunk (memory bound)
+    width: int = 256
+    height: int = 256
+    seed: int = 0
+    rfilter: str = "box"              # box | tent | gaussian | mitchell | catmullrom | lanczos
+    hide_emitters: bool = False
+    sampler: str = "independent"
+
+    def __post_init__(self):
+        if self.color_mode not in COLOR_MODES:
+            raise ValueError(f"unknown color_mode {self.color_mode!r}")
+
+    @property
+    def n_channels(self) -> int:
+        """Spectral/radiance channels carried per lane."""
+        return {"mono": 1, "rgb": 3, "spectral": 4}[self.color_mode]
+
+    @property
+    def n_image_channels(self) -> int:
+        """Channels in the developed image (spectral develops to RGB)."""
+        return {"mono": 1, "rgb": 3, "spectral": 3}[self.color_mode]
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,258 @@
+"""1D/2D sampling distributions.
+
+TPU-native rebuild of mitsuba2's distribution headers
+(include/mitsuba/core/distr_1d.h, distr_2d.h). Distributions are frozen
+pytrees built on host (numpy) and sampled on device via searchsorted-based
+CDF inversion — gather-heavy but XLA-friendly.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import math as m
+
+
+# ---------------------------------------------------------------------------
+# DiscreteDistribution (distr_1d.h)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class DiscreteDistribution:
+    """Discrete distribution over n entries, sampled by CDF inversion."""
+    pmf: jnp.ndarray        # (n,) un-normalized weights
+    cdf: jnp.ndarray        # (n,) inclusive cumulative sum
+    total: jnp.ndarray      # () sum of weights
+    normalization: jnp.ndarray  # () 1 / total
+
+    @staticmethod
+    def build(weights) -> "DiscreteDistribution":
+        w = np.asarray(weights, np.float64)
+        cdf = np.cumsum(w)
+        total = float(cdf[-1]) if w.size else 0.0
+        return DiscreteDistribution(
+            pmf=jnp.asarray(w, jnp.float32),
+            cdf=jnp.asarray(cdf, jnp.float32),
+            total=jnp.float32(total),
+            normalization=jnp.float32(1.0 / total if total > 0 else 0.0))
+
+    def eval_pmf_normalized(self, index):
+        return jnp.take(self.pmf, index, axis=0) * self.normalization
+
+    def sample(self, u):
+        """u in [0,1) -> index."""
+        x = u * self.total
+        idx = jnp.searchsorted(self.cdf, x, side="right")
+        return jnp.clip(idx, 0, self.pmf.shape[0] - 1)
+
+    def sample_pmf(self, u):
+        idx = self.sample(u)
+        return idx, self.eval_pmf_normalized(idx)
+
+    def sample_reuse(self, u):
+        """Sample an index and re-scale u for reuse (sample_reuse in distr_1d.h)."""
+        idx = self.sample(u)
+        cdf_lo = jnp.where(idx > 0, jnp.take(self.cdf, jnp.maximum(idx - 1, 0), axis=0), 0.0)
+        pmf = jnp.take(self.pmf, idx, axis=0)
+        u_new = (u * self.total - cdf_lo) / jnp.maximum(pmf, 1e-20)
+        return idx, jnp.clip(u_new, 0.0, m.ONE_MINUS_EPSILON)
+
+
+# ---------------------------------------------------------------------------
+# ContinuousDistribution — piecewise-linear density on a regular grid
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class ContinuousDistribution:
+    """Piecewise-linear pdf over [range0, range1] defined by node values."""
+    pdf: jnp.ndarray      # (n,) node values (un-normalized)
+    cdf: jnp.ndarray      # (n-1,) integrated trapezoid areas, cumulative
+    range_min: jnp.ndarray
+    range_max: jnp.ndarray
+    interval_size: jnp.ndarray
+    total: jnp.ndarray
+    normalization: jnp.ndarray
+
+    @staticmethod
+    def build(values, range_min: float, range_max: float) -> "ContinuousDistribution":
+        v = np.asarray(values, np.float64)
+        n = v.size
+        dx = (range_max - range_min) / (n - 1)
+        areas = 0.5 * (v[1:] + v[:-1]) * dx
+        cdf = np.cumsum(areas)
+        total = float(cdf[-1])
+        return ContinuousDistribution(
+            pdf=jnp.asarray(v, jnp.float32),
+            cdf=jnp.asarray(cdf, jnp.float32),
+            range_min=jnp.float32(range_min),
+            range_max=jnp.float32(range_max),
+            interval_size=jnp.float32(dx),
+            total=jnp.float32(total),
+            normalization=jnp.float32(1.0 / total if total > 0 else 0.0))
+
+    def eval_pdf(self, x):
+        t = (x - self.range_min) / self.interval_size
+        idx = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, self.pdf.shape[0] - 2)
+        frac = t - idx
+        v0 = jnp.take(self.pdf, idx, axis=0)
+        v1 = jnp.take(self.pdf, idx + 1, axis=0)
+        inside = (x >= self.range_min) & (x <= self.range_max)
+        return jnp.where(inside, v0 + (v1 - v0) * frac, 0.0)
+
+    def eval_pdf_normalized(self, x):
+        return self.eval_pdf(x) * self.normalization
+
+    def sample(self, u):
+        """Invert the piecewise-quadratic CDF. Returns x."""
+        target = u * self.total
+        idx = jnp.clip(jnp.searchsorted(self.cdf, target, side="right"),
+                       0, self.cdf.shape[0] - 1)
+        cdf_lo = jnp.where(idx > 0, jnp.take(self.cdf, jnp.maximum(idx - 1, 0), axis=0), 0.0)
+        rem = target - cdf_lo  # area to cover inside interval idx
+        v0 = jnp.take(self.pdf, idx, axis=0)
+        v1 = jnp.take(self.pdf, idx + 1, axis=0)
+        dx = self.interval_size
+        # Solve 0.5*(v0 + v(t))*t*dx = rem with v(t) = v0 + (v1-v0)t, t in [0,1]
+        a = 0.5 * (v1 - v0) * dx
+        b = v0 * dx
+        c = -rem
+        valid, t0, t1 = m.solve_quadratic(a, b, c)
+        t = jnp.where((t0 >= 0) & (t0 <= 1), t0, t1)
+        t = jnp.where(valid, jnp.clip(t, 0.0, 1.0),
+                      rem / jnp.maximum(b, 1e-20))
+        return self.range_min + (idx + t) * dx
+
+
+# ---------------------------------------------------------------------------
+# IrregularContinuousDistribution — piecewise-linear pdf on irregular nodes
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class IrregularContinuousDistribution:
+    nodes: jnp.ndarray    # (n,)
+    pdf: jnp.ndarray      # (n,)
+    cdf: jnp.ndarray      # (n-1,)
+    total: jnp.ndarray
+    normalization: jnp.ndarray
+
+    @staticmethod
+    def build(nodes, values) -> "IrregularContinuousDistribution":
+        x = np.asarray(nodes, np.float64)
+        v = np.asarray(values, np.float64)
+        areas = 0.5 * (v[1:] + v[:-1]) * np.diff(x)
+        cdf = np.cumsum(areas)
+        total = float(cdf[-1])
+        return IrregularContinuousDistribution(
+            nodes=jnp.asarray(x, jnp.float32),
+            pdf=jnp.asarray(v, jnp.float32),
+            cdf=jnp.asarray(cdf, jnp.float32),
+            total=jnp.float32(total),
+            normalization=jnp.float32(1.0 / total if total > 0 else 0.0))
+
+    def eval_pdf(self, x):
+        idx = m.find_interval(self.nodes, x)
+        x0 = jnp.take(self.nodes, idx, axis=0)
+        x1 = jnp.take(self.nodes, idx + 1, axis=0)
+        v0 = jnp.take(self.pdf, idx, axis=0)
+        v1 = jnp.take(self.pdf, idx + 1, axis=0)
+        t = (x - x0) / jnp.maximum(x1 - x0, 1e-20)
+        inside = (x >= self.nodes[0]) & (x <= self.nodes[-1])
+        return jnp.where(inside, v0 + (v1 - v0) * t, 0.0)
+
+    def sample(self, u):
+        target = u * self.total
+        idx = jnp.clip(jnp.searchsorted(self.cdf, target, side="right"),
+                       0, self.cdf.shape[0] - 1)
+        cdf_lo = jnp.where(idx > 0, jnp.take(self.cdf, jnp.maximum(idx - 1, 0), axis=0), 0.0)
+        rem = target - cdf_lo
+        x0 = jnp.take(self.nodes, idx, axis=0)
+        x1 = jnp.take(self.nodes, idx + 1, axis=0)
+        v0 = jnp.take(self.pdf, idx, axis=0)
+        v1 = jnp.take(self.pdf, idx + 1, axis=0)
+        w = x1 - x0
+        a = 0.5 * (v1 - v0) * w
+        b = v0 * w
+        valid, t0, t1 = m.solve_quadratic(a, b, -rem)
+        t = jnp.where((t0 >= 0) & (t0 <= 1), t0, t1)
+        t = jnp.where(valid, jnp.clip(t, 0.0, 1.0), rem / jnp.maximum(b, 1e-20))
+        return x0 + t * w
+
+
+# ---------------------------------------------------------------------------
+# Marginal2DDiscrete — row-marginal + per-row conditional CDF inversion with
+# bilinear reconstruction (distr_2d.h :: Marginal2D<0, Continuous=false>).
+# Used by the envmap emitter. Sampling treats the grid as piecewise-bilinear.
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class Marginal2D:
+    """Sample a 2D density given on an (h, w) grid over [0,1]^2.
+
+    Simplified discrete variant: cell-piecewise-constant density (mitsuba's
+    Marginal2DDiscrete interpolates bilinearly; piecewise-constant keeps the
+    pdf/sample pair exactly consistent, which is what MIS correctness needs —
+    the envmap plugin compensates at eval time by looking up the same table).
+    """
+    data: jnp.ndarray       # (h, w) cell densities (un-normalized)
+    marg_cdf: jnp.ndarray   # (h,) cumulative row sums
+    cond_cdf: jnp.ndarray   # (h, w) cumulative within-row sums
+    total: jnp.ndarray      # ()
+
+    @staticmethod
+    def build(data) -> "Marginal2D":
+        d = np.asarray(data, np.float64)
+        assert d.ndim == 2
+        cond = np.cumsum(d, axis=1)
+        row_sums = cond[:, -1]
+        marg = np.cumsum(row_sums)
+        total = float(marg[-1])
+        return Marginal2D(
+            data=jnp.asarray(d, jnp.float32),
+            marg_cdf=jnp.asarray(marg, jnp.float32),
+            cond_cdf=jnp.asarray(cond, jnp.float32),
+            total=jnp.float32(total))
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def sample(self, u):
+        """u: (..., 2) -> ((..., 2) position in [0,1]^2, (...,) pdf).
+
+        The pdf is w.r.t. the unit square (multiply by h*w/total ... already
+        normalized here)."""
+        h, w = self.data.shape
+        # Row from marginal
+        target_r = u[..., 1] * self.total
+        row = jnp.clip(jnp.searchsorted(self.marg_cdf, target_r, side="right"), 0, h - 1)
+        marg_lo = jnp.where(row > 0, jnp.take(self.marg_cdf, jnp.maximum(row - 1, 0)), 0.0)
+        row_sum = jnp.take(self.marg_cdf, row) - marg_lo
+        # Re-scaled residual inside the row
+        ur = jnp.clip((target_r - marg_lo) / jnp.maximum(row_sum, 1e-20), 0.0, m.ONE_MINUS_EPSILON)
+        # Column from conditional
+        cond_row = self.cond_cdf[row]  # gather rows: (..., w)
+        target_c = u[..., 0] * row_sum  # (...,)
+        col = jnp.clip(_searchsorted_rows(cond_row, target_c), 0, w - 1)
+        cond_lo = jnp.where(col > 0, jnp.take_along_axis(
+            cond_row, jnp.maximum(col - 1, 0)[..., None], axis=-1)[..., 0], 0.0)
+        cell = jnp.take_along_axis(cond_row, col[..., None], axis=-1)[..., 0] - cond_lo
+        uc = jnp.clip((target_c - cond_lo) / jnp.maximum(cell, 1e-20), 0.0, m.ONE_MINUS_EPSILON)
+        pos = jnp.stack([(col + uc) / w, (row + ur) / h], axis=-1)
+        pdf = cell * (h * w) / jnp.maximum(self.total, 1e-20)
+        return pos, pdf
+
+    def eval_pdf(self, pos):
+        """pdf at pos in [0,1]^2, w.r.t. the unit square."""
+        h, w = self.data.shape
+        col = jnp.clip((pos[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        row = jnp.clip((pos[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        val = self.data[row, col]
+        return val * (h * w) / jnp.maximum(self.total, 1e-20)
+
+
+def _searchsorted_rows(cdf_rows, targets):
+    """searchsorted along the last axis for batched rows.
+
+    cdf_rows: (..., w) ascending; targets: (...,). Returns int32 (...,)."""
+    return jnp.sum((cdf_rows < targets[..., None]).astype(jnp.int32), axis=-1)

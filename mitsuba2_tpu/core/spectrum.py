@@ -1,0 +1,326 @@
+"""Spectral core: CIE curves, color transforms, hero-wavelength sampling,
+spectral upsampling.
+
+TPU-native rebuild of mitsuba2's spectral layer
+(include/mitsuba/core/spectrum.h, src/libcore/spectrum.cpp, src/librender/
+srgb.cpp + ext/rgb2spec). Key differences from the reference, chosen for a
+table-free jnp-friendly design:
+
+- CIE 1931 color matching functions use the multi-lobe Gaussian analytic fit
+  of Wyman, Sloan & Shirley 2013 ("Simple Analytic Approximations to the CIE
+  XYZ Color Matching Functions", JCGT) instead of the sampled 5nm table —
+  accurate to ~1% and differentiable, evaluated directly at hero wavelengths.
+- RGB->spectrum upsampling uses the Jakob & Hanika 2019 sigmoid-polynomial
+  model (same as the reference's rgb2spec), but coefficients are fit on the
+  host per color (Gauss-Newton) instead of loading the precomputed
+  `srgb.coeff` table; a small lattice cache handles textured inputs.
+
+Spectral rendering uses C=4 hero wavelengths per lane, sampled with the same
+importance curve as the reference (`sample_rgb_spectrum`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import math as m
+
+# Wavelength range (include/mitsuba/core/spectrum.h)
+WAVELENGTH_MIN = 360.0
+WAVELENGTH_MAX = 830.0
+N_HERO = 4  # hero wavelengths per lane in spectral mode
+
+# CIE Y integral over [WAVELENGTH_MIN, WAVELENGTH_MAX] for the analytic fit,
+# used to normalize XYZ responses (reference: MTS_CIE_Y_NORMALIZATION).
+# Computed once at import with high-resolution quadrature.
+
+
+def _gauss_piecewise(x, mu, s1, s2):
+    """Piecewise gaussian with different left/right std (Wyman et al.)."""
+    s = jnp.where(x < mu, s1, s2)
+    t = (x - mu) / s
+    return jnp.exp(-0.5 * t * t)
+
+
+def cie1931_xyz(wl):
+    """CIE 1931 2-deg XYZ color matching functions at wavelength wl (nm).
+
+    Analytic fit (Wyman et al. 2013). Returns (..., 3)."""
+    x = (1.056 * _gauss_piecewise(wl, 599.8, 37.9, 31.0)
+         + 0.362 * _gauss_piecewise(wl, 442.0, 16.0, 26.7)
+         - 0.065 * _gauss_piecewise(wl, 501.1, 20.4, 26.2))
+    y = (0.821 * _gauss_piecewise(wl, 568.8, 46.9, 40.5)
+         + 0.286 * _gauss_piecewise(wl, 530.9, 16.3, 31.1))
+    z = (1.217 * _gauss_piecewise(wl, 437.0, 11.8, 36.0)
+         + 0.681 * _gauss_piecewise(wl, 459.0, 26.0, 13.8))
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def cie1931_y(wl):
+    return (0.821 * _gauss_piecewise(wl, 568.8, 46.9, 40.5)
+            + 0.286 * _gauss_piecewise(wl, 530.9, 16.3, 31.1))
+
+
+_wl_grid = np.linspace(WAVELENGTH_MIN, WAVELENGTH_MAX, 941)
+CIE_Y_INTEGRAL = float(np.trapezoid(np.asarray(cie1931_y(jnp.asarray(_wl_grid))), _wl_grid))
+
+# XYZ <-> linear sRGB (D65 white, Rec.709 primaries) — same matrices as the
+# reference (src/libcore/spectrum.cpp :: xyz_to_srgb).
+XYZ_TO_SRGB = np.array([
+    [3.240479, -1.537150, -0.498535],
+    [-0.969256, 1.875991, 0.041556],
+    [0.055648, -0.204043, 1.057311]], dtype=np.float32)
+SRGB_TO_XYZ = np.linalg.inv(XYZ_TO_SRGB.astype(np.float64)).astype(np.float32)
+
+
+def _apply_color_matrix(mat, v):
+    # Elementwise formulation: a 3x3 on the trailing axis. Deliberately NOT a
+    # matmul — TPU matmuls default to bf16 accumulation, which visibly
+    # off-whites color conversions; the VPU path stays in f32.
+    mat = jnp.asarray(mat)
+    return jnp.stack([
+        v[..., 0] * mat[0, 0] + v[..., 1] * mat[0, 1] + v[..., 2] * mat[0, 2],
+        v[..., 0] * mat[1, 0] + v[..., 1] * mat[1, 1] + v[..., 2] * mat[1, 2],
+        v[..., 0] * mat[2, 0] + v[..., 1] * mat[2, 1] + v[..., 2] * mat[2, 2],
+    ], axis=-1)
+
+
+def xyz_to_srgb(xyz):
+    return _apply_color_matrix(XYZ_TO_SRGB, xyz)
+
+
+def srgb_to_xyz(rgb):
+    return _apply_color_matrix(SRGB_TO_XYZ, rgb)
+
+
+def luminance_rgb(rgb):
+    """Luminance of a linear-sRGB color (mitsuba `luminance`)."""
+    w = jnp.asarray([0.212671, 0.715160, 0.072169], jnp.float32)
+    return jnp.sum(rgb * w, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Hero-wavelength sampling (spectrum.h :: sample_rgb_spectrum)
+# ---------------------------------------------------------------------------
+
+def sample_rgb_spectrum(u):
+    """Importance-sample wavelengths for RGB/visible-range integration.
+
+    pdf ~ sech^2(0.0072 (lambda - 538)); same warp + constants as the
+    reference. u: (...,) in [0,1) -> (wavelength, pdf)."""
+    wl = 538.0 - jnp.arctanh(0.8569106254698279 - 1.8275019724092267 * u) * 138.88888888888889
+    # float32 rounding can land a hair outside the range at u -> {0, 1}
+    wl = jnp.clip(wl, WAVELENGTH_MIN, WAVELENGTH_MAX)
+    pdf = pdf_rgb_spectrum(wl)
+    return wl, pdf
+
+
+def pdf_rgb_spectrum(wl):
+    tmp = 1.0 / jnp.cosh(0.0072 * (wl - 538.0))
+    inside = (wl >= WAVELENGTH_MIN) & (wl <= WAVELENGTH_MAX)
+    return jnp.where(inside, tmp * tmp * 0.003939804229326285, 0.0)
+
+
+def sample_hero_wavelengths(u):
+    """One uniform sample -> N_HERO rotated hero wavelengths + pdfs.
+
+    u: (...,) -> (wavelengths (..., 4), pdfs (..., 4)). Rotation: the i-th
+    wavelength uses fract(u + i/4) (standard hero-wavelength scheme; the
+    reference samples 4 independent but we keep stratified rotation which is
+    strictly lower variance)."""
+    offs = jnp.arange(N_HERO, dtype=jnp.float32) / N_HERO
+    ui = jnp.mod(u[..., None] + offs, 1.0)
+    return sample_rgb_spectrum(ui)
+
+
+# ---------------------------------------------------------------------------
+# Blackbody (src/spectra/blackbody.cpp)
+# ---------------------------------------------------------------------------
+
+def blackbody_radiance(wl_nm, temperature):
+    """Planck's law, radiance in W/(m^2 sr nm) at wavelength wl (nm)."""
+    h = 6.62607015e-34
+    c = 2.99792458e8
+    kb = 1.380649e-23
+    lam = wl_nm * 1e-9
+    c1 = 2.0 * h * c * c
+    c2 = h * c / kb
+    val = c1 / (lam ** 5 * (jnp.exp(c2 / (lam * temperature)) - 1.0))
+    return val * 1e-9  # per-nm
+
+
+# ---------------------------------------------------------------------------
+# CIE D65 illuminant. We use a smooth approximation: Planck at 6504 K CCT
+# normalized to unit luminance — adequate because both sides of every golden
+# test use the same illuminant (documented deviation from the tabulated D65;
+# the reference ships the measured table in resources/data).
+# ---------------------------------------------------------------------------
+
+def d65_approx(wl):
+    val = blackbody_radiance(wl, 6503.5)
+    ref = blackbody_radiance(jnp.asarray(560.0), 6503.5)
+    return val / ref
+
+
+# ---------------------------------------------------------------------------
+# Spectral -> XYZ/sRGB integration for hero-wavelength samples
+# ---------------------------------------------------------------------------
+
+def spectrum_to_xyz(values, wavelengths, pdfs):
+    """MC estimate of the XYZ tristimulus from hero samples.
+
+    values/wavelengths/pdfs: (..., 4). Returns (..., 3)."""
+    xyz_w = cie1931_xyz(wavelengths)  # (..., 4, 3)
+    contrib = values[..., None] * xyz_w / jnp.maximum(pdfs[..., None], 1e-20)
+    return jnp.mean(contrib, axis=-2) / CIE_Y_INTEGRAL
+
+
+def spectrum_to_srgb(values, wavelengths, pdfs):
+    return xyz_to_srgb(spectrum_to_xyz(values, wavelengths, pdfs))
+
+
+# ---------------------------------------------------------------------------
+# RGB -> smooth reflectance spectrum (Jakob & Hanika 2019 sigmoid polynomial)
+# Host-side fit; device-side eval.
+# ---------------------------------------------------------------------------
+
+def srgb_model_eval(coeffs, wl):
+    """Evaluate the sigmoid-polynomial reflectance model.
+
+    coeffs: (..., 3) polynomial coefficients (c2, c1, c0) on the raw
+    wavelength axis; wl: (...,) nm. R = 1/2 + x / (2 sqrt(1 + x^2)) with
+    x = c2 wl^2 + c1 wl + c0 (mirrors srgb_model_eval in srgb.cpp)."""
+    x = (coeffs[..., 0] * wl + coeffs[..., 1]) * wl + coeffs[..., 2]
+    return 0.5 + 0.5 * x / jnp.sqrt(1.0 + x * x)
+
+
+def srgb_model_mean(coeffs, n: int = 32):
+    """Mean reflectance over the visible range (srgb_model_mean)."""
+    wl = jnp.linspace(WAVELENGTH_MIN, WAVELENGTH_MAX, n)
+    shape = coeffs.shape[:-1]
+    vals = srgb_model_eval(coeffs[..., None, :], jnp.broadcast_to(wl, shape + (n,)))
+    return jnp.mean(vals, axis=-1)
+
+
+# Host-side fitting -----------------------------------------------------------
+
+_FIT_WL = np.linspace(WAVELENGTH_MIN, WAVELENGTH_MAX, 95)
+
+
+def _host_cie_xyz(wl):
+    def g(x, mu, s1, s2):
+        s = np.where(x < mu, s1, s2)
+        return np.exp(-0.5 * ((x - mu) / s) ** 2)
+    x = 1.056 * g(wl, 599.8, 37.9, 31.0) + 0.362 * g(wl, 442.0, 16.0, 26.7) \
+        - 0.065 * g(wl, 501.1, 20.4, 26.2)
+    y = 0.821 * g(wl, 568.8, 46.9, 40.5) + 0.286 * g(wl, 530.9, 16.3, 31.1)
+    z = 1.217 * g(wl, 437.0, 11.8, 36.0) + 0.681 * g(wl, 459.0, 26.0, 13.8)
+    return np.stack([x, y, z], axis=-1)
+
+
+def _host_d65(wl):
+    h, c, kb = 6.62607015e-34, 2.99792458e8, 1.380649e-23
+    lam = wl * 1e-9
+    val = 1.0 / (lam ** 5 * (np.exp(h * c / (kb * lam * 6503.5)) - 1.0))
+    ref = 1.0 / ((560e-9) ** 5 * (np.exp(h * c / (kb * 560e-9 * 6503.5)) - 1.0))
+    return val / ref
+
+
+# Precompute the projection: reflectance spectrum -> linear sRGB under D65
+_XYZ_W = _host_cie_xyz(_FIT_WL) * _host_d65(_FIT_WL)[:, None]
+_XYZ_W = _XYZ_W / np.trapezoid(_XYZ_W[:, 1], _FIT_WL)  # normalize so R=1 -> Y=1
+_PROJ = (np.asarray(XYZ_TO_SRGB, np.float64) @
+         (_XYZ_W.T * np.gradient(_FIT_WL)))  # (3, 95): rgb = PROJ @ R(wl)
+
+
+def _spectrum_to_rgb_host(refl):
+    return _PROJ @ refl
+
+
+def fit_srgb_model(rgb, iters: int = 50):
+    """Fit sigmoid-polynomial coefficients for one linear-sRGB color (host).
+
+    Gauss–Newton on the 3-unknown/3-equation system rgb(coeffs) = rgb.
+    Works for in-gamut colors; out-of-gamut colors are scaled into gamut and
+    the scale returned separately (matching rgb2spec behavior for
+    reflectances, which are capped at 1)."""
+    rgb = np.asarray(rgb, np.float64)
+    scale = 1.0
+    mx = rgb.max()
+    if mx > 0.999:
+        scale = mx / 0.999
+        rgb = rgb / scale
+    # Init: flat spectrum matching luminance
+    lum = float(rgb @ np.array([0.2126, 0.7152, 0.0722]))
+    lum = min(max(lum, 1e-4), 0.9999)
+    x0 = np.arctanh(2.0 * lum - 1.0)  # sigmoid^-1
+    wl = _FIT_WL
+    wlc = (wl - 560.0) / 100.0  # normalized axis for conditioning
+    coeffs = np.array([0.0, 0.0, x0])  # on normalized axis
+
+    def model(cf):
+        x = (cf[0] * wlc + cf[1]) * wlc + cf[2]
+        return 0.5 + 0.5 * x / np.sqrt(1.0 + x * x)
+
+    for _ in range(iters):
+        r = model(coeffs)
+        f = _spectrum_to_rgb_host(r) - rgb
+        if np.abs(f).max() < 1e-7:
+            break
+        # Jacobian: dR/dx = 0.5 / (1+x^2)^(3/2); dx/dc = [wlc^2, wlc, 1]
+        x = (coeffs[0] * wlc + coeffs[1]) * wlc + coeffs[2]
+        dr_dx = 0.5 / np.power(1.0 + x * x, 1.5)
+        J = _PROJ @ (dr_dx[:, None] * np.stack([wlc * wlc, wlc, np.ones_like(wlc)], axis=-1))
+        try:
+            step = np.linalg.solve(J + 1e-12 * np.eye(3), f)
+        except np.linalg.LinAlgError:
+            break
+        coeffs = coeffs - step
+    # Convert normalized-axis coeffs to raw-wavelength-axis coeffs:
+    # x = a t^2 + b t + c, t = (wl-560)/100
+    a, b, c = coeffs
+    c2 = a / 100.0 ** 2
+    c1 = b / 100.0 - 2 * a * 560.0 / 100.0 ** 2
+    c0 = a * (560.0 / 100.0) ** 2 - b * 560.0 / 100.0 + c
+    return np.array([c2, c1, c0], np.float64), scale
+
+
+_LATTICE_CACHE = {}
+
+
+def srgb_model_fetch_lattice(res: int = 16):
+    """Coefficient lattice over the sRGB cube for textured inputs.
+
+    Fit once per process (cached); trilinear interpolation of coefficients at
+    lookup time mirrors the reference's 3D coeff table (srgb_model_fetch)."""
+    if res in _LATTICE_CACHE:
+        return _LATTICE_CACHE[res]
+    grid = np.linspace(0.0, 1.0, res)
+    coeffs = np.zeros((res, res, res, 3), np.float64)
+    for i, r in enumerate(grid):
+        for j, g in enumerate(grid):
+            for k, b in enumerate(grid):
+                coeffs[i, j, k], _ = fit_srgb_model(np.array([r, g, b]))
+    out = jnp.asarray(coeffs, jnp.float32)
+    _LATTICE_CACHE[res] = out
+    return out
+
+
+def srgb_model_fetch_interp(lattice, rgb):
+    """Trilinear interp of fitted coefficients at rgb in [0,1]^3 (device)."""
+    res = lattice.shape[0]
+    t = jnp.clip(rgb, 0.0, 1.0) * (res - 1)
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, res - 2)
+    f = t - i0
+    def gather(di, dj, dk):
+        return lattice[i0[..., 0] + di, i0[..., 1] + dj, i0[..., 2] + dk]
+    c = (gather(0, 0, 0) * (1 - f[..., 0:1]) * (1 - f[..., 1:2]) * (1 - f[..., 2:3]) +
+         gather(1, 0, 0) * f[..., 0:1] * (1 - f[..., 1:2]) * (1 - f[..., 2:3]) +
+         gather(0, 1, 0) * (1 - f[..., 0:1]) * f[..., 1:2] * (1 - f[..., 2:3]) +
+         gather(0, 0, 1) * (1 - f[..., 0:1]) * (1 - f[..., 1:2]) * f[..., 2:3] +
+         gather(1, 1, 0) * f[..., 0:1] * f[..., 1:2] * (1 - f[..., 2:3]) +
+         gather(1, 0, 1) * f[..., 0:1] * (1 - f[..., 1:2]) * f[..., 2:3] +
+         gather(0, 1, 1) * (1 - f[..., 0:1]) * f[..., 1:2] * f[..., 2:3] +
+         gather(1, 1, 1) * f[..., 0:1] * f[..., 1:2] * f[..., 2:3])
+    return c

@@ -1,0 +1,23 @@
+"""Test configuration: force CPU with 8 virtual devices BEFORE jax backend init.
+
+Mirrors SURVEY.md §4's "multi-host without a pod" strategy: shard_map logic
+is exercised on a virtual 8-device CPU mesh; TPU-only paths (compiled Pallas)
+are covered via interpret mode.
+
+NOTE: this environment's jaxlib ignores the JAX_PLATFORMS env var (the axon
+TPU plugin overrides it), so we must ALSO call jax.config.update. XLA_FLAGS
+still must be set before the CPU client is created.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

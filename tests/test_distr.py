@@ -1,0 +1,67 @@
+"""Distribution tests (mirrors src/libcore/tests/test_distr.py)."""
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba2_tpu.core import distr
+
+
+def test_discrete_sample_matches_pmf():
+    w = np.array([1.0, 3.0, 0.0, 2.0, 4.0])
+    d = distr.DiscreteDistribution.build(w)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random(200_000, dtype=np.float64).astype(np.float32))
+    idx = np.asarray(d.sample(u))
+    counts = np.bincount(idx, minlength=5) / idx.size
+    np.testing.assert_allclose(counts, w / w.sum(), atol=5e-3)
+    assert counts[2] == 0.0
+
+
+def test_discrete_sample_reuse_uniform():
+    d = distr.DiscreteDistribution.build([1.0, 2.0, 5.0])
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.random(100_000, dtype=np.float64).astype(np.float32))
+    idx, u2 = d.sample_reuse(u)
+    u2 = np.asarray(u2)
+    assert (u2 >= 0).all() and (u2 < 1.0).all()
+    # reused sample should remain ~uniform
+    h, _ = np.histogram(u2, bins=10, range=(0, 1))
+    assert h.std() / h.mean() < 0.05
+
+
+def test_continuous_linear_ramp():
+    # pdf(x) ~ x on [0, 1]: CDF = x^2, sample = sqrt(u)
+    d = distr.ContinuousDistribution.build(np.linspace(0, 1, 11), 0.0, 1.0)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.random(200_000, dtype=np.float64).astype(np.float32))
+    x = np.asarray(d.sample(u))
+    np.testing.assert_allclose(np.mean(x), 2.0 / 3.0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(d.eval_pdf_normalized(jnp.asarray([0.5]))),
+                               [1.0], atol=1e-5)
+
+
+def test_irregular_matches_regular():
+    nodes = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
+    vals = np.array([1.0, 2.0, 3.0, 2.0, 1.0])
+    d = distr.IrregularContinuousDistribution.build(nodes, vals)
+    r = distr.ContinuousDistribution.build(vals, 0.0, 1.0)
+    u = jnp.linspace(0.01, 0.99, 101)
+    np.testing.assert_allclose(np.asarray(d.sample(u)), np.asarray(r.sample(u)), atol=1e-5)
+    x = jnp.linspace(0.0, 1.0, 101)
+    np.testing.assert_allclose(np.asarray(d.eval_pdf(x)), np.asarray(r.eval_pdf(x)), atol=1e-5)
+
+
+def test_marginal2d_sample_pdf_consistent():
+    rng = np.random.default_rng(3)
+    data = rng.random((16, 32)) + 0.1
+    M = distr.Marginal2D.build(data)
+    u = jnp.asarray(rng.random((100_000, 2), dtype=np.float64).astype(np.float32))
+    pos, pdf = M.sample(u)
+    pdf2 = M.eval_pdf(pos)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2), rtol=2e-3)
+    # Histogram should match the density
+    pos = np.asarray(pos)
+    h, _, _ = np.histogram2d(pos[:, 1], pos[:, 0], bins=(16, 32),
+                             range=[[0, 1], [0, 1]])
+    h = h / h.sum()
+    expected = data / data.sum()
+    assert np.abs(h - expected).max() < 5e-3

@@ -1,0 +1,71 @@
+"""Spectral core tests (mirrors src/librender/tests srgb/spectrum coverage)."""
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba2_tpu.core import spectrum as sp
+
+
+def test_cie_fit_peaks():
+    # Known properties of the CIE 1931 CMFs (the analytic fit is ~1% accurate)
+    wl = jnp.linspace(360, 830, 941)
+    xyz = np.asarray(sp.cie1931_xyz(wl))
+    wlv = np.asarray(wl)
+    assert abs(wlv[xyz[:, 1].argmax()] - 555) < 5      # y peaks near 555nm
+    assert abs(wlv[xyz[:, 2].argmax()] - 445) < 8      # z peaks near 445nm
+    assert abs(xyz[:, 1].max() - 1.0) < 0.02
+
+
+def test_hero_sampling_pdf_normalized():
+    # Integral of the pdf over the wavelength range should be 1
+    wl = np.linspace(sp.WAVELENGTH_MIN, sp.WAVELENGTH_MAX, 20001)
+    pdf = np.asarray(sp.pdf_rgb_spectrum(jnp.asarray(wl)))
+    integral = np.trapezoid(pdf, wl) if hasattr(np, "trapezoid") else np.trapz(pdf, wl)
+    assert abs(integral - 1.0) < 1e-3
+
+
+def test_hero_sampling_warp_pdf_consistent():
+    # Monte-Carlo: E[f/pdf] under the warp == integral of f
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random(500_000, dtype=np.float64).astype(np.float32))
+    wl, pdf = sp.sample_rgb_spectrum(u)
+    wl, pdf = np.asarray(wl), np.asarray(pdf)
+    assert (wl >= sp.WAVELENGTH_MIN - 1).all() and (wl <= sp.WAVELENGTH_MAX + 1).all()
+    # integrate y-bar via importance sampling; compare to quadrature
+    est = np.mean(np.asarray(sp.cie1931_y(jnp.asarray(wl))) / pdf)
+    grid = np.linspace(sp.WAVELENGTH_MIN, sp.WAVELENGTH_MAX, 10001)
+    ref = np.trapezoid(np.asarray(sp.cie1931_y(jnp.asarray(grid))), grid) \
+        if hasattr(np, "trapezoid") else np.trapz(np.asarray(sp.cie1931_y(jnp.asarray(grid))), grid)
+    assert abs(est - ref) / ref < 5e-3
+
+
+def test_xyz_srgb_roundtrip():
+    rng = np.random.default_rng(1)
+    rgb = jnp.asarray(rng.random((100, 3), dtype=np.float64).astype(np.float32))
+    back = sp.xyz_to_srgb(sp.srgb_to_xyz(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_srgb_upsampling_roundtrip():
+    """Fit sigmoid-poly spectra for random in-gamut colors; integrating them
+    back against CIE x D65 must recover the color (the rgb2spec contract)."""
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        rgb = rng.random(3) * 0.9 + 0.05
+        coeffs, scale = sp.fit_srgb_model(rgb)
+        # integrate the model against the same projection used in the fit
+        refl = np.asarray(sp.srgb_model_eval(
+            jnp.asarray(coeffs, jnp.float32), jnp.asarray(sp._FIT_WL, jnp.float32)))
+        rgb_back = sp._spectrum_to_rgb_host(refl) * scale
+        np.testing.assert_allclose(rgb_back, rgb, atol=2e-3)
+
+
+def test_spectral_white_renders_white():
+    """A reflectance-1 spectrum lit by D65 must develop to ~(1,1,1) sRGB."""
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random(200_000, dtype=np.float64).astype(np.float32))
+    wl, pdf = sp.sample_hero_wavelengths(u)
+    vals = sp.d65_approx(wl)
+    rgb = np.asarray(sp.spectrum_to_srgb(vals, wl, pdf))
+    mean_rgb = rgb.mean(axis=0)
+    # D65-approx whitepoint should land close to equal-energy sRGB white
+    np.testing.assert_allclose(mean_rgb, 1.0, atol=0.08)
