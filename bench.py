@@ -1,0 +1,57 @@
+"""Benchmark: Mrays/s on the Cornell box (BASELINE.md protocol).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on whatever accelerator jax exposes (the driver runs it on one TPU
+chip). Rays counted: primary + per-bounce (shadow + bounce) wavefront rays,
+i.e. lanes * (1 + 2*(max_depth-1)) per pass — every lane pays lockstep
+traversal cost, so this is the honest per-chip work metric. Compilation is
+excluded (warmup pass); forward only (forward+adjoint reported once the
+adjoint integrator lands).
+"""
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.integrators import _render_pass_jit
+    from mitsuba2_tpu.scene.presets import cornell_box
+
+    scene = cornell_box()
+    config = mi.RenderConfig(width=256, height=256, spp=64, spp_per_pass=16,
+                             max_depth=4, rr_depth=8)
+
+    n_lanes = config.width * config.height * config.spp_per_pass
+    rays_per_pass = n_lanes * (1 + 2 * (config.max_depth - 1))
+    n_passes = config.spp // config.spp_per_pass
+
+    # warmup / compile
+    img, w = _render_pass_jit(scene, config, jnp.uint32(0))
+    jax.block_until_ready((img, w))
+
+    t0 = time.perf_counter()
+    acc = None
+    for p in range(n_passes):
+        img, w = _render_pass_jit(scene, config, jnp.uint32(p + 1))
+        acc = img if acc is None else acc + img
+    jax.block_until_ready(acc)
+    t1 = time.perf_counter()
+
+    total_rays = rays_per_pass * n_passes
+    mrays = total_rays / (t1 - t0) / 1e6
+    print(json.dumps({
+        "metric": "cornell_box_fwd_mrays_per_s",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        # no published reference numbers exist (BASELINE.md); ratio vs the
+        # first recorded value of this bench once one exists
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

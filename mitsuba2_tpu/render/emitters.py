@@ -1,0 +1,225 @@
+"""Emitters: packing, evaluation, NEE direction sampling, and pdfs.
+
+TPU-native rebuild of mitsuba2's Endpoint/Emitter layer + plugins
+(src/librender/endpoint.cpp, src/emitters/{area,point,constant,...}.cpp)
+and of Scene::sample_emitter_direction / pdf_emitter_direction
+(src/librender/scene.cpp). Emitters live in the scene pytree as a packed
+table; sampling picks an emitter uniformly (matching the reference's
+uniform emitter selection) and dispatches over the (small) set of types
+with masked evaluate-all.
+
+Emitter row layout (EMIT_W = 16):
+    [0:8]   radiance / intensity spectrum slot (see spectra.py)
+    [8:11]  position (point/spot)
+    [11:14] direction (spot/directional)
+    [14:16] scalars (spot cutoff/beam)
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as m
+from ..core import warp
+from ..core.geometry import Frame, dot, normalize
+from .interaction import DirectionSample
+from .spectra import SLOT_W, eval_spectrum_slot, pack_spectrum_slot
+
+EMIT_W = 16
+
+AREA = 0
+POINT = 1
+CONSTANT = 2
+ENVMAP = 3
+SPOT = 4
+DIRECTIONAL = 5
+
+_PRIM_SPHERE = 1  # mirror of scene.PRIM_SPHERE (avoid circular import)
+
+
+def pack_emitter(desc: dict) -> Tuple[int, np.ndarray]:
+    """Host: emitter descriptor dict -> (type id, packed row)."""
+    row = np.zeros(EMIT_W, np.float32)
+    t = desc.get("type")
+    if t == "area":
+        row[0:SLOT_W] = pack_spectrum_slot(desc.get("radiance", [1, 1, 1]),
+                                           illuminant=True)
+        return AREA, row
+    if t == "point":
+        row[0:SLOT_W] = pack_spectrum_slot(desc.get("intensity", [1, 1, 1]),
+                                           illuminant=True)
+        row[8:11] = np.asarray(desc.get("position", [0, 0, 0]), np.float32)
+        return POINT, row
+    if t == "constant":
+        row[0:SLOT_W] = pack_spectrum_slot(desc.get("radiance", [1, 1, 1]),
+                                           illuminant=True)
+        return CONSTANT, row
+    raise ValueError(f"unknown emitter type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+def eval_hit(scene, si, config) -> jnp.ndarray:
+    """Emitter::eval at a surface hit: area-emitter radiance toward the
+    viewer; zero from the back side (emitters/area.cpp)."""
+    e_idx = scene.shape_emitter[jnp.maximum(si.shape, 0)]
+    has_e = si.valid & (si.shape >= 0) & (e_idx >= 0)
+    row = scene.emitter_data[jnp.maximum(e_idx, 0)]
+    front = Frame.cos_theta(si.wi) > 0
+    val = eval_spectrum_slot(row[..., 0:SLOT_W], si.wavelengths, config.color_mode)
+    return jnp.where((has_e & front)[..., None], val, 0.0)
+
+
+def eval_env(scene, d_world, wavelengths, config) -> jnp.ndarray:
+    """Environment radiance for escaped rays (constant / envmap)."""
+    N = d_world.shape[0]
+    if scene.env_emitter < 0:
+        return jnp.zeros((N, config.n_channels), jnp.float32)
+    row = scene.emitter_data[scene.env_emitter]
+    val = eval_spectrum_slot(row[0:SLOT_W], wavelengths, config.color_mode)
+    return jnp.broadcast_to(val, (N, config.n_channels))
+
+
+# ---------------------------------------------------------------------------
+# NEE sampling (Scene::sample_emitter_direction)
+# ---------------------------------------------------------------------------
+
+def sample_direction(scene, ref_p, wavelengths, u1, u2, config
+                     ) -> Tuple[DirectionSample, jnp.ndarray]:
+    """Pick an emitter uniformly, sample a direction toward it, return the
+    DirectionSample (solid-angle pdf already including the 1/E pick
+    probability) and the emitter radiance (NOT divided by the pdf).
+    Visibility is NOT tested here (integrator casts the shadow ray).
+    """
+    N = ref_p.shape[0]
+    E = scene.n_emitters
+    C = config.n_channels
+    zero_ds = DirectionSample(
+        p=jnp.zeros((N, 3)), n=jnp.zeros((N, 3)), uv=jnp.zeros((N, 2)),
+        d=jnp.zeros((N, 3)), dist=jnp.full((N,), jnp.inf),
+        pdf=jnp.zeros((N,)), delta=jnp.zeros((N,), bool),
+        emitter=jnp.full((N,), -1, jnp.int32))
+    if E == 0:
+        return zero_ds, jnp.zeros((N, C), jnp.float32)
+
+    # Uniform emitter pick with sample reuse (scene.cpp)
+    scaled = u1 * E
+    e_idx = jnp.clip(scaled.astype(jnp.int32), 0, E - 1)
+    pick_pdf = 1.0 / E
+
+    etype = scene.emitter_type[e_idx]
+    row = scene.emitter_data[e_idx]
+
+    ds, val = zero_ds, jnp.zeros((N, C), jnp.float32)
+
+    # --- area ----------------------------------------------------------------
+    cdf = scene.emitter_prim_cdf[e_idx]            # (N, Fmax)
+    total = scene.emitter_area[e_idx]              # (N,)
+    # sample prim by area
+    u_reuse = scaled - e_idx
+    target = u_reuse * total
+    slot = jnp.sum((cdf < target[..., None]).astype(jnp.int32), axis=-1)
+    slot = jnp.clip(slot, 0, scene.emitter_prims.shape[1] - 1)
+    prim = jnp.take_along_axis(scene.emitter_prims[e_idx], slot[..., None], axis=-1)[..., 0]
+    prim_c = jnp.maximum(prim, 0)
+    p0 = scene.prim_p0[prim_c]
+    e1 = scene.prim_e1[prim_c]
+    e2 = scene.prim_e2[prim_c]
+    is_sph = scene.prim_type[prim_c] == _PRIM_SPHERE
+    # triangle position
+    bc = warp.square_to_uniform_triangle(u2)
+    p_tri = p0 + e1 * bc[..., 0:1] + e2 * bc[..., 1:2]
+    n_tri = normalize(jnp.cross(e1, e2))
+    # sphere position
+    dir_s = warp.square_to_uniform_sphere(u2)
+    p_sph = p0 + dir_s * e1[..., 0:1]
+    p_e = jnp.where(is_sph[..., None], p_sph, p_tri)
+    n_e = jnp.where(is_sph[..., None], dir_s, n_tri)
+    d_vec = p_e - ref_p
+    dist2 = jnp.sum(d_vec * d_vec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+    d_unit = d_vec / dist[..., None]
+    cos_e = dot(n_e, -d_unit)
+    pdf_area = 1.0 / jnp.maximum(total, 1e-20)
+    pdf_sa = pick_pdf * pdf_area * dist2 / jnp.maximum(cos_e, 1e-20)
+    area_ok = (etype == AREA) & (cos_e > 0) & (prim >= 0)
+    radiance = eval_spectrum_slot(row[..., 0:SLOT_W], wavelengths, config.color_mode)
+    ds = DirectionSample(
+        p=jnp.where(area_ok[..., None], p_e, ds.p),
+        n=jnp.where(area_ok[..., None], n_e, ds.n),
+        uv=ds.uv,
+        d=jnp.where(area_ok[..., None], d_unit, ds.d),
+        dist=jnp.where(area_ok, dist, ds.dist),
+        pdf=jnp.where(area_ok, pdf_sa, ds.pdf),
+        delta=ds.delta,
+        emitter=jnp.where(area_ok, e_idx, ds.emitter))
+    val = jnp.where(area_ok[..., None], radiance, val)
+
+    # --- point (delta position) ----------------------------------------------
+    is_point = etype == POINT
+    if True:  # cheap; evaluated masked
+        p_l = row[..., 8:11]
+        d_vec_p = p_l - ref_p
+        dist2_p = jnp.sum(d_vec_p * d_vec_p, axis=-1)
+        dist_p = jnp.sqrt(jnp.maximum(dist2_p, 1e-30))
+        d_unit_p = d_vec_p / dist_p[..., None]
+        intensity = eval_spectrum_slot(row[..., 0:SLOT_W], wavelengths,
+                                       config.color_mode)
+        val_p = intensity / jnp.maximum(dist2_p[..., None], 1e-20)
+        ds = DirectionSample(
+            p=jnp.where(is_point[..., None], p_l, ds.p),
+            n=ds.n, uv=ds.uv,
+            d=jnp.where(is_point[..., None], d_unit_p, ds.d),
+            dist=jnp.where(is_point, dist_p, ds.dist),
+            pdf=jnp.where(is_point, pick_pdf, ds.pdf),
+            delta=jnp.where(is_point, True, ds.delta),
+            emitter=jnp.where(is_point, e_idx, ds.emitter))
+        # fold the pick pdf into the value so value/pdf stays L/dist^2 * E
+        val = jnp.where(is_point[..., None], val_p, val)
+
+    # --- constant env ----------------------------------------------------------
+    is_const = etype == CONSTANT
+    if scene.env_emitter >= 0:
+        d_c = warp.square_to_uniform_sphere(u2)
+        radiance_c = eval_spectrum_slot(row[..., 0:SLOT_W], wavelengths,
+                                        config.color_mode)
+        ds = DirectionSample(
+            p=jnp.where(is_const[..., None], ref_p + d_c * 1e7, ds.p),
+            n=jnp.where(is_const[..., None], -d_c, ds.n), uv=ds.uv,
+            d=jnp.where(is_const[..., None], d_c, ds.d),
+            dist=jnp.where(is_const, jnp.float32(1e7), ds.dist),
+            pdf=jnp.where(is_const, pick_pdf * warp.INV_FOUR_PI, ds.pdf),
+            delta=ds.delta,
+            emitter=jnp.where(is_const, e_idx, ds.emitter))
+        val = jnp.where(is_const[..., None], radiance_c, val)
+
+    return ds, val
+
+
+def pdf_direction_hit(scene, ref_p, si_hit, config) -> jnp.ndarray:
+    """Scene::pdf_emitter_direction for a BSDF-sampled ray that HIT an
+    emissive surface: solid-angle NEE pdf of that direction (for MIS)."""
+    E = scene.n_emitters
+    if E == 0:
+        return jnp.zeros(ref_p.shape[0], jnp.float32)
+    e_idx = scene.shape_emitter[jnp.maximum(si_hit.shape, 0)]
+    valid = si_hit.valid & (si_hit.shape >= 0) & (e_idx >= 0)
+    area = scene.emitter_area[jnp.maximum(e_idx, 0)]
+    d_vec = si_hit.p - ref_p
+    dist2 = jnp.sum(d_vec * d_vec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+    cos_e = dot(si_hit.n, -d_vec / dist[..., None])
+    pdf = (1.0 / E) * dist2 / jnp.maximum(cos_e * area, 1e-20)
+    return jnp.where(valid & (cos_e > 0), pdf, 0.0)
+
+
+def pdf_direction_env(scene, config, n_lanes) -> jnp.ndarray:
+    """NEE pdf for a BSDF ray that escaped to the environment."""
+    E = scene.n_emitters
+    if E == 0 or scene.env_emitter < 0:
+        return jnp.zeros(n_lanes, jnp.float32)
+    return jnp.full(n_lanes, warp.INV_FOUR_PI / E, jnp.float32)

@@ -1,0 +1,191 @@
+"""Integrators: the wavefront path tracer and the render driver loop.
+
+TPU-native rebuild of mitsuba2's integrator machinery
+(src/librender/integrator.cpp, src/integrators/path.cpp). Key structural
+changes vs the reference (SURVEY.md §3.2):
+
+- The bounce loop runs entirely ON DEVICE inside one jitted pass — the
+  reference's per-bounce `any(active)` host sync disappears.
+- The wavefront is laid out (spp_pass, H, W) so box-filter film
+  accumulation is a reshape+sum, not an atomic scatter.
+- spp is chunked into passes (`spp_per_pass`, mirroring m_samples_per_pass)
+  by a host loop over identical jitted passes; each pass reseeds PCG32
+  streams from (seed, pass, lane) so passes are independent and the whole
+  render is deterministic and replayable (load-bearing for the adjoint).
+
+`sample_path` mirrors path.cpp's MIS logic exactly: NEE with power(2)
+heuristic + BSDF sampling with emitter-hit reweighting + Russian roulette.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..core import spectrum as sp
+from ..core.geometry import Ray
+from . import bsdf as bsdf_mod
+from . import emitters, film as film_mod, sensors
+from .sampler import Sampler
+
+
+def mis_weight(pdf_a, pdf_b):
+    """Power heuristic, beta = 2 (path.cpp::mis_weight)."""
+    a2 = pdf_a * pdf_a
+    return jnp.where(pdf_a > 0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-38), 0.0)
+
+
+def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
+                ) -> Tuple[jnp.ndarray, Sampler]:
+    """Path-trace one wavefront of rays. Returns ((N, C) radiance, sampler).
+
+    Follows src/integrators/path.cpp: emitter hit at depth 1, then for each
+    bounce NEE (+MIS) and BSDF sampling (+MIS on the induced emitter hit),
+    Russian roulette after rr_depth.
+    """
+    from ..scene import scene as scene_mod
+
+    N = ray.o.shape[0]
+    C = config.n_channels
+
+    si = scene_mod.ray_intersect(scene, ray)
+    active = si.valid
+    throughput = jnp.ones((N, C), jnp.float32)
+    result = jnp.zeros((N, C), jnp.float32)
+
+    # Depth-1: directly visible emitters + environment
+    if not config.hide_emitters:
+        result = result + emitters.eval_hit(scene, si, config)
+        result = result + jnp.where(si.valid[..., None], 0.0,
+                                    emitters.eval_env(scene, ray.d,
+                                                      ray.wavelengths, config))
+
+    prev_ray_d = ray.d
+
+    for depth in range(1, config.max_depth):
+        # ------------------------------------------------------------------
+        # Next-event estimation (Scene::sample_emitter_direction + shadow ray)
+        # ------------------------------------------------------------------
+        flags = bsdf_mod.lane_flags(scene, si)
+        is_smooth = (flags & bsdf_mod.F_SMOOTH) != 0
+        u_nee, sampler = sampler.next_1d()
+        u2_nee, sampler = sampler.next_2d()
+        ds, e_val = emitters.sample_direction(scene, si.p, si.wavelengths,
+                                              u_nee, u2_nee, config)
+        nee_active = active & is_smooth & (ds.pdf > 0)
+        shadow_ray = si.spawn_ray_d(ds.d, maxt=ds.dist * (1.0 - 1e-3))
+        occluded = scene_mod.ray_test(scene, shadow_ray)
+        wo_local = si.to_local(ds.d)
+        f_val = bsdf_mod.eval_(scene, si, wo_local, config)
+        f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
+        w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, f_pdf))
+        contrib = throughput * e_val * f_val * \
+            (w_nee / jnp.maximum(ds.pdf, 1e-20))[..., None]
+        result = result + jnp.where((nee_active & ~occluded)[..., None],
+                                    contrib, 0.0)
+
+        # ------------------------------------------------------------------
+        # BSDF sampling
+        # ------------------------------------------------------------------
+        u1_b, sampler = sampler.next_1d()
+        u2_b, sampler = sampler.next_2d()
+        bs, b_weight = bsdf_mod.sample(scene, si, u1_b, u2_b, config)
+        throughput = throughput * jnp.where(active[..., None], b_weight, 1.0)
+        active = active & (bs.pdf > 0) & jnp.any(b_weight > 0, axis=-1)
+
+        bounce_d = si.to_world(bs.wo)
+        next_ray = si.spawn_ray_d(bounce_d)
+        # Kill rays of inactive lanes cheaply (maxt = 0 -> instant miss)
+        next_ray = next_ray.replace(maxt=jnp.where(active, jnp.inf, 0.0))
+        si_next = scene_mod.ray_intersect(scene, next_ray)
+
+        # Emitter hit along the BSDF ray, MIS-weighted against NEE
+        delta_sample = (bs.sampled_flags & bsdf_mod.F_DELTA) != 0
+        em_pdf_hit = emitters.pdf_direction_hit(scene, si.p, si_next, config)
+        em_pdf_env = emitters.pdf_direction_env(scene, config, N)
+        em_pdf = jnp.where(si_next.valid, em_pdf_hit, em_pdf_env)
+        em_pdf = jnp.where(delta_sample, 0.0, em_pdf)
+        w_bsdf = mis_weight(bs.pdf, em_pdf)
+        L_hit = emitters.eval_hit(scene, si_next, config)
+        L_env = emitters.eval_env(scene, bounce_d, si.wavelengths, config)
+        L = jnp.where(si_next.valid[..., None], L_hit, L_env)
+        result = result + jnp.where(active[..., None],
+                                    throughput * L * w_bsdf[..., None], 0.0)
+
+        # ------------------------------------------------------------------
+        # Russian roulette (path.cpp: after rr_depth, q capped at 0.95)
+        # ------------------------------------------------------------------
+        if depth + 1 >= config.rr_depth and depth + 1 < config.max_depth:
+            q = jnp.minimum(jnp.max(throughput, axis=-1) * bs.eta * bs.eta, 0.95)
+            u_rr, sampler = sampler.next_1d()
+            rr_alive = u_rr < q
+            throughput = throughput / jnp.maximum(q, 1e-8)[..., None]
+            active = active & rr_alive
+
+        active = active & si_next.valid
+        si = si_next
+        prev_ray_d = bounce_d
+
+    return result, sampler
+
+
+def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One jitted pass: (spp_per_pass x H x W) lanes -> (H, W, C) + weights."""
+    H, W = config.height, config.width
+    sppc = config.spp_per_pass
+    n = sppc * H * W
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    sampler = Sampler.seed(seed, lane_idx=lane)
+
+    pix = jnp.arange(n, dtype=jnp.int32) % (H * W)
+    x = (pix % W).astype(jnp.float32)
+    y = (pix // W).astype(jnp.float32)
+    jitter, sampler = sampler.next_2d()
+    uv = sensors.film_uv(x, y, jitter, W, H)
+
+    if config.color_mode == "spectral":
+        u_wl, sampler = sampler.next_1d()
+        wl, wl_pdf = sp.sample_hero_wavelengths(u_wl)
+    else:
+        wl = jnp.zeros((n, 0), jnp.float32)
+        wl_pdf = None
+
+    ray = sensors.perspective_ray(scene, uv, wavelengths=wl)
+    spec, sampler = sample_path(scene, ray, sampler, config)
+
+    if config.color_mode == "spectral":
+        rgb = sp.spectrum_to_srgb(spec, wl, wl_pdf)
+    else:
+        rgb = spec
+
+    image = jnp.zeros((H, W, config.n_image_channels), jnp.float32)
+    wsum = jnp.zeros((H, W) if config.rfilter != "box" else (), jnp.float32)
+    image, wsum = film_mod.accumulate_pass(image, wsum, rgb, jitter, config)
+    return image, wsum
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _render_pass_jit(scene, config, seed):
+    return render_pass(scene, config, seed)
+
+
+def render(scene, config: RenderConfig, seed: int = None) -> jnp.ndarray:
+    """SamplingIntegrator::render — chunk spp into jitted passes."""
+    if seed is None:
+        seed = config.seed
+    sppc = min(config.spp_per_pass, config.spp)
+    config = config.replace(spp_per_pass=sppc)
+    n_passes = (config.spp + sppc - 1) // sppc
+    image = None
+    wsum = None
+    for p in range(n_passes):
+        # pass-decorrelated seeding: lane streams reseeded per pass
+        img_p, w_p = _render_pass_jit(
+            scene, config, jnp.uint32((seed * 0x9E3779B1 + p) & 0xFFFFFFFF))
+        image = img_p if image is None else image + img_p
+        wsum = w_p if wsum is None else wsum + w_p
+    return film_mod.develop(image, wsum)

@@ -1,0 +1,176 @@
+"""Host-side BVH construction (numpy) with a threaded, stackless layout.
+
+TPU-native replacement for mitsuba2's ShapeKDTree (include/mitsuba/render/
+kdtree.h: SAH min-max binning builder) and its Embree/OptiX acceleration
+bridges. Per SURVEY.md §7 the accel changes representation entirely: we
+build a binned-SAH BVH2 on the host and flatten it in DFS order with
+*miss links* ("skip links"), so device traversal needs no per-lane stack:
+
+    node = 0
+    while node != -1:
+        leaf?  intersect its <= LEAF_K prims; node = miss[node]
+        inner? node = aabb_hit ? node + 1 : miss[node]
+
+This trades ordered (near-child-first) traversal for branch-free uniform
+control flow — the right trade on a VPU where all lanes step in lockstep.
+A C++ builder (native/bvh_builder.cpp) accelerates construction for large
+meshes; this numpy implementation is the reference and fallback.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+LEAF_K = 4        # max prims per leaf (traversal always tests LEAF_K slots)
+N_BINS = 16       # SAH bins per axis
+
+
+@dataclasses.dataclass
+class BVH:
+    bounds_min: np.ndarray   # (N, 3) f32
+    bounds_max: np.ndarray   # (N, 3) f32
+    leaf_start: np.ndarray   # (N,) i32; -1 for inner nodes
+    leaf_count: np.ndarray   # (N,) i32; 0 for inner nodes
+    miss: np.ndarray         # (N,) i32; -1 = exit traversal
+    prim_order: np.ndarray   # (P,) i32 permutation: new prim i = old prim_order[i]
+
+
+def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray) -> BVH:
+    """Binned-SAH BVH2 over primitive AABBs, flattened with miss links."""
+    P = prim_bb_min.shape[0]
+    assert P > 0
+    centroids = 0.5 * (prim_bb_min + prim_bb_max)
+
+    # --- recursive build into a temporary node list -------------------------
+    nodes = []  # each: dict(bb_min, bb_max, left, right, start, count)
+
+    def make_leaf(idxs):
+        nodes.append(dict(
+            bb_min=prim_bb_min[idxs].min(0), bb_max=prim_bb_max[idxs].max(0),
+            left=-1, right=-1, idxs=idxs))
+        return len(nodes) - 1
+
+    def sah_split(idxs):
+        """Return (axis, threshold-mask) or None for leaf."""
+        if len(idxs) <= LEAF_K:
+            return None
+        c = centroids[idxs]
+        ext = c.max(0) - c.min(0)
+        axis = int(np.argmax(ext))
+        if ext[axis] <= 1e-12:
+            return None  # all centroids coincide
+        # Binned SAH
+        lo = c[:, axis].min()
+        scale = N_BINS * (1.0 - 1e-6) / max(ext[axis], 1e-30)
+        bins = np.minimum(((c[:, axis] - lo) * scale).astype(np.int64), N_BINS - 1)
+        # per-bin counts and bounds
+        counts = np.bincount(bins, minlength=N_BINS)
+        bmin = np.full((N_BINS, 3), np.inf)
+        bmax = np.full((N_BINS, 3), -np.inf)
+        for b in range(N_BINS):
+            sel = bins == b
+            if counts[b]:
+                bmin[b] = prim_bb_min[idxs[sel]].min(0)
+                bmax[b] = prim_bb_max[idxs[sel]].max(0)
+        # sweep for best split
+        def areas(mn, mx):
+            d = np.maximum(mx - mn, 0)
+            return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+        lmin = np.minimum.accumulate(bmin, 0)
+        lmax = np.maximum.accumulate(bmax, 0)
+        rmin = np.minimum.accumulate(bmin[::-1], 0)[::-1]
+        rmax = np.maximum.accumulate(bmax[::-1], 0)[::-1]
+        lcnt = np.cumsum(counts)
+        rcnt = np.cumsum(counts[::-1])[::-1]
+        cost = np.full(N_BINS - 1, np.inf)
+        for s in range(N_BINS - 1):
+            if lcnt[s] == 0 or rcnt[s + 1] == 0:
+                continue
+            cost[s] = areas(lmin[s:s+1], lmax[s:s+1])[0] * lcnt[s] + \
+                areas(rmin[s+1:s+2], rmax[s+1:s+2])[0] * rcnt[s + 1]
+        best = int(np.argmin(cost))
+        if not np.isfinite(cost[best]):
+            return None
+        mask = bins <= best
+        if mask.all() or not mask.any():
+            # degenerate; median fallback
+            order = np.argsort(c[:, axis], kind="stable")
+            mask = np.zeros(len(idxs), bool)
+            mask[order[: len(idxs) // 2]] = True
+        return mask
+
+    def build(idxs):
+        split = sah_split(idxs)
+        if split is None and len(idxs) > LEAF_K:
+            # forced split into LEAF_K chunks via median
+            c = centroids[idxs]
+            axis = int(np.argmax(c.max(0) - c.min(0)))
+            order = np.argsort(c[:, axis], kind="stable")
+            split = np.zeros(len(idxs), bool)
+            split[order[: len(idxs) // 2]] = True
+        if split is None:
+            return make_leaf(idxs)
+        me = len(nodes)
+        nodes.append(dict(bb_min=prim_bb_min[idxs].min(0),
+                          bb_max=prim_bb_max[idxs].max(0),
+                          left=-1, right=-1, idxs=None))
+        left = build(idxs[split])
+        right = build(idxs[~split])
+        nodes[me]["left"] = left
+        nodes[me]["right"] = right
+        return me
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000 + 64 * int(np.log2(P + 1))))
+    root = build(np.arange(P, dtype=np.int64))
+    sys.setrecursionlimit(old_limit)
+    assert root == 0
+
+    # --- flatten to DFS order with miss links -------------------------------
+    # Two passes: DFS assigns positions + subtree sizes; then
+    # miss[i] = i + subtree_size[i] (the node visited after skipping i's
+    # subtree), or -1 past the end.
+    n = len(nodes)
+    order = np.empty(n, np.int64)          # dfs position -> temp index
+    new_index = np.empty(n, np.int64)      # temp index -> dfs position
+    prim_order = []
+    leaf_start = np.full(n, -1, np.int64)
+    leaf_count = np.zeros(n, np.int64)
+    pos = 0
+    subtree = np.zeros(n, np.int64)
+
+    def dfs2(tmp_idx):
+        nonlocal pos
+        my_pos = pos
+        new_index[tmp_idx] = my_pos
+        order[my_pos] = tmp_idx
+        pos += 1
+        node = nodes[tmp_idx]
+        if node["left"] == -1:
+            leaf_start[my_pos] = len(prim_order)
+            leaf_count[my_pos] = len(node["idxs"])
+            prim_order.extend(node["idxs"].tolist())
+            subtree[my_pos] = 1
+        else:
+            dfs2(node["left"])
+            dfs2(node["right"])
+            subtree[my_pos] = pos - my_pos
+
+    sys.setrecursionlimit(max(old_limit, 10000 + 64 * int(np.log2(P + 1))))
+    dfs2(root)
+    sys.setrecursionlimit(old_limit)
+
+    # miss[i] = i + subtree[i] if that's within bounds else -1
+    nxt = np.arange(n, dtype=np.int64) + subtree
+    miss = np.where(nxt < n, nxt, -1)
+
+    bb_min = np.stack([nodes[order[i]]["bb_min"] for i in range(n)]).astype(np.float32)
+    bb_max = np.stack([nodes[order[i]]["bb_max"] for i in range(n)]).astype(np.float32)
+
+    return BVH(bounds_min=bb_min, bounds_max=bb_max,
+               leaf_start=leaf_start.astype(np.int32),
+               leaf_count=leaf_count.astype(np.int32),
+               miss=miss.astype(np.int32),
+               prim_order=np.asarray(prim_order, np.int32))

@@ -1,0 +1,87 @@
+"""Built-in test scenes (host constructors).
+
+The Cornell box mirrors the classic scene used by the reference's tests and
+BASELINE.json configs (resources/data/scenes/cbox upstream): white walls,
+red left / green right, area light under the ceiling, two rotated boxes.
+Built procedurally (the reference loads OBJ; geometry is equivalent).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.geometry import Transform4
+from . import shapes
+from .scene import SceneData, build_scene
+
+# Classic Cornell albedos / radiance (Cornell box data, public measurements)
+WHITE = [0.730, 0.735, 0.729]
+RED = [0.611, 0.0555, 0.062]
+GREEN = [0.117, 0.449, 0.115]
+LIGHT = [18.4, 15.6, 8.0]
+
+
+def _quad(p00, p10, p11, p01, bsdf=None, emitter=None, id=""):
+    """Two-triangle quad; normal follows CCW winding of (p00,p10,p11,p01)."""
+    v = np.asarray([p00, p10, p11, p01], np.float32)
+    f = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return shapes.mesh(v, f, uvs=uv, bsdf=bsdf, emitter=emitter, id=id)
+
+
+def cornell_box(light_radiance=LIGHT, boxes: bool = True) -> SceneData:
+    """Unit Cornell box in [0,1]^3; camera on -z looking +z."""
+    white = {"type": "diffuse", "reflectance": WHITE}
+    red = {"type": "diffuse", "reflectance": RED}
+    green = {"type": "diffuse", "reflectance": GREEN}
+
+    s = []
+    # floor y=0 (normal +y): CCW seen from above
+    s.append(_quad([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0], bsdf=white, id="floor"))
+    # ceiling y=1 (normal -y)
+    s.append(_quad([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1], bsdf=white, id="ceiling"))
+    # back wall z=1 (normal -z)
+    s.append(_quad([0, 0, 1], [0, 1, 1], [1, 1, 1], [1, 0, 1], bsdf=white, id="back"))
+    # viewer-left wall x=1 (normal -x) — red  (camera faces +z, up +y, so
+    # the viewer's left is +x; classic Cornell shows red on the left)
+    s.append(_quad([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0], bsdf=red, id="left"))
+    # viewer-right wall x=0 (normal +x) — green
+    s.append(_quad([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1], bsdf=green, id="right"))
+    # area light just under the ceiling (normal -y), 0.25 x 0.21
+    lx0, lx1 = 0.37, 0.63
+    lz0, lz1 = 0.40, 0.61
+    ly = 0.9995
+    s.append(_quad([lx0, ly, lz0], [lx1, ly, lz0], [lx1, ly, lz1], [lx0, ly, lz1],
+                   bsdf=white, emitter={"type": "area", "radiance": light_radiance},
+                   id="light"))
+    if boxes:
+        # tall box: 0.30 x 0.60 x 0.30, rotated +17 deg about y, left/back
+        t_tall = (Transform4.translate([0.66, 0.30, 0.65]) @
+                  Transform4.rotate([0, 1, 0], 17.0) @
+                  Transform4.scale([0.15, 0.30, 0.15]))
+        s.append(shapes.cube(bsdf=white, id="tall_box")
+                 .transformed(np.asarray(t_tall.matrix)))
+        # short box: 0.30 cube, rotated -18 deg, right/front
+        t_short = (Transform4.translate([0.33, 0.15, 0.35]) @
+                   Transform4.rotate([0, 1, 0], -18.0) @
+                   Transform4.scale([0.15, 0.15, 0.15]))
+        s.append(shapes.cube(bsdf=white, id="short_box")
+                 .transformed(np.asarray(t_short.matrix)))
+
+    cam = Transform4.look_at(origin=[0.5, 0.5, -1.39], target=[0.5, 0.5, 0.5],
+                             up=[0, 1, 0])
+    sensor = {"type": "perspective", "to_world": np.asarray(cam.matrix),
+              "fov": 39.5}
+    return build_scene(s, sensor)
+
+
+def furnace(albedo=0.8, radiance=1.0) -> SceneData:
+    """A diffuse sphere in a constant environment — the analytic furnace
+    test: with max_depth=D the sphere radiance is L * sum_{k=1..D-1} rho^k
+    ... converging to L * rho/(1-rho); with NEE-counted depth-2 it is
+    exactly L * rho (+ L for escaped rays)."""
+    s = [shapes.sphere(center=(0, 0, 0), radius=1.0,
+                       bsdf={"type": "diffuse", "reflectance": [albedo] * 3})]
+    cam = Transform4.look_at(origin=[0, 0, -4], target=[0, 0, 0], up=[0, 1, 0])
+    sensor = {"type": "perspective", "to_world": np.asarray(cam.matrix), "fov": 39.0}
+    return build_scene(s, sensor,
+                       emitters=[{"type": "constant", "radiance": [radiance] * 3}])

@@ -1,0 +1,325 @@
+"""Scene: a frozen pytree of SoA device arrays + host build pipeline.
+
+TPU-native rebuild of mitsuba2's Scene/Shape/Mesh layer
+(src/librender/scene.cpp, shape.cpp, mesh.cpp). The reference holds a graph
+of refcounted C++ objects and an OptiX/kd-tree accel; here the entire scene
+is ONE immutable pytree of arrays built on the host:
+
+- packed primitive soup in BVH order (triangles + analytic spheres)
+- flattened threaded BVH (see scene/bvh.py)
+- material table (see render/bsdf.py), emitter table, camera parameters
+- per-emitter area-CDFs over their prims for NEE sampling
+
+`traverse()`-style differentiable parameters are simply leaves of this
+pytree (diff/params.py); `parameters_changed()` is a functional rebuild of
+the derived arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import math as m
+from ..core.geometry import Frame, Ray, normalize, dot
+from ..render import bsdf as bsdf_mod
+from ..render import emitters as emitters_mod
+from ..render.interaction import PreliminaryIntersection, SurfaceInteraction
+from . import bvh as bvh_mod
+from .shapes import MeshData
+
+PRIM_TRI = 0
+PRIM_SPHERE = 1
+
+
+@struct.dataclass
+class SceneData:
+    # --- packed prims (BVH order) -------------------------------------------
+    prim_p0: jnp.ndarray    # (P, 3) tri vertex 0 / sphere center
+    prim_e1: jnp.ndarray    # (P, 3) tri edge 1 / (radius, 0, 0)
+    prim_e2: jnp.ndarray    # (P, 3) tri edge 2 / unused
+    prim_n0: jnp.ndarray    # (P, 3) per-corner shading normals
+    prim_n1: jnp.ndarray
+    prim_n2: jnp.ndarray
+    prim_uv0: jnp.ndarray   # (P, 2)
+    prim_uv1: jnp.ndarray
+    prim_uv2: jnp.ndarray
+    prim_type: jnp.ndarray  # (P,) i32
+    prim_shape: jnp.ndarray  # (P,) i32
+    prim_area: jnp.ndarray  # (P,)
+    # --- BVH -----------------------------------------------------------------
+    bvh_min: jnp.ndarray        # (B, 3)
+    bvh_max: jnp.ndarray        # (B, 3)
+    bvh_leaf_start: jnp.ndarray  # (B,) i32, -1 = inner
+    bvh_leaf_count: jnp.ndarray  # (B,) i32
+    bvh_miss: jnp.ndarray        # (B,) i32
+    # --- shapes ---------------------------------------------------------------
+    shape_mat: jnp.ndarray      # (S,) i32
+    shape_emitter: jnp.ndarray  # (S,) i32, -1 = none
+    # --- materials -------------------------------------------------------------
+    mat_type: jnp.ndarray   # (M,) i32
+    mat_flags: jnp.ndarray  # (M,) i32
+    mat_data: jnp.ndarray   # (M, MAT_W)
+    # --- emitters ---------------------------------------------------------------
+    emitter_type: jnp.ndarray      # (E,) i32
+    emitter_data: jnp.ndarray      # (E, EMIT_W)
+    emitter_shape: jnp.ndarray     # (E,) i32, -1 for non-area
+    emitter_prims: jnp.ndarray     # (E, Fmax) i32, padded -1
+    emitter_prim_cdf: jnp.ndarray  # (E, Fmax) area cumsum (unnormalized)
+    emitter_area: jnp.ndarray      # (E,) total area
+    # --- sensor -------------------------------------------------------------------
+    cam_to_world: jnp.ndarray  # (4, 4)
+    cam_fov_x: jnp.ndarray     # () degrees
+    # --- static metadata (not traced) ----------------------------------------------
+    mat_families: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    n_emitters: int = struct.field(pytree_node=False, default=0)
+    env_emitter: int = struct.field(pytree_node=False, default=-1)
+    n_shapes: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def n_prims(self) -> int:
+        return self.prim_p0.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Host build (xml/dict loader -> MeshData list -> SceneData)
+# ---------------------------------------------------------------------------
+
+def build_scene(shapes: List[MeshData], sensor: dict,
+                emitters: List[dict] = ()) -> SceneData:
+    """Pack shapes + sensor (+ shapeless emitters like `constant`) into a
+    frozen SceneData. Mirrors Scene::Scene(Properties) + accel build
+    (scene.cpp), emitter set_scene hooks, and area-CDF precomputation."""
+    # --- materials (dedupe identical descriptors) ---------------------------
+    mat_rows, mat_types, mat_flags_list, mat_key2idx = [], [], [], {}
+
+    def add_material(desc) -> int:
+        desc = desc or {"type": "diffuse"}
+        key = repr(sorted(desc.items(), key=lambda kv: kv[0]))
+        if key not in mat_key2idx:
+            fid, flags, row = bsdf_mod.pack_bsdf(desc)
+            mat_key2idx[key] = len(mat_rows)
+            mat_rows.append(row)
+            mat_types.append(fid)
+            mat_flags_list.append(flags)
+        return mat_key2idx[key]
+
+    # --- collect prims -------------------------------------------------------
+    p0s, e1s, e2s, n0s, n1s, n2s, uv0s, uv1s, uv2s = ([] for _ in range(9))
+    ptypes, pshapes, pareas = [], [], []
+    shape_mat, shape_emitter = [], []
+    emitter_descs: List[Tuple[dict, int]] = []   # (desc, shape_id or -1)
+    for e_desc in emitters:
+        emitter_descs.append((e_desc, -1))
+
+    for s_idx, sh in enumerate(shapes):
+        shape_mat.append(add_material(sh.bsdf))
+        if sh.emitter is not None:
+            shape_emitter.append(len(emitter_descs))
+            emitter_descs.append((sh.emitter, s_idx))
+        else:
+            shape_emitter.append(-1)
+
+        if sh.sphere_center is not None:
+            c = np.asarray(sh.sphere_center, np.float32)
+            r = float(sh.sphere_radius)
+            p0s.append(c[None])
+            e1s.append(np.array([[r, 0, 0]], np.float32))
+            e2s.append(np.zeros((1, 3), np.float32))
+            z3, z2 = np.zeros((1, 3), np.float32), np.zeros((1, 2), np.float32)
+            n0s.append(z3); n1s.append(z3); n2s.append(z3)
+            uv0s.append(z2); uv1s.append(z2); uv2s.append(z2)
+            ptypes.append(np.array([PRIM_SPHERE], np.int32))
+            pshapes.append(np.array([s_idx], np.int32))
+            pareas.append(np.array([4.0 * np.pi * r * r], np.float32))
+            continue
+
+        v, f = sh.vertices, sh.faces
+        if f.shape[0] == 0:
+            continue
+        a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        e1, e2 = b - a, c - a
+        face_n = np.cross(e1, e2)
+        face_area = 0.5 * np.linalg.norm(face_n, axis=-1)
+        face_n = face_n / np.maximum(np.linalg.norm(face_n, axis=-1, keepdims=True), 1e-20)
+        if sh.normals is not None:
+            nn0, nn1, nn2 = (sh.normals[f[:, k]] for k in range(3))
+        else:
+            nn0 = nn1 = nn2 = face_n.astype(np.float32)
+        if sh.uvs is not None:
+            u0, u1, u2 = (sh.uvs[f[:, k]] for k in range(3))
+        else:
+            u0 = u1 = u2 = np.zeros((f.shape[0], 2), np.float32)
+        p0s.append(a.astype(np.float32))
+        e1s.append(e1.astype(np.float32))
+        e2s.append(e2.astype(np.float32))
+        n0s.append(nn0.astype(np.float32)); n1s.append(nn1.astype(np.float32))
+        n2s.append(nn2.astype(np.float32))
+        uv0s.append(u0.astype(np.float32)); uv1s.append(u1.astype(np.float32))
+        uv2s.append(u2.astype(np.float32))
+        ptypes.append(np.full(f.shape[0], PRIM_TRI, np.int32))
+        pshapes.append(np.full(f.shape[0], s_idx, np.int32))
+        pareas.append(face_area.astype(np.float32))
+
+    p0 = np.concatenate(p0s); e1 = np.concatenate(e1s); e2 = np.concatenate(e2s)
+    n0 = np.concatenate(n0s); n1 = np.concatenate(n1s); n2 = np.concatenate(n2s)
+    uv0 = np.concatenate(uv0s); uv1 = np.concatenate(uv1s); uv2 = np.concatenate(uv2s)
+    ptype = np.concatenate(ptypes); pshape = np.concatenate(pshapes)
+    parea = np.concatenate(pareas)
+
+    # --- prim AABBs + BVH -----------------------------------------------------
+    is_sph = ptype == PRIM_SPHERE
+    tri_min = np.minimum(np.minimum(p0, p0 + e1), p0 + e2)
+    tri_max = np.maximum(np.maximum(p0, p0 + e1), p0 + e2)
+    r = e1[:, 0:1]
+    bb_min = np.where(is_sph[:, None], p0 - r, tri_min)
+    bb_max = np.where(is_sph[:, None], p0 + r, tri_max)
+    tree = bvh_mod.build_bvh(bb_min, bb_max)
+    perm = tree.prim_order
+    p0, e1, e2 = p0[perm], e1[perm], e2[perm]
+    n0, n1, n2 = n0[perm], n1[perm], n2[perm]
+    uv0, uv1, uv2 = uv0[perm], uv1[perm], uv2[perm]
+    ptype, pshape, parea = ptype[perm], pshape[perm], parea[perm]
+
+    # --- emitter tables ----------------------------------------------------------
+    E = max(len(emitter_descs), 1)
+    emitter_rows = np.zeros((E, emitters_mod.EMIT_W), np.float32)
+    emitter_types = np.zeros(E, np.int32)
+    emitter_shapes = np.full(E, -1, np.int32)
+    env_emitter = -1
+    shape_of_emitter = {}
+    for e_idx, (desc, s_idx) in enumerate(emitter_descs):
+        etype, row = emitters_mod.pack_emitter(desc)
+        emitter_types[e_idx] = etype
+        emitter_rows[e_idx] = row
+        emitter_shapes[e_idx] = s_idx
+        shape_of_emitter[e_idx] = s_idx
+        if etype in (emitters_mod.CONSTANT, emitters_mod.ENVMAP):
+            env_emitter = e_idx
+
+    # per-emitter prim CDFs (area-weighted NEE sampling over shape prims)
+    Fmax = 1
+    prim_lists = []
+    for e_idx in range(E):
+        s_idx = shape_of_emitter.get(e_idx, -1)
+        if s_idx >= 0:
+            prims = np.nonzero(pshape == s_idx)[0].astype(np.int32)
+        else:
+            prims = np.zeros(0, np.int32)
+        prim_lists.append(prims)
+        Fmax = max(Fmax, len(prims))
+    emitter_prims = np.full((E, Fmax), -1, np.int32)
+    emitter_cdf = np.zeros((E, Fmax), np.float32)
+    emitter_area = np.zeros(E, np.float32)
+    for e_idx, prims in enumerate(prim_lists):
+        if len(prims) == 0:
+            continue
+        emitter_prims[e_idx, :len(prims)] = prims
+        cs = np.cumsum(parea[prims].astype(np.float64))
+        emitter_cdf[e_idx, :len(prims)] = cs
+        emitter_cdf[e_idx, len(prims):] = cs[-1]
+        emitter_area[e_idx] = cs[-1]
+
+    # --- sensor -------------------------------------------------------------------
+    cam_to_world = np.asarray(sensor["to_world"], np.float32).reshape(4, 4)
+    fov_x = float(sensor.get("fov", 45.0))
+
+    dev = jnp.asarray
+    return SceneData(
+        prim_p0=dev(p0), prim_e1=dev(e1), prim_e2=dev(e2),
+        prim_n0=dev(n0), prim_n1=dev(n1), prim_n2=dev(n2),
+        prim_uv0=dev(uv0), prim_uv1=dev(uv1), prim_uv2=dev(uv2),
+        prim_type=dev(ptype), prim_shape=dev(pshape), prim_area=dev(parea),
+        bvh_min=dev(tree.bounds_min), bvh_max=dev(tree.bounds_max),
+        bvh_leaf_start=dev(tree.leaf_start), bvh_leaf_count=dev(tree.leaf_count),
+        bvh_miss=dev(tree.miss),
+        shape_mat=dev(np.asarray(shape_mat, np.int32)),
+        shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
+        mat_type=dev(np.asarray(mat_types, np.int32)),
+        mat_flags=dev(np.asarray(mat_flags_list, np.int32)),
+        mat_data=dev(np.stack(mat_rows)),
+        emitter_type=dev(emitter_types), emitter_data=dev(emitter_rows),
+        emitter_shape=dev(emitter_shapes), emitter_prims=dev(emitter_prims),
+        emitter_prim_cdf=dev(emitter_cdf), emitter_area=dev(emitter_area),
+        cam_to_world=dev(cam_to_world), cam_fov_x=jnp.float32(fov_x),
+        mat_families=tuple(sorted(set(mat_types))),
+        n_emitters=len(emitter_descs),
+        env_emitter=env_emitter,
+        n_shapes=len(shapes))
+
+
+# ---------------------------------------------------------------------------
+# Device: two-phase intersection (Shape::ray_intersect ->
+# compute_surface_interaction, shape.cpp/mesh.cpp)
+# ---------------------------------------------------------------------------
+
+def compute_surface_interaction(scene: SceneData, ray: Ray,
+                                pi: PreliminaryIntersection) -> SurfaceInteraction:
+    idx = jnp.maximum(pi.prim_index, 0)
+    valid = pi.valid & (pi.prim_index >= 0)
+    ptype = scene.prim_type[idx]
+    p0 = scene.prim_p0[idx]
+    e1 = scene.prim_e1[idx]
+    e2 = scene.prim_e2[idx]
+    u = pi.prim_uv[..., 0]
+    v = pi.prim_uv[..., 1]
+    w = 1.0 - u - v
+
+    # Triangle: position from barycentrics (better precision than o + t d)
+    p_tri = p0 + e1 * u[..., None] + e2 * v[..., None]
+    ng_tri = normalize(jnp.cross(e1, e2))
+    ns_tri = normalize(scene.prim_n0[idx] * w[..., None] +
+                       scene.prim_n1[idx] * u[..., None] +
+                       scene.prim_n2[idx] * v[..., None])
+    uv_tri = (scene.prim_uv0[idx] * w[..., None] +
+              scene.prim_uv1[idx] * u[..., None] +
+              scene.prim_uv2[idx] * v[..., None])
+
+    # Sphere
+    p_ray = ray.o + ray.d * pi.t[..., None]
+    r_sph = jnp.maximum(e1[..., 0:1], 1e-20)
+    ng_sph = (p_ray - p0) / r_sph
+    ng_sph = normalize(ng_sph)
+    p_sph = p0 + ng_sph * r_sph  # re-projected for precision (sphere.cpp)
+    theta = m.safe_acos(ng_sph[..., 2])
+    phi = jnp.arctan2(ng_sph[..., 1], ng_sph[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    uv_sph = jnp.stack([phi * (0.5 / jnp.pi), theta / jnp.pi], axis=-1)
+
+    is_tri = (ptype == PRIM_TRI)[..., None]
+    p = jnp.where(is_tri, p_tri, p_sph)
+    ng = jnp.where(is_tri, ng_tri, ng_sph)
+    ns = jnp.where(is_tri, ns_tri, ng_sph)
+    uv = jnp.where(is_tri, uv_tri, uv_sph)
+
+    sh_frame = Frame.from_n(ns)
+    wi_world = -ray.d
+    si = SurfaceInteraction(
+        valid=valid,
+        t=jnp.where(valid, pi.t, jnp.inf),
+        p=p, n=ng, sh_frame=sh_frame, uv=uv,
+        wi=sh_frame.to_local(wi_world),
+        shape=jnp.where(valid, scene.prim_shape[idx], -1),
+        prim_index=jnp.where(valid, idx, -1),
+        wavelengths=ray.wavelengths)
+    return si
+
+
+def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
+    """Scene::ray_intersect — full wavefront closest hit + shading record."""
+    from ..kernels import traverse_jnp
+    t, prim, u, v = traverse_jnp.ray_intersect_preliminary(
+        scene, ray.o, ray.d, ray.maxt)
+    pi = PreliminaryIntersection(t=t, prim_index=prim,
+                                 prim_uv=jnp.stack([u, v], axis=-1))
+    return compute_surface_interaction(scene, ray, pi)
+
+
+def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
+    """Scene::ray_test — occlusion query."""
+    from ..kernels import traverse_jnp
+    return traverse_jnp.ray_test(scene, ray.o, ray.d, ray.maxt)
