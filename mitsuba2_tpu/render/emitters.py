@@ -116,7 +116,21 @@ def sample_direction(scene, ref_p, wavelengths, u1, u2, config
 
     ds, val = zero_ds, jnp.zeros((N, C), jnp.float32)
 
-    # --- area ----------------------------------------------------------------
+    # Static gating: only emit code for emitter kinds present in the scene
+    if AREA in scene.emitter_kinds:
+        ds, val = _sample_area(scene, ref_p, wavelengths, e_idx, etype, row,
+                               scaled, u2, pick_pdf, ds, val, config)
+    if POINT in scene.emitter_kinds:
+        ds, val = _sample_point(scene, ref_p, wavelengths, e_idx, etype, row,
+                                pick_pdf, ds, val, config)
+    if CONSTANT in scene.emitter_kinds:
+        ds, val = _sample_constant(scene, ref_p, wavelengths, e_idx, etype, row,
+                                   u2, pick_pdf, ds, val, config)
+    return ds, val
+
+
+def _sample_area(scene, ref_p, wavelengths, e_idx, etype, row, scaled, u2,
+                 pick_pdf, ds, val, config):
     cdf = scene.emitter_prim_cdf[e_idx]            # (N, Fmax)
     total = scene.emitter_area[e_idx]              # (N,)
     # sample prim by area
@@ -129,16 +143,18 @@ def sample_direction(scene, ref_p, wavelengths, u1, u2, config
     p0 = scene.prim_p0[prim_c]
     e1 = scene.prim_e1[prim_c]
     e2 = scene.prim_e2[prim_c]
-    is_sph = scene.prim_type[prim_c] == _PRIM_SPHERE
     # triangle position
     bc = warp.square_to_uniform_triangle(u2)
     p_tri = p0 + e1 * bc[..., 0:1] + e2 * bc[..., 1:2]
     n_tri = normalize(jnp.cross(e1, e2))
-    # sphere position
-    dir_s = warp.square_to_uniform_sphere(u2)
-    p_sph = p0 + dir_s * e1[..., 0:1]
-    p_e = jnp.where(is_sph[..., None], p_sph, p_tri)
-    n_e = jnp.where(is_sph[..., None], dir_s, n_tri)
+    if scene.has_spheres:
+        is_sph = scene.prim_type[prim_c] == _PRIM_SPHERE
+        dir_s = warp.square_to_uniform_sphere(u2)
+        p_sph = p0 + dir_s * e1[..., 0:1]
+        p_e = jnp.where(is_sph[..., None], p_sph, p_tri)
+        n_e = jnp.where(is_sph[..., None], dir_s, n_tri)
+    else:
+        p_e, n_e = p_tri, n_tri
     d_vec = p_e - ref_p
     dist2 = jnp.sum(d_vec * d_vec, axis=-1)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
@@ -158,30 +174,36 @@ def sample_direction(scene, ref_p, wavelengths, u1, u2, config
         delta=ds.delta,
         emitter=jnp.where(area_ok, e_idx, ds.emitter))
     val = jnp.where(area_ok[..., None], radiance, val)
+    return ds, val
 
-    # --- point (delta position) ----------------------------------------------
+
+def _sample_point(scene, ref_p, wavelengths, e_idx, etype, row, pick_pdf,
+                  ds, val, config):
+    # point (delta position), emitters/point.cpp
     is_point = etype == POINT
-    if True:  # cheap; evaluated masked
-        p_l = row[..., 8:11]
-        d_vec_p = p_l - ref_p
-        dist2_p = jnp.sum(d_vec_p * d_vec_p, axis=-1)
-        dist_p = jnp.sqrt(jnp.maximum(dist2_p, 1e-30))
-        d_unit_p = d_vec_p / dist_p[..., None]
-        intensity = eval_spectrum_slot(row[..., 0:SLOT_W], wavelengths,
-                                       config.color_mode)
-        val_p = intensity / jnp.maximum(dist2_p[..., None], 1e-20)
-        ds = DirectionSample(
-            p=jnp.where(is_point[..., None], p_l, ds.p),
-            n=ds.n, uv=ds.uv,
-            d=jnp.where(is_point[..., None], d_unit_p, ds.d),
-            dist=jnp.where(is_point, dist_p, ds.dist),
-            pdf=jnp.where(is_point, pick_pdf, ds.pdf),
-            delta=jnp.where(is_point, True, ds.delta),
-            emitter=jnp.where(is_point, e_idx, ds.emitter))
-        # fold the pick pdf into the value so value/pdf stays L/dist^2 * E
-        val = jnp.where(is_point[..., None], val_p, val)
+    p_l = row[..., 8:11]
+    d_vec_p = p_l - ref_p
+    dist2_p = jnp.sum(d_vec_p * d_vec_p, axis=-1)
+    dist_p = jnp.sqrt(jnp.maximum(dist2_p, 1e-30))
+    d_unit_p = d_vec_p / dist_p[..., None]
+    intensity = eval_spectrum_slot(row[..., 0:SLOT_W], wavelengths,
+                                   config.color_mode)
+    val_p = intensity / jnp.maximum(dist2_p[..., None], 1e-20)
+    ds = DirectionSample(
+        p=jnp.where(is_point[..., None], p_l, ds.p),
+        n=ds.n, uv=ds.uv,
+        d=jnp.where(is_point[..., None], d_unit_p, ds.d),
+        dist=jnp.where(is_point, dist_p, ds.dist),
+        pdf=jnp.where(is_point, pick_pdf, ds.pdf),
+        delta=jnp.where(is_point, True, ds.delta),
+        emitter=jnp.where(is_point, e_idx, ds.emitter))
+    val = jnp.where(is_point[..., None], val_p, val)
+    return ds, val
 
-    # --- constant env ----------------------------------------------------------
+
+def _sample_constant(scene, ref_p, wavelengths, e_idx, etype, row, u2,
+                     pick_pdf, ds, val, config):
+    # constant environment, emitters/constant.cpp
     is_const = etype == CONSTANT
     if scene.env_emitter >= 0:
         d_c = warp.square_to_uniform_sphere(u2)
@@ -196,7 +218,6 @@ def sample_direction(scene, ref_p, wavelengths, u1, u2, config
             delta=ds.delta,
             emitter=jnp.where(is_const, e_idx, ds.emitter))
         val = jnp.where(is_const[..., None], radiance_c, val)
-
     return ds, val
 
 

@@ -79,6 +79,8 @@ class SceneData:
     n_emitters: int = struct.field(pytree_node=False, default=0)
     env_emitter: int = struct.field(pytree_node=False, default=-1)
     n_shapes: int = struct.field(pytree_node=False, default=0)
+    has_spheres: bool = struct.field(pytree_node=False, default=True)
+    emitter_kinds: Tuple[int, ...] = struct.field(pytree_node=False, default=())
 
     @property
     def n_prims(self) -> int:
@@ -249,7 +251,9 @@ def build_scene(shapes: List[MeshData], sensor: dict,
         mat_families=tuple(sorted(set(mat_types))),
         n_emitters=len(emitter_descs),
         env_emitter=env_emitter,
-        n_shapes=len(shapes))
+        n_shapes=len(shapes),
+        has_spheres=bool((ptype == PRIM_SPHERE).any()),
+        emitter_kinds=tuple(sorted(set(emitter_types[:len(emitter_descs)].tolist()))))
 
 
 # ---------------------------------------------------------------------------
@@ -279,22 +283,25 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
               scene.prim_uv1[idx] * u[..., None] +
               scene.prim_uv2[idx] * v[..., None])
 
-    # Sphere
-    p_ray = ray.o + ray.d * pi.t[..., None]
-    r_sph = jnp.maximum(e1[..., 0:1], 1e-20)
-    ng_sph = (p_ray - p0) / r_sph
-    ng_sph = normalize(ng_sph)
-    p_sph = p0 + ng_sph * r_sph  # re-projected for precision (sphere.cpp)
-    theta = m.safe_acos(ng_sph[..., 2])
-    phi = jnp.arctan2(ng_sph[..., 1], ng_sph[..., 0])
-    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
-    uv_sph = jnp.stack([phi * (0.5 / jnp.pi), theta / jnp.pi], axis=-1)
+    if scene.has_spheres:
+        # Sphere
+        p_ray = ray.o + ray.d * pi.t[..., None]
+        r_sph = jnp.maximum(e1[..., 0:1], 1e-20)
+        ng_sph = (p_ray - p0) / r_sph
+        ng_sph = normalize(ng_sph)
+        p_sph = p0 + ng_sph * r_sph  # re-projected for precision (sphere.cpp)
+        theta = m.safe_acos(ng_sph[..., 2])
+        phi = jnp.arctan2(ng_sph[..., 1], ng_sph[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        uv_sph = jnp.stack([phi * (0.5 / jnp.pi), theta / jnp.pi], axis=-1)
 
-    is_tri = (ptype == PRIM_TRI)[..., None]
-    p = jnp.where(is_tri, p_tri, p_sph)
-    ng = jnp.where(is_tri, ng_tri, ng_sph)
-    ns = jnp.where(is_tri, ns_tri, ng_sph)
-    uv = jnp.where(is_tri, uv_tri, uv_sph)
+        is_tri = (ptype == PRIM_TRI)[..., None]
+        p = jnp.where(is_tri, p_tri, p_sph)
+        ng = jnp.where(is_tri, ng_tri, ng_sph)
+        ns = jnp.where(is_tri, ns_tri, ng_sph)
+        uv = jnp.where(is_tri, uv_tri, uv_sph)
+    else:  # static specialization: all-triangle scene
+        p, ng, ns, uv = p_tri, ng_tri, ns_tri, uv_tri
 
     sh_frame = Frame.from_n(ns)
     wi_world = -ray.d
@@ -310,10 +317,16 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
 
 
 def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
-    """Scene::ray_intersect — full wavefront closest hit + shading record."""
-    from ..kernels import traverse_jnp
-    t, prim, u, v = traverse_jnp.ray_intersect_preliminary(
-        scene, ray.o, ray.d, ray.maxt)
+    """Scene::ray_intersect — full wavefront closest hit + shading record.
+
+    Statically picks the intersection backend: gather-free brute force for
+    small scenes, skip-link BVH traversal otherwise (kernels/)."""
+    from ..kernels import brute, traverse_jnp
+    if scene.n_prims <= brute.MAX_BRUTE_PRIMS:
+        t, prim, u, v = brute.ray_intersect_brute(scene, ray.o, ray.d, ray.maxt)
+    else:
+        t, prim, u, v = traverse_jnp.ray_intersect_preliminary(
+            scene, ray.o, ray.d, ray.maxt)
     pi = PreliminaryIntersection(t=t, prim_index=prim,
                                  prim_uv=jnp.stack([u, v], axis=-1))
     return compute_surface_interaction(scene, ray, pi)
@@ -321,5 +334,7 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
 
 def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
     """Scene::ray_test — occlusion query."""
-    from ..kernels import traverse_jnp
+    from ..kernels import brute, traverse_jnp
+    if scene.n_prims <= brute.MAX_BRUTE_PRIMS:
+        return brute.ray_test_brute(scene, ray.o, ray.d, ray.maxt)
     return traverse_jnp.ray_test(scene, ray.o, ray.d, ray.maxt)
