@@ -101,6 +101,10 @@ class ChiSquareTest:
             range=[[b[1, 0], b[1, 1]], [b[0, 0], b[0, 1]]])
         self.histogram = h
         self.n_valid = p.shape[0]
+        # Expected counts scale by the TOTAL number of draws: rejected draws
+        # (zero/invalid outputs) are mass the pdf correctly integrates to < 1
+        # (e.g. BSDF samples that land in the wrong hemisphere).
+        self.n_total = self.sample_count
 
     def tabulate_pdf(self):
         b = self.domain.bounds()
@@ -119,7 +123,7 @@ class ChiSquareTest:
         cell_area = ((b[0, 1] - b[0, 0]) / (nx * ir)) * ((b[1, 1] - b[1, 0]) / (ny * ir))
         # Sum the refinement back into bins
         dens = dens.reshape(ny, ir, nx, ir).sum(axis=(1, 3)) * cell_area
-        self.pdf = dens * self.n_valid
+        self.pdf = dens * self.n_total
 
     def run(self, significance_level: float = 0.01, test_count: int = 1) -> bool:
         if self.histogram is None:

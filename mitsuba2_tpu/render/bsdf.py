@@ -7,20 +7,25 @@ functions over a packed parameter row, and wavefront dispatch is
 masked-evaluate-all over the (static) set of families present in the scene
 — the XLA-friendly equivalent of sorting by material (SURVEY.md §7.1).
 
+Families (mirroring src/bsdfs/): diffuse, conductor, roughconductor,
+dielectric, thindielectric, roughdielectric, plastic, roughplastic, null,
+mask, blendbsdf. `twosided` is a per-material flag applied in the dispatch
+layer (frame flip); mask/blend reference child material rows by index.
+
 Material table layout (SceneData):
     mat_type:  (M,)  i32 family id
     mat_flags: (M,)  i32 BSDFFlags bitmask
-    mat_data:  (M, MAT_W) f32 family-specific packed params; by convention
-               [0:8] / [8:16] / [16:24] are spectrum slots (see spectra.py)
-               and [24:32] scalar params.
+    mat_data:  (M, MAT_W) f32; [0:8]/[8:16]/[16:24] are spectrum slots
+               (see spectra.py), [24:32] scalar params per family.
 
-Conventions follow the reference exactly: directions are in the LOCAL
-shading frame; `wi` points away from the surface; `sample` returns
-(BSDFSample, weight) with weight = f * cos / pdf.
+Conventions follow the reference exactly: directions in the LOCAL shading
+frame; `wi` points away from the surface; `sample(u1, u2)` returns
+(BSDFSample, weight = f * cos / pdf); radiance transport mode (the
+eta^2 radiance-compression factor is applied on refraction).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +34,9 @@ from flax import struct
 from ..core import math as m
 from ..core import warp
 from ..core.geometry import Frame
+from . import fresnel as fr
+from . import ior as ior_mod
+from . import microfacet as mf
 from .spectra import SLOT_W, eval_spectrum_slot, pack_spectrum_slot
 
 MAT_W = 32
@@ -41,11 +49,24 @@ F_GLOSSY_R = 1 << 3
 F_GLOSSY_T = 1 << 4
 F_DELTA_R = 1 << 5
 F_DELTA_T = 1 << 6
+F_TWOSIDED_FLAG = 1 << 16  # dispatch-layer frame flip (bsdfs/twosided.cpp)
 F_SMOOTH = F_DIFFUSE_R | F_DIFFUSE_T | F_GLOSSY_R | F_GLOSSY_T
 F_DELTA = F_DELTA_R | F_DELTA_T
 
 # Family ids
 DIFFUSE = 0
+CONDUCTOR = 1
+ROUGHCONDUCTOR = 2
+DIELECTRIC = 3
+THINDIELECTRIC = 4
+ROUGHDIELECTRIC = 5
+PLASTIC = 6
+ROUGHPLASTIC = 7
+NULL_BSDF = 8
+MASK = 9
+BLEND = 10
+
+_DIST_NAME = {"ggx": mf.GGX, "beckmann": mf.BECKMANN}
 
 
 @struct.dataclass
@@ -57,88 +78,809 @@ class BSDFSample:
     sampled_flags: jnp.ndarray  # (N,) i32
 
 
-# ---------------------------------------------------------------------------
-# diffuse (src/bsdfs/diffuse.cpp) — smooth Lambertian reflection
-# ---------------------------------------------------------------------------
+def _zero_sample(N):
+    return BSDFSample(wo=jnp.zeros((N, 3), jnp.float32),
+                      pdf=jnp.zeros(N, jnp.float32),
+                      eta=jnp.ones(N, jnp.float32),
+                      sampled_flags=jnp.zeros(N, jnp.int32))
+
+
+def _slot(data, i):
+    return data[..., i * SLOT_W:(i + 1) * SLOT_W]
+
+
+def _spec(data, i, si, config):
+    return eval_spectrum_slot(_slot(data, i), si.wavelengths, config.color_mode)
+
+
+def _rgb_slot(rgb_or_desc, illuminant=False) -> np.ndarray:
+    v = rgb_or_desc
+    if isinstance(v, (int, float)):
+        v = [v, v, v]
+    return pack_spectrum_slot(v, illuminant=illuminant)
+
+
+# ===========================================================================
+# diffuse (src/bsdfs/diffuse.cpp)
+# ===========================================================================
 
 class Diffuse:
     id = DIFFUSE
     flags = F_DIFFUSE_R
 
     @staticmethod
-    def pack(props: dict) -> np.ndarray:
+    def pack(props, build_child) -> np.ndarray:
         data = np.zeros(MAT_W, np.float32)
-        data[0:SLOT_W] = pack_spectrum_slot(props.get("reflectance", [0.5, 0.5, 0.5]))
+        data[0:SLOT_W] = _rgb_slot(props.get("reflectance", [0.5, 0.5, 0.5]))
         return data
 
     @staticmethod
-    def sample(data, si, u1, u2, config) -> Tuple[BSDFSample, jnp.ndarray]:
+    def sample(data, si, u1, u2, config):
         cos_i = Frame.cos_theta(si.wi)
         wo = warp.square_to_cosine_hemisphere(u2)
         pdf = warp.square_to_cosine_hemisphere_pdf(wo)
         active = cos_i > 0
-        value = eval_spectrum_slot(data[..., 0:SLOT_W], si.wavelengths, config.color_mode)
-        weight = jnp.where(active[..., None], value, 0.0)
-        bs = BSDFSample(
-            wo=wo,
-            pdf=jnp.where(active, pdf, 0.0),
-            eta=jnp.ones_like(pdf),
-            sampled_flags=jnp.where(active, F_DIFFUSE_R, 0).astype(jnp.int32))
-        return bs, weight
+        value = _spec(data, 0, si, config)
+        bs = BSDFSample(wo=wo, pdf=jnp.where(active, pdf, 0.0),
+                        eta=jnp.ones_like(pdf),
+                        sampled_flags=jnp.where(active, F_DIFFUSE_R, 0).astype(jnp.int32))
+        return bs, jnp.where(active[..., None], value, 0.0)
 
     @staticmethod
-    def eval(data, si, wo, config) -> jnp.ndarray:
+    def eval(data, si, wo, config):
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         active = (cos_i > 0) & (cos_o > 0)
-        value = eval_spectrum_slot(data[..., 0:SLOT_W], si.wavelengths, config.color_mode)
-        return jnp.where(active[..., None],
-                         value * (warp.INV_PI * cos_o)[..., None], 0.0)
+        value = _spec(data, 0, si, config)
+        return jnp.where(active[..., None], value * (warp.INV_PI * cos_o)[..., None], 0.0)
 
     @staticmethod
-    def pdf(data, si, wo, config) -> jnp.ndarray:
+    def pdf(data, si, wo, config):
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         return jnp.where((cos_i > 0) & (cos_o > 0), cos_o * warp.INV_PI, 0.0)
 
 
-FAMILIES = {Diffuse.id: Diffuse}
-_BY_NAME = {"diffuse": Diffuse}
+# ===========================================================================
+# conductor (src/bsdfs/conductor.cpp) — delta reflection, complex IOR
+# ===========================================================================
+
+class Conductor:
+    id = CONDUCTOR
+    flags = F_DELTA_R
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        if "eta" in props or "k" in props:
+            eta = props.get("eta", 0.0)
+            k = props.get("k", 1.0)
+        else:
+            eta, k = ior_mod.lookup_conductor(props.get("material"))
+        data[0:SLOT_W] = _rgb_slot(eta)
+        data[SLOT_W:2 * SLOT_W] = _rgb_slot(k)
+        data[2 * SLOT_W:3 * SLOT_W] = _rgb_slot(
+            props.get("specular_reflectance", [1, 1, 1]))
+        return data
+
+    @staticmethod
+    def _fresnel(data, si, cos_i, config):
+        eta = _spec(data, 0, si, config)
+        k = _spec(data, 1, si, config)
+        return fr.fresnel_conductor(cos_i[..., None], eta, k)
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        cos_i = Frame.cos_theta(si.wi)
+        active = cos_i > 0
+        wo = fr.reflect(si.wi)
+        F = Conductor._fresnel(data, si, cos_i, config)
+        value = _spec(data, 2, si, config) * F
+        bs = BSDFSample(wo=wo, pdf=jnp.where(active, 1.0, 0.0),
+                        eta=jnp.ones_like(cos_i),
+                        sampled_flags=jnp.where(active, F_DELTA_R, 0).astype(jnp.int32))
+        return bs, jnp.where(active[..., None], value, 0.0)
+
+    @staticmethod
+    def eval(data, si, wo, config):
+        return jnp.zeros(si.wi.shape[:-1] + (config.n_channels,), jnp.float32)
+
+    @staticmethod
+    def pdf(data, si, wo, config):
+        return jnp.zeros(si.wi.shape[:-1], jnp.float32)
 
 
-def pack_bsdf(desc: dict) -> Tuple[int, int, np.ndarray]:
-    """Host: bsdf descriptor dict -> (family id, flags, packed row)."""
-    cls = _BY_NAME.get(desc.get("type"))
+# ===========================================================================
+# roughconductor (src/bsdfs/roughconductor.cpp)
+# ===========================================================================
+
+class RoughConductor:
+    id = ROUGHCONDUCTOR
+    flags = F_GLOSSY_R
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = Conductor.pack(props, build_child)
+        a = float(props.get("alpha", 0.1))
+        data[24] = float(props.get("alpha_u", a))
+        data[25] = float(props.get("alpha_v", a))
+        data[26] = _DIST_NAME[props.get("distribution", "ggx")]
+        return data
+
+    @staticmethod
+    def _params(data):
+        return (jnp.maximum(data[..., 24], 1e-4), jnp.maximum(data[..., 25], 1e-4),
+                data[..., 26].astype(jnp.int32))
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        au, av, dist = RoughConductor._params(data)
+        cos_i = Frame.cos_theta(si.wi)
+        m_dir, pdf_m = mf.sample(dist, si.wi, au, av, u2)
+        wo = fr.reflect_m(si.wi, m_dir)
+        cos_o = Frame.cos_theta(wo)
+        dot_wim = jnp.sum(si.wi * m_dir, axis=-1)
+        pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(dot_wim), 1e-20)
+        active = (cos_i > 0) & (cos_o > 0) & (pdf_m > 0)
+        # weight = f cos_o / pdf, via explicit eval for generality
+        f_cos = RoughConductor.eval(data, si, wo, config)
+        weight = f_cos / jnp.maximum(pdf, 1e-20)[..., None]
+        bs = BSDFSample(wo=wo, pdf=jnp.where(active, pdf, 0.0),
+                        eta=jnp.ones_like(pdf),
+                        sampled_flags=jnp.where(active, F_GLOSSY_R, 0).astype(jnp.int32))
+        return bs, jnp.where(active[..., None], weight, 0.0)
+
+    @staticmethod
+    def eval(data, si, wo, config):
+        au, av, dist = RoughConductor._params(data)
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        h = m.safe_rsqrt(jnp.sum((si.wi + wo) ** 2, axis=-1, keepdims=True)) * (si.wi + wo)
+        D = mf.eval_d(dist, h, au, av)
+        G = mf.g_smith(dist, si.wi, wo, h, au, av)
+        F = Conductor._fresnel(data, si, jnp.sum(si.wi * h, axis=-1), config)
+        spec = _spec(data, 2, si, config)
+        f_cos = spec * F * (D * G / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+        active = (cos_i > 0) & (cos_o > 0)
+        return jnp.where(active[..., None], f_cos, 0.0)
+
+    @staticmethod
+    def pdf(data, si, wo, config):
+        au, av, dist = RoughConductor._params(data)
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        h = m.safe_rsqrt(jnp.sum((si.wi + wo) ** 2, axis=-1, keepdims=True)) * (si.wi + wo)
+        pdf_m = mf.pdf(dist, si.wi, h, au, av)
+        pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(jnp.sum(si.wi * h, axis=-1)), 1e-20)
+        return jnp.where((cos_i > 0) & (cos_o > 0), pdf, 0.0)
+
+
+# ===========================================================================
+# dielectric (src/bsdfs/dielectric.cpp) — smooth delta reflect/refract
+# ===========================================================================
+
+class Dielectric:
+    id = DIELECTRIC
+    flags = F_DELTA_R | F_DELTA_T
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        data[0:SLOT_W] = _rgb_slot(props.get("specular_reflectance", [1, 1, 1]))
+        data[SLOT_W:2 * SLOT_W] = _rgb_slot(props.get("specular_transmittance", [1, 1, 1]))
+        int_ior = ior_mod.lookup_dielectric(props.get("int_ior"), 1.5046)
+        ext_ior = ior_mod.lookup_dielectric(props.get("ext_ior"), 1.000277)
+        data[24] = int_ior / ext_ior
+        return data
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        eta = data[..., 24]
+        cos_i = Frame.cos_theta(si.wi)
+        F, cos_t, eta_it, eta_ti = fr.fresnel(cos_i, eta)
+        pick_reflect = u1 < F
+        wo_r = fr.reflect(si.wi)
+        wo_t = fr.refract(si.wi, cos_t, eta_ti)
+        wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+        spec_r = _spec(data, 0, si, config)
+        # radiance transport: eta^-2 compression on refraction (dielectric.cpp)
+        spec_t = _spec(data, 1, si, config) * (eta_ti * eta_ti)[..., None]
+        value = jnp.where(pick_reflect[..., None], spec_r, spec_t)
+        pdf = jnp.where(pick_reflect, F, 1.0 - F)
+        active = cos_i != 0
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.where(pick_reflect, 1.0, eta_it),
+            sampled_flags=jnp.where(
+                active, jnp.where(pick_reflect, F_DELTA_R, F_DELTA_T), 0
+            ).astype(jnp.int32))
+        return bs, jnp.where(active[..., None], value, 0.0)
+
+    @staticmethod
+    def eval(data, si, wo, config):
+        return jnp.zeros(si.wi.shape[:-1] + (config.n_channels,), jnp.float32)
+
+    @staticmethod
+    def pdf(data, si, wo, config):
+        return jnp.zeros(si.wi.shape[:-1], jnp.float32)
+
+
+# ===========================================================================
+# thindielectric (src/bsdfs/thindielectric.cpp)
+# ===========================================================================
+
+class ThinDielectric:
+    id = THINDIELECTRIC
+    flags = F_DELTA_R | F_DELTA_T
+
+    pack = Dielectric.pack
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        eta = data[..., 24]
+        cos_i = Frame.cos_theta(si.wi)
+        F, _, _, _ = fr.fresnel(jnp.abs(cos_i), eta)
+        # account for internal bounces: R' = 2R / (1 + R)
+        R = jnp.where(F < 1.0, F + (1.0 - F) * (1.0 - F) * F / (1.0 - F * F), 1.0)
+        pick_reflect = u1 < R
+        wo = jnp.where(pick_reflect[..., None], fr.reflect(si.wi), -si.wi)
+        spec_r = _spec(data, 0, si, config)
+        spec_t = _spec(data, 1, si, config)
+        value = jnp.where(pick_reflect[..., None], spec_r, spec_t)
+        pdf = jnp.where(pick_reflect, R, 1.0 - R)
+        active = cos_i != 0
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            sampled_flags=jnp.where(
+                active, jnp.where(pick_reflect, F_DELTA_R, F_DELTA_T), 0
+            ).astype(jnp.int32))
+        return bs, jnp.where(active[..., None], value, 0.0)
+
+    eval = Dielectric.eval
+    pdf = Dielectric.pdf
+
+
+# ===========================================================================
+# roughdielectric (src/bsdfs/roughdielectric.cpp; Walter et al. 2007)
+# ===========================================================================
+
+class RoughDielectric:
+    id = ROUGHDIELECTRIC
+    flags = F_GLOSSY_R | F_GLOSSY_T
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = Dielectric.pack(props, build_child)
+        a = float(props.get("alpha", 0.1))
+        data[25] = float(props.get("alpha_u", a))
+        data[26] = float(props.get("alpha_v", a))
+        data[27] = _DIST_NAME[props.get("distribution", "ggx")]
+        return data
+
+    @staticmethod
+    def _params(data):
+        return (data[..., 24], jnp.maximum(data[..., 25], 1e-4),
+                jnp.maximum(data[..., 26], 1e-4), data[..., 27].astype(jnp.int32))
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        eta, au, av, dist = RoughDielectric._params(data)
+        cos_i = Frame.cos_theta(si.wi)
+        # m stays in the upper hemisphere; the SIGNED dot(wi, m) tells
+        # fresnel which side we approach from (roughdielectric.cpp)
+        m_dir, pdf_m = mf.sample(dist, si.wi, au, av, u2)
+        dot_wim = jnp.sum(si.wi * m_dir, axis=-1)
+        F, cos_t, eta_it, eta_ti = fr.fresnel(dot_wim, eta)
+        pick_reflect = u1 < F
+
+        wo_r = fr.reflect_m(si.wi, m_dir)
+        wo_t = fr.refract_m(si.wi, m_dir, cos_t, eta_ti)
+        wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+        cos_o = Frame.cos_theta(wo)
+
+        # validity: reflection stays in wi hemisphere, refraction crosses
+        valid_r = pick_reflect & (cos_i * cos_o > 0)
+        valid_t = ~pick_reflect & (cos_i * cos_o < 0)
+        active = (valid_r | valid_t) & (pdf_m > 0)
+
+        pdf = RoughDielectric.pdf(data, si, wo, config)
+        f_cos = RoughDielectric.eval(data, si, wo, config)
+        weight = f_cos / jnp.maximum(pdf, 1e-20)[..., None]
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.where(pick_reflect, 1.0, eta_it),
+            sampled_flags=jnp.where(
+                active, jnp.where(pick_reflect, F_GLOSSY_R, F_GLOSSY_T), 0
+            ).astype(jnp.int32))
+        return bs, jnp.where(active[..., None], weight, 0.0)
+
+    @staticmethod
+    def _half_vectors(si_wi, wo, eta):
+        """Reflection + transmission half vectors, oriented toward +z side
+        of the macrosurface crossed with wi."""
+        cos_i = Frame.cos_theta(si_wi)
+        # reflection half vector, oriented +z (the NDF side); fresnel gets
+        # the SIGNED dot(wi, hr) so inside rays use the reciprocal IOR
+        hr = si_wi + wo
+        hr = m.mulsign(hr, Frame.cos_theta(hr)[..., None])
+        hr = hr * m.safe_rsqrt(jnp.sum(hr * hr, axis=-1, keepdims=True))
+        # transmission half vector: -(wi + eta_it wo), oriented +z
+        eta_it = jnp.where(cos_i >= 0, eta, 1.0 / eta)
+        ht = -(si_wi + wo * eta_it[..., None])
+        ht = m.mulsign(ht, Frame.cos_theta(ht)[..., None])
+        ht = ht * m.safe_rsqrt(jnp.sum(ht * ht, axis=-1, keepdims=True))
+        return hr, ht, eta_it
+
+    @staticmethod
+    def eval(data, si, wo, config):
+        eta, au, av, dist = RoughDielectric._params(data)
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        is_reflect = cos_i * cos_o > 0
+        hr, ht, eta_it = RoughDielectric._half_vectors(si.wi, wo, eta)
+
+        # reflection lobe (hr is +z-oriented; fresnel sees the signed dot)
+        D_r = mf.eval_d(dist, hr, au, av)
+        G_r = mf.g_smith(dist, si.wi, wo, hr, au, av)
+        F_r, _, _, _ = fr.fresnel(jnp.sum(si.wi * hr, axis=-1), eta)
+        f_r = F_r * D_r * G_r / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-20)
+
+        # transmission lobe (Walter 2007 eq. 21, radiance transport)
+        wi_ht = jnp.sum(si.wi * ht, axis=-1)
+        wo_ht = jnp.sum(wo * ht, axis=-1)
+        F_t, _, _, _ = fr.fresnel(wi_ht, eta)
+        D_t = mf.eval_d(dist, ht, au, av)
+        G_t = mf.g_smith(dist, si.wi, wo, ht, au, av)
+        denom = wi_ht + eta_it * wo_ht
+        factor = (jnp.abs(wi_ht * wo_ht) /
+                  jnp.maximum(jnp.abs(cos_i), 1e-20)) * eta_it * eta_it / \
+            jnp.maximum(denom * denom, 1e-20)
+        # radiance-mode eta^-2 compression (roughdielectric.cpp applies
+        # 1/eta_it^2 in radiance mode): net factor = eta_it^2 / eta_it^2 = 1
+        # on the D G (1-F) product scaled by the Jacobian-made term; mitsuba:
+        # value = (1-F) D G * factor with factor including eta^2, then
+        # *= rcp(eta_it)^2 -> cancels. Keep the cancelled form:
+        f_t = (1.0 - F_t) * D_t * G_t * (jnp.abs(wi_ht * wo_ht) /
+                                         jnp.maximum(jnp.abs(cos_i) * denom * denom, 1e-20))
+        # Walter 2007 sidedness (chi+ terms): a physical refraction crosses
+        # the microfacet — wi and wo must lie on opposite sides of ht
+        f_t = jnp.where(wi_ht * wo_ht < 0, f_t, 0.0)
+
+        spec_r = _spec(data, 0, si, config)
+        spec_t = _spec(data, 1, si, config)
+        f_cos = jnp.where(is_reflect[..., None], spec_r * f_r[..., None],
+                          spec_t * f_t[..., None])
+        return jnp.where(((cos_i != 0) & (cos_o != 0))[..., None], f_cos, 0.0)
+
+    @staticmethod
+    def pdf(data, si, wo, config):
+        eta, au, av, dist = RoughDielectric._params(data)
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        is_reflect = cos_i * cos_o > 0
+        hr, ht, eta_it = RoughDielectric._half_vectors(si.wi, wo, eta)
+
+        F_r, _, _, _ = fr.fresnel(jnp.sum(si.wi * hr, axis=-1), eta)
+        pdf_m_r = mf.pdf(dist, si.wi, hr, au, av)
+        jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(jnp.sum(si.wi * hr, axis=-1)), 1e-20)
+        pdf_r = F_r * pdf_m_r * jac_r
+
+        wi_ht = jnp.sum(si.wi * ht, axis=-1)
+        wo_ht = jnp.sum(wo * ht, axis=-1)
+        F_t, _, _, _ = fr.fresnel(wi_ht, eta)
+        pdf_m_t = mf.pdf(dist, si.wi, ht, au, av)
+        denom = wi_ht + eta_it * wo_ht
+        jac_t = (eta_it * eta_it * jnp.abs(wo_ht)) / jnp.maximum(denom * denom, 1e-20)
+        pdf_t = (1.0 - F_t) * pdf_m_t * jac_t
+        pdf_t = jnp.where(wi_ht * wo_ht < 0, pdf_t, 0.0)  # chi+ sidedness
+
+        pdf = jnp.where(is_reflect, pdf_r, pdf_t)
+        return jnp.where((cos_i != 0) & (cos_o != 0), pdf, 0.0)
+
+
+# ===========================================================================
+# plastic (src/bsdfs/plastic.cpp) — smooth specular coat over diffuse
+# ===========================================================================
+
+class Plastic:
+    id = PLASTIC
+    flags = F_DIFFUSE_R | F_DELTA_R
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        data[0:SLOT_W] = _rgb_slot(props.get("diffuse_reflectance", [0.5, 0.5, 0.5]))
+        data[SLOT_W:2 * SLOT_W] = _rgb_slot(props.get("specular_reflectance", [1, 1, 1]))
+        int_ior = ior_mod.lookup_dielectric(props.get("int_ior"), 1.49)
+        ext_ior = ior_mod.lookup_dielectric(props.get("ext_ior"), 1.000277)
+        eta = int_ior / ext_ior
+        data[24] = eta
+        data[25] = 1.0 if props.get("nonlinear", False) else 0.0
+        # host-side fresnel_diffuse_reflectance(1/eta)
+        import numpy as _np
+        e = 1.0 / eta
+        if e >= 1.0:
+            fdr = -1.4399 / (e * e) + 0.7099 / e + 0.6681 + 0.0636 * e
+        else:
+            e2, e3 = e * e, e * e * e
+            fdr = (0.919317 - 3.4793 * e + 6.75335 * e2 - 7.80989 * e3 +
+                   4.98554 * e3 * e - 1.36881 * e3 * e2)
+        data[26] = fdr
+        d_mean = float(np.mean(data[0:3]))
+        s_mean = float(np.mean(data[SLOT_W:SLOT_W + 3]))
+        data[27] = s_mean / max(d_mean + s_mean, 1e-8)  # specular sampling wt
+        data[28] = 1.0 / (eta * eta)
+        return data
+
+    @staticmethod
+    def _probs(data, cos_i):
+        eta = data[..., 24]
+        ssw = data[..., 27]
+        F_i, _, _, _ = fr.fresnel(cos_i, eta)
+        prob_spec = (F_i * ssw) / jnp.maximum(F_i * ssw + (1.0 - F_i) * (1.0 - ssw), 1e-20)
+        return F_i, prob_spec
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        cos_i = Frame.cos_theta(si.wi)
+        active = cos_i > 0
+        F_i, prob_spec = Plastic._probs(data, cos_i)
+        pick_spec = u1 < prob_spec
+
+        wo_s = fr.reflect(si.wi)
+        wo_d = warp.square_to_cosine_hemisphere(u2)
+        wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+
+        spec_refl = _spec(data, 1, si, config)
+        w_spec = spec_refl * (F_i / jnp.maximum(prob_spec, 1e-20))[..., None]
+
+        pdf_d = (1.0 - prob_spec) * warp.square_to_cosine_hemisphere_pdf(wo_d)
+        f_d = Plastic.eval(data, si, wo_d, config)
+        w_diff = f_d / jnp.maximum(pdf_d, 1e-20)[..., None]
+
+        value = jnp.where(pick_spec[..., None], w_spec, w_diff)
+        pdf = jnp.where(pick_spec, prob_spec, pdf_d)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            sampled_flags=jnp.where(
+                active, jnp.where(pick_spec, F_DELTA_R, F_DIFFUSE_R), 0
+            ).astype(jnp.int32))
+        return bs, jnp.where(active[..., None], value, 0.0)
+
+    @staticmethod
+    def eval(data, si, wo, config):
+        eta = data[..., 24]
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        F_i, _, _, _ = fr.fresnel(cos_i, eta)
+        F_o, _, _, _ = fr.fresnel(cos_o, eta)
+        diff = _spec(data, 0, si, config)
+        fdr = data[..., 26:27]
+        nonlinear = data[..., 25:26]
+        denom = 1.0 - jnp.where(nonlinear > 0, diff, 1.0) * fdr
+        value = (diff / jnp.maximum(denom, 1e-8) *
+                 (warp.INV_PI * cos_o * data[..., 28] *
+                  (1.0 - F_i) * (1.0 - F_o))[..., None])
+        return jnp.where(active[..., None], value, 0.0)
+
+    @staticmethod
+    def pdf(data, si, wo, config):
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        _, prob_spec = Plastic._probs(data, cos_i)
+        pdf = (1.0 - prob_spec) * warp.square_to_cosine_hemisphere_pdf(wo)
+        return jnp.where((cos_i > 0) & (cos_o > 0), pdf, 0.0)
+
+
+# ===========================================================================
+# roughplastic (src/bsdfs/roughplastic.cpp) — microfacet coat over diffuse
+# ===========================================================================
+
+class RoughPlastic:
+    id = ROUGHPLASTIC
+    flags = F_DIFFUSE_R | F_GLOSSY_R
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = Plastic.pack(props, build_child)
+        data[29] = float(props.get("alpha", 0.1))
+        data[30] = _DIST_NAME[props.get("distribution", "ggx")]
+        return data
+
+    @staticmethod
+    def _params(data):
+        return jnp.maximum(data[..., 29], 1e-4), data[..., 30].astype(jnp.int32)
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        cos_i = Frame.cos_theta(si.wi)
+        active = cos_i > 0
+        _, prob_spec = Plastic._probs(data, cos_i)
+        pick_spec = u1 < prob_spec
+        au, dist = RoughPlastic._params(data)
+
+        m_dir, _ = mf.sample(dist, si.wi, au, au, u2)
+        wo_s = fr.reflect_m(si.wi, m_dir)
+        wo_d = warp.square_to_cosine_hemisphere(u2)
+        wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+
+        pdf = RoughPlastic.pdf(data, si, wo, config)
+        f_cos = RoughPlastic.eval(data, si, wo, config)
+        value = f_cos / jnp.maximum(pdf, 1e-20)[..., None]
+        active = active & (pdf > 0) & (Frame.cos_theta(wo) > 0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            sampled_flags=jnp.where(
+                active, jnp.where(pick_spec, F_GLOSSY_R, F_DIFFUSE_R), 0
+            ).astype(jnp.int32))
+        return bs, jnp.where(active[..., None], value, 0.0)
+
+    @staticmethod
+    def eval(data, si, wo, config):
+        eta = data[..., 24]
+        au, dist = RoughPlastic._params(data)
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        h = m.safe_rsqrt(jnp.sum((si.wi + wo) ** 2, axis=-1, keepdims=True)) * (si.wi + wo)
+        D = mf.eval_d(dist, h, au, au)
+        G = mf.g_smith(dist, si.wi, wo, h, au, au)
+        F_h, _, _, _ = fr.fresnel(jnp.sum(si.wi * h, axis=-1), eta)
+        spec_refl = _spec(data, 1, si, config)
+        f_spec = spec_refl * (F_h * D * G / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+        # diffuse substrate with internal-scattering compensation
+        F_i, _, _, _ = fr.fresnel(cos_i, eta)
+        F_o, _, _, _ = fr.fresnel(cos_o, eta)
+        diff = _spec(data, 0, si, config)
+        fdr = data[..., 26:27]
+        nonlinear = data[..., 25:26]
+        denom = 1.0 - jnp.where(nonlinear > 0, diff, 1.0) * fdr
+        f_diff = (diff / jnp.maximum(denom, 1e-8) *
+                  (warp.INV_PI * cos_o * data[..., 28] *
+                   (1.0 - F_i) * (1.0 - F_o))[..., None])
+        return jnp.where(active[..., None], f_spec + f_diff, 0.0)
+
+    @staticmethod
+    def pdf(data, si, wo, config):
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        _, prob_spec = Plastic._probs(data, cos_i)
+        au, dist = RoughPlastic._params(data)
+        h = m.safe_rsqrt(jnp.sum((si.wi + wo) ** 2, axis=-1, keepdims=True)) * (si.wi + wo)
+        pdf_m = mf.pdf(dist, si.wi, h, au, au)
+        pdf_spec = pdf_m / jnp.maximum(4.0 * jnp.abs(jnp.sum(si.wi * h, axis=-1)), 1e-20)
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+        pdf = prob_spec * pdf_spec + (1.0 - prob_spec) * pdf_diff
+        return jnp.where((cos_i > 0) & (cos_o > 0), pdf, 0.0)
+
+
+# ===========================================================================
+# null (src/bsdfs/null.cpp) — pass-through (for media boundaries)
+# ===========================================================================
+
+class Null:
+    id = NULL_BSDF
+    flags = F_NULL
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        return np.zeros(MAT_W, np.float32)
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        N = si.wi.shape[0]
+        bs = BSDFSample(wo=-si.wi, pdf=jnp.ones(N, jnp.float32),
+                        eta=jnp.ones(N, jnp.float32),
+                        sampled_flags=jnp.full(N, F_NULL, jnp.int32))
+        return bs, jnp.ones((N, config.n_channels), jnp.float32)
+
+    @staticmethod
+    def eval(data, si, wo, config):
+        return jnp.zeros(si.wi.shape[:-1] + (config.n_channels,), jnp.float32)
+
+    @staticmethod
+    def pdf(data, si, wo, config):
+        return jnp.zeros(si.wi.shape[:-1], jnp.float32)
+
+
+# ===========================================================================
+# mask (src/bsdfs/mask.cpp) — opacity blend of child with null transmission
+# ===========================================================================
+
+class Mask:
+    id = MASK
+    flags = F_NULL  # | child flags at pack time
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        data[2 * SLOT_W:3 * SLOT_W] = _rgb_slot(props.get("opacity", [0.5, 0.5, 0.5]))
+        child = props.get("bsdf", {"type": "diffuse"})
+        data[30] = build_child(child)
+        return data
+
+    @staticmethod
+    def sample(scene, data, si, u1, u2, config):
+        opacity = _spec(data, 2, si, config)
+        q = jnp.clip(jnp.mean(opacity, axis=-1), 1e-6, 1.0 - 1e-6)
+        pick_child = u1 < q
+        u1r = jnp.where(pick_child, u1 / q, (u1 - q) / (1.0 - q))
+        child_idx = data[..., 30].astype(jnp.int32)
+        ct, cd = scene.mat_type[child_idx], scene.mat_data[child_idx]
+        bs_c, w_c = _sample_leaf(scene, ct, cd, si, u1r, u2, config)
+        w_c = w_c * opacity / q[..., None]
+        N = si.wi.shape[0]
+        bs = BSDFSample(
+            wo=jnp.where(pick_child[..., None], bs_c.wo, -si.wi),
+            pdf=jnp.where(pick_child, bs_c.pdf * q, 1.0 - q),
+            eta=jnp.where(pick_child, bs_c.eta, 1.0),
+            sampled_flags=jnp.where(pick_child, bs_c.sampled_flags,
+                                    F_NULL).astype(jnp.int32))
+        w_null = (1.0 - opacity) / (1.0 - q)[..., None]
+        return bs, jnp.where(pick_child[..., None], w_c, w_null)
+
+    @staticmethod
+    def eval(scene, data, si, wo, config):
+        opacity = _spec(data, 2, si, config)
+        child_idx = data[..., 30].astype(jnp.int32)
+        ct, cd = scene.mat_type[child_idx], scene.mat_data[child_idx]
+        return opacity * _eval_leaf(scene, ct, cd, si, wo, config)
+
+    @staticmethod
+    def pdf(scene, data, si, wo, config):
+        opacity = _spec(data, 2, si, config)
+        q = jnp.clip(jnp.mean(opacity, axis=-1), 1e-6, 1.0 - 1e-6)
+        child_idx = data[..., 30].astype(jnp.int32)
+        ct, cd = scene.mat_type[child_idx], scene.mat_data[child_idx]
+        return q * _pdf_leaf(scene, ct, cd, si, wo, config)
+
+
+# ===========================================================================
+# blendbsdf (src/bsdfs/blendbsdf.cpp)
+# ===========================================================================
+
+class Blend:
+    id = BLEND
+    flags = 0  # ORed with children at pack time
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        data[29] = float(props.get("weight", 0.5))
+        children = props.get("bsdfs")
+        if children is None:
+            children = [props.get("bsdf_0", {"type": "diffuse"}),
+                        props.get("bsdf_1", {"type": "diffuse"})]
+        data[30] = build_child(children[0])
+        data[31] = build_child(children[1])
+        return data
+
+    @staticmethod
+    def sample(scene, data, si, u1, u2, config):
+        w = data[..., 29]
+        pick_b = u1 < w
+        u1r = jnp.where(pick_b, u1 / jnp.maximum(w, 1e-8),
+                        (u1 - w) / jnp.maximum(1.0 - w, 1e-8))
+        ia = data[..., 30].astype(jnp.int32)
+        ib = data[..., 31].astype(jnp.int32)
+        bs_a, w_a = _sample_leaf(scene, scene.mat_type[ia], scene.mat_data[ia],
+                                 si, u1r, u2, config)
+        bs_b, w_b = _sample_leaf(scene, scene.mat_type[ib], scene.mat_data[ib],
+                                 si, u1r, u2, config)
+        bs = BSDFSample(
+            wo=jnp.where(pick_b[..., None], bs_b.wo, bs_a.wo),
+            pdf=jnp.where(pick_b, w * bs_b.pdf, (1 - w) * bs_a.pdf),
+            eta=jnp.where(pick_b, bs_b.eta, bs_a.eta),
+            sampled_flags=jnp.where(pick_b, bs_b.sampled_flags,
+                                    bs_a.sampled_flags).astype(jnp.int32))
+        value = jnp.where(pick_b[..., None], w_b, w_a)
+        return bs, value
+
+    @staticmethod
+    def eval(scene, data, si, wo, config):
+        w = data[..., 29:30]
+        ia = data[..., 30].astype(jnp.int32)
+        ib = data[..., 31].astype(jnp.int32)
+        ea = _eval_leaf(scene, scene.mat_type[ia], scene.mat_data[ia], si, wo, config)
+        eb = _eval_leaf(scene, scene.mat_type[ib], scene.mat_data[ib], si, wo, config)
+        return (1.0 - w) * ea + w * eb
+
+    @staticmethod
+    def pdf(scene, data, si, wo, config):
+        w = data[..., 29]
+        ia = data[..., 30].astype(jnp.int32)
+        ib = data[..., 31].astype(jnp.int32)
+        pa = _pdf_leaf(scene, scene.mat_type[ia], scene.mat_data[ia], si, wo, config)
+        pb = _pdf_leaf(scene, scene.mat_type[ib], scene.mat_data[ib], si, wo, config)
+        return (1.0 - w) * pa + w * pb
+
+
+LEAF_FAMILIES = {c.id: c for c in
+                 (Diffuse, Conductor, RoughConductor, Dielectric,
+                  ThinDielectric, RoughDielectric, Plastic, RoughPlastic, Null)}
+WRAPPER_FAMILIES = {Mask.id: Mask, Blend.id: Blend}
+FAMILIES = {**LEAF_FAMILIES, **WRAPPER_FAMILIES}
+
+_BY_NAME = {"diffuse": Diffuse, "conductor": Conductor,
+            "roughconductor": RoughConductor, "dielectric": Dielectric,
+            "thindielectric": ThinDielectric,
+            "roughdielectric": RoughDielectric, "plastic": Plastic,
+            "roughplastic": RoughPlastic, "null": Null, "mask": Mask,
+            "blendbsdf": Blend, "blend": Blend}
+
+
+def build_material(desc: dict, mats: List) -> int:
+    """Host: append material rows for `desc` to `mats` (list of
+    [type, flags, row]); returns the row index. Handles the `twosided`
+    wrapper (flag on the child) and nested children (mask/blend)."""
+    desc = dict(desc or {"type": "diffuse"})
+    t = desc.get("type")
+    extra_flags = 0
+    while t == "twosided":
+        desc = dict(desc.get("bsdf", {"type": "diffuse"}))
+        extra_flags |= F_TWOSIDED_FLAG
+        t = desc.get("type")
+    cls = _BY_NAME.get(t)
     if cls is None:
-        raise ValueError(f"unknown bsdf type {desc.get('type')!r}")
-    return cls.id, cls.flags, cls.pack(desc)
+        raise ValueError(f"unknown bsdf type {t!r}")
+
+    idx = len(mats)
+    mats.append([cls.id, cls.flags | extra_flags, None])  # reserve slot
+
+    child_flags = []
+
+    def build_child(child_desc) -> int:
+        ci = build_material(child_desc, mats)
+        child_flags.append(mats[ci][1])
+        return ci
+
+    row = cls.pack(desc, build_child)
+    flags = cls.flags | extra_flags
+    for cf in child_flags:  # wrappers inherit child lobes
+        flags |= cf & ~F_TWOSIDED_FLAG
+    mats[idx][1] = flags
+    mats[idx][2] = row
+    return idx
 
 
 # ---------------------------------------------------------------------------
-# Wavefront dispatch (evaluate-all over families present, select by type)
+# Wavefront dispatch
 # ---------------------------------------------------------------------------
 
-def _lane_materials(scene, si):
-    mat_idx = jnp.maximum(scene.shape_mat[jnp.maximum(si.shape, 0)], 0)
-    return scene.mat_type[mat_idx], scene.mat_data[mat_idx], scene.mat_flags[mat_idx]
-
-def lane_flags(scene, si):
-    """Per-lane BSDFFlags."""
-    _, _, flags = _lane_materials(scene, si)
-    return flags
+def _leaf_ids(scene):
+    return tuple(f for f in scene.mat_families if f in LEAF_FAMILIES)
 
 
-def sample(scene, si, u1, u2, config) -> Tuple[BSDFSample, jnp.ndarray]:
-    """BSDF::sample over the wavefront."""
-    mtype, mdata, _ = _lane_materials(scene, si)
+def _wrapper_ids(scene):
+    return tuple(f for f in scene.mat_families if f in WRAPPER_FAMILIES)
+
+
+def _eval_leaf(scene, mtype, mdata, si, wo, config):
+    out = jnp.zeros((mtype.shape[0], config.n_channels), jnp.float32)
+    for fid in _leaf_ids(scene):
+        val = LEAF_FAMILIES[fid].eval(mdata, si, wo, config)
+        out = jnp.where((mtype == fid)[..., None], val, out)
+    return out
+
+
+def _pdf_leaf(scene, mtype, mdata, si, wo, config):
+    out = jnp.zeros(mtype.shape[0], jnp.float32)
+    for fid in _leaf_ids(scene):
+        val = LEAF_FAMILIES[fid].pdf(mdata, si, wo, config)
+        out = jnp.where(mtype == fid, val, out)
+    return out
+
+
+def _sample_leaf(scene, mtype, mdata, si, u1, u2, config):
     N = mtype.shape[0]
-    bs = BSDFSample(wo=jnp.zeros((N, 3), jnp.float32),
-                    pdf=jnp.zeros(N, jnp.float32),
-                    eta=jnp.ones(N, jnp.float32),
-                    sampled_flags=jnp.zeros(N, jnp.int32))
+    bs = _zero_sample(N)
     weight = jnp.zeros((N, config.n_channels), jnp.float32)
-    for fid in scene.mat_families:
-        fam_bs, fam_w = FAMILIES[fid].sample(mdata, si, u1, u2, config)
+    for fid in _leaf_ids(scene):
+        fam_bs, fam_w = LEAF_FAMILIES[fid].sample(mdata, si, u1, u2, config)
         sel = mtype == fid
         bs = BSDFSample(
             wo=jnp.where(sel[..., None], fam_bs.wo, bs.wo),
@@ -149,21 +891,76 @@ def sample(scene, si, u1, u2, config) -> Tuple[BSDFSample, jnp.ndarray]:
     return bs, weight
 
 
+def _lane_materials(scene, si):
+    mat_idx = jnp.maximum(scene.shape_mat[jnp.maximum(si.shape, 0)], 0)
+    return scene.mat_type[mat_idx], scene.mat_data[mat_idx], scene.mat_flags[mat_idx]
+
+
+def lane_flags(scene, si):
+    """Per-lane BSDFFlags."""
+    _, _, flags = _lane_materials(scene, si)
+    return flags
+
+
+def _maybe_flip(scene, si, flags):
+    """twosided: flip the local frame when hit from behind (twosided.cpp)."""
+    two = (flags & F_TWOSIDED_FLAG) != 0
+    flip = two & (Frame.cos_theta(si.wi) < 0)
+    wi = jnp.where(flip[..., None],
+                   si.wi * jnp.asarray([1.0, 1.0, -1.0]), si.wi)
+    return si.replace(wi=wi), flip
+
+
+def _flip_wo(wo, flip):
+    return jnp.where(flip[..., None], wo * jnp.asarray([1.0, 1.0, -1.0]), wo)
+
+
+def sample(scene, si, u1, u2, config) -> Tuple[BSDFSample, jnp.ndarray]:
+    """BSDF::sample over the wavefront."""
+    mtype, mdata, flags = _lane_materials(scene, si)
+    si_f, flip = _maybe_flip(scene, si, flags)
+    bs, weight = _sample_leaf(scene, mtype, mdata, si_f, u1, u2, config)
+    for fid in _wrapper_ids(scene):
+        fam_bs, fam_w = WRAPPER_FAMILIES[fid].sample(scene, mdata, si_f, u1, u2, config)
+        sel = mtype == fid
+        bs = BSDFSample(
+            wo=jnp.where(sel[..., None], fam_bs.wo, bs.wo),
+            pdf=jnp.where(sel, fam_bs.pdf, bs.pdf),
+            eta=jnp.where(sel, fam_bs.eta, bs.eta),
+            sampled_flags=jnp.where(sel, fam_bs.sampled_flags, bs.sampled_flags))
+        weight = jnp.where(sel[..., None], fam_w, weight)
+    bs = bs.replace(wo=_flip_wo(bs.wo, flip))
+    return bs, weight
+
+
 def eval_(scene, si, wo, config) -> jnp.ndarray:
     """BSDF::eval (f * cos) over the wavefront."""
-    mtype, mdata, _ = _lane_materials(scene, si)
-    out = jnp.zeros((mtype.shape[0], config.n_channels), jnp.float32)
-    for fid in scene.mat_families:
-        val = FAMILIES[fid].eval(mdata, si, wo, config)
+    mtype, mdata, flags = _lane_materials(scene, si)
+    si_f, flip = _maybe_flip(scene, si, flags)
+    wo_f = _flip_wo(wo, flip)
+    out = _eval_leaf(scene, mtype, mdata, si_f, wo_f, config)
+    for fid in _wrapper_ids(scene):
+        val = WRAPPER_FAMILIES[fid].eval(scene, mdata, si_f, wo_f, config)
         out = jnp.where((mtype == fid)[..., None], val, out)
     return out
 
 
 def pdf(scene, si, wo, config) -> jnp.ndarray:
     """BSDF::pdf over the wavefront."""
-    mtype, mdata, _ = _lane_materials(scene, si)
-    out = jnp.zeros(mtype.shape[0], jnp.float32)
-    for fid in scene.mat_families:
-        val = FAMILIES[fid].pdf(mdata, si, wo, config)
+    mtype, mdata, flags = _lane_materials(scene, si)
+    si_f, flip = _maybe_flip(scene, si, flags)
+    wo_f = _flip_wo(wo, flip)
+    out = _pdf_leaf(scene, mtype, mdata, si_f, wo_f, config)
+    for fid in _wrapper_ids(scene):
+        val = WRAPPER_FAMILIES[fid].pdf(scene, mdata, si_f, wo_f, config)
         out = jnp.where(mtype == fid, val, out)
     return out
+
+
+# Backwards-compatible packing entry used by scene.build_scene
+def pack_bsdf(desc: dict) -> Tuple[int, int, np.ndarray]:
+    """Single-material pack (no children). Prefer build_material."""
+    mats: List = []
+    idx = build_material(desc, mats)
+    assert len(mats) == 1, "pack_bsdf cannot handle nested bsdfs"
+    return mats[idx][0], mats[idx][1], mats[idx][2]

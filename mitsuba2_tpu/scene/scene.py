@@ -96,18 +96,14 @@ def build_scene(shapes: List[MeshData], sensor: dict,
     """Pack shapes + sensor (+ shapeless emitters like `constant`) into a
     frozen SceneData. Mirrors Scene::Scene(Properties) + accel build
     (scene.cpp), emitter set_scene hooks, and area-CDF precomputation."""
-    # --- materials (dedupe identical descriptors) ---------------------------
-    mat_rows, mat_types, mat_flags_list, mat_key2idx = [], [], [], {}
+    # --- materials (dedupe identical descriptors; wrappers append children) --
+    mats, mat_key2idx = [], {}
 
     def add_material(desc) -> int:
         desc = desc or {"type": "diffuse"}
-        key = repr(sorted(desc.items(), key=lambda kv: kv[0]))
+        key = repr(desc)
         if key not in mat_key2idx:
-            fid, flags, row = bsdf_mod.pack_bsdf(desc)
-            mat_key2idx[key] = len(mat_rows)
-            mat_rows.append(row)
-            mat_types.append(fid)
-            mat_flags_list.append(flags)
+            mat_key2idx[key] = bsdf_mod.build_material(desc, mats)
         return mat_key2idx[key]
 
     # --- collect prims -------------------------------------------------------
@@ -241,14 +237,14 @@ def build_scene(shapes: List[MeshData], sensor: dict,
         bvh_miss=dev(tree.miss),
         shape_mat=dev(np.asarray(shape_mat, np.int32)),
         shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
-        mat_type=dev(np.asarray(mat_types, np.int32)),
-        mat_flags=dev(np.asarray(mat_flags_list, np.int32)),
-        mat_data=dev(np.stack(mat_rows)),
+        mat_type=dev(np.asarray([mt[0] for mt in mats], np.int32)),
+        mat_flags=dev(np.asarray([mt[1] for mt in mats], np.int32)),
+        mat_data=dev(np.stack([mt[2] for mt in mats])),
         emitter_type=dev(emitter_types), emitter_data=dev(emitter_rows),
         emitter_shape=dev(emitter_shapes), emitter_prims=dev(emitter_prims),
         emitter_prim_cdf=dev(emitter_cdf), emitter_area=dev(emitter_area),
         cam_to_world=dev(cam_to_world), cam_fov_x=jnp.float32(fov_x),
-        mat_families=tuple(sorted(set(mat_types))),
+        mat_families=tuple(sorted({mt[0] for mt in mats})),
         n_emitters=len(emitter_descs),
         env_emitter=env_emitter,
         n_shapes=len(shapes),
