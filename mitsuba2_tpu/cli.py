@@ -1,0 +1,89 @@
+"""Command-line renderer — the `mitsuba` binary equivalent.
+
+TPU-native rebuild of src/mitsuba/mitsuba.cpp:
+
+    python -m mitsuba2_tpu scene.xml -o out.exr -D spp=64 -m rgb
+
+Flags mirror the reference: `-o` output, `-D key=value` XML parameter
+substitution, `-m` selects the color mode (the variant analog), `-v`
+verbose. Threads (`-t`) do not apply — XLA owns the chip.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="mitsuba2_tpu",
+        description="TPU-native differentiable renderer (Mitsuba 2 rebuild)")
+    ap.add_argument("scene", help="scene file (.xml)")
+    ap.add_argument("-o", "--output", default=None,
+                    help="output image (exr/png/pfm; default: scene name .exr)")
+    ap.add_argument("-D", "--define", action="append", default=[],
+                    metavar="key=value", help="XML $parameter substitution")
+    ap.add_argument("-m", "--mode", default=None,
+                    choices=["mono", "rgb", "spectral"],
+                    help="color mode (variant analog)")
+    ap.add_argument("-s", "--spp", type=int, default=None,
+                    help="override samples per pixel")
+    ap.add_argument("-a", "--aov", action="append", default=[],
+                    help="also write AOV images (depth, sh_normal, ...)")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(levelname).1s %(message)s")
+    log = logging.getLogger("mitsuba2_tpu")
+
+    import jax
+
+    from .core import io_bitmap
+    from .render.integrators import render, render_aovs
+    from .scene import loader
+
+    params = {}
+    for d in args.define:
+        k, _, v = d.partition("=")
+        params[k] = v
+
+    t0 = time.time()
+    scene, config = loader.load_file(args.scene, **params)
+    log.info("loaded %s (%d prims) in %.2fs", args.scene, scene.n_prims,
+             time.time() - t0)
+    if args.mode:
+        config = config.replace(color_mode=args.mode)
+    if args.spp:
+        config = config.replace(spp=args.spp,
+                                spp_per_pass=min(config.spp_per_pass, args.spp))
+
+    log.info("rendering %dx%d spp=%d depth=%d mode=%s on %s",
+             config.width, config.height, config.spp, config.max_depth,
+             config.color_mode, jax.devices()[0].platform)
+    t0 = time.time()
+    img = render(scene, config)
+    img.block_until_ready()
+    dt = time.time() - t0
+    n_rays = config.width * config.height * config.spp * \
+        (1 + 2 * (config.max_depth - 1))
+    log.info("rendered in %.2fs (%.1f Mrays/s)", dt, n_rays / dt / 1e6)
+
+    out = args.output or (args.scene.rsplit(".", 1)[0] + ".exr")
+    io_bitmap.write(out, __import__("numpy").asarray(img))
+    log.info("wrote %s", out)
+
+    for aov in args.aov:
+        aovs = render_aovs(scene, config, aovs=(aov,))
+        path = out.rsplit(".", 1)[0] + f"_{aov}.exr"
+        io_bitmap.write_exr(path, __import__("numpy").asarray(aovs[aov]))
+        log.info("wrote %s", path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,7 +37,7 @@ from ..core.geometry import Frame
 from . import fresnel as fr
 from . import ior as ior_mod
 from . import microfacet as mf
-from .spectra import SLOT_W, eval_spectrum_slot, pack_spectrum_slot
+from .spectra import SLOT_W, eval_spectrum_slot, pack_color
 
 MAT_W = 32
 
@@ -90,14 +90,12 @@ def _slot(data, i):
 
 
 def _spec(data, i, si, config):
-    return eval_spectrum_slot(_slot(data, i), si.wavelengths, config.color_mode)
+    return eval_spectrum_slot(_slot(data, i), si.wavelengths, config.color_mode,
+                              tex=si.tex, uv=si.uv)
 
 
 def _rgb_slot(rgb_or_desc, illuminant=False) -> np.ndarray:
-    v = rgb_or_desc
-    if isinstance(v, (int, float)):
-        v = [v, v, v]
-    return pack_spectrum_slot(v, illuminant=illuminant)
+    return pack_color(rgb_or_desc, illuminant=illuminant)
 
 
 # ===========================================================================
@@ -798,6 +796,29 @@ class Blend:
         pb = _pdf_leaf(scene, scene.mat_type[ib], scene.mat_data[ib], si, wo, config)
         return (1.0 - w) * pa + w * pb
 
+
+# Differentiable-parameter layout per family (name -> location in the row),
+# consumed by diff/params.py's traverse(). ("slot", k): RGB at cols
+# [8k, 8k+3) of spectrum slot k; ("scalar", c): one float at col c.
+Diffuse.param_spec = {"reflectance": ("slot", 0)}
+Conductor.param_spec = {"eta": ("slot", 0), "k": ("slot", 1),
+                        "specular_reflectance": ("slot", 2)}
+RoughConductor.param_spec = {**Conductor.param_spec,
+                             "alpha_u": ("scalar", 24),
+                             "alpha_v": ("scalar", 25)}
+Dielectric.param_spec = {"specular_reflectance": ("slot", 0),
+                         "specular_transmittance": ("slot", 1),
+                         "eta": ("scalar", 24)}
+ThinDielectric.param_spec = dict(Dielectric.param_spec)
+RoughDielectric.param_spec = {**Dielectric.param_spec,
+                              "alpha_u": ("scalar", 25),
+                              "alpha_v": ("scalar", 26)}
+Plastic.param_spec = {"diffuse_reflectance": ("slot", 0),
+                      "specular_reflectance": ("slot", 1)}
+RoughPlastic.param_spec = {**Plastic.param_spec, "alpha": ("scalar", 29)}
+Null.param_spec = {}
+Mask.param_spec = {"opacity": ("slot", 2)}
+Blend.param_spec = {"weight": ("scalar", 29)}
 
 LEAF_FAMILIES = {c.id: c for c in
                  (Diffuse, Conductor, RoughConductor, Dielectric,

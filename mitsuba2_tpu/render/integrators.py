@@ -106,7 +106,7 @@ def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
         # Emitter hit along the BSDF ray, MIS-weighted against NEE
         delta_sample = (bs.sampled_flags & bsdf_mod.F_DELTA) != 0
         em_pdf_hit = emitters.pdf_direction_hit(scene, si.p, si_next, config)
-        em_pdf_env = emitters.pdf_direction_env(scene, config, N)
+        em_pdf_env = emitters.pdf_direction_env(scene, config, bounce_d)
         em_pdf = jnp.where(si_next.valid, em_pdf_hit, em_pdf_env)
         em_pdf = jnp.where(delta_sample, 0.0, em_pdf)
         w_bsdf = mis_weight(bs.pdf, em_pdf)
@@ -133,6 +133,72 @@ def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
     return result, sampler
 
 
+def sample_depth(scene, ray: Ray, config: RenderConfig) -> jnp.ndarray:
+    """`depth` integrator (src/integrators/depth.cpp): hit distance, 0 on
+    miss."""
+    from ..scene import scene as scene_mod
+    si = scene_mod.ray_intersect(scene, ray)
+    return jnp.where(si.valid, si.t, 0.0)[..., None]
+
+
+AOV_CHANNELS = {"depth": 1, "position": 3, "sh_normal": 3, "geo_normal": 3,
+                "uv": 2, "prim_index": 1, "shape_index": 1, "albedo": None}
+
+
+def sample_aovs(scene, ray: Ray, config: RenderConfig, aovs: Tuple[str, ...]):
+    """`aov` integrator (src/integrators/aov.cpp): arbitrary geometric
+    output variables from the first hit."""
+    from ..scene import scene as scene_mod
+    si = scene_mod.ray_intersect(scene, ray)
+    v = si.valid
+    out = {}
+    for name in aovs:
+        if name == "depth":
+            out[name] = jnp.where(v, si.t, 0.0)[..., None]
+        elif name == "position":
+            out[name] = jnp.where(v[..., None], si.p, 0.0)
+        elif name == "sh_normal":
+            out[name] = jnp.where(v[..., None], si.sh_frame.n, 0.0)
+        elif name == "geo_normal":
+            out[name] = jnp.where(v[..., None], si.n, 0.0)
+        elif name == "uv":
+            out[name] = jnp.where(v[..., None], si.uv, 0.0)
+        elif name == "prim_index":
+            out[name] = si.prim_index.astype(jnp.float32)[..., None]
+        elif name == "shape_index":
+            out[name] = si.shape.astype(jnp.float32)[..., None]
+        else:
+            raise ValueError(f"unknown aov {name!r}")
+    return out
+
+
+def render_aovs(scene, config: RenderConfig,
+                aovs: Tuple[str, ...] = ("depth", "sh_normal", "position"),
+                seed: int = None):
+    """AOV render: one pass, box filter. Returns {name: (H, W, C) image}."""
+    if seed is None:
+        seed = config.seed
+    H, W = config.height, config.width
+    sppc = min(config.spp_per_pass, config.spp)
+
+    @partial(jax.jit, static_argnames=("aovs_",))
+    def pass_fn(scene, seed, aovs_):
+        n = sppc * H * W
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        sampler = Sampler.seed(seed, lane_idx=lane)
+        pix = jnp.arange(n, dtype=jnp.int32) % (H * W)
+        x = (pix % W).astype(jnp.float32)
+        y = (pix // W).astype(jnp.float32)
+        jitter, sampler = sampler.next_2d()
+        uv = sensors.film_uv(x, y, jitter, W, H)
+        ray = sensors.sample_ray(scene, uv, None, None)
+        outs = sample_aovs(scene, ray, config, aovs_)
+        return {k: v.reshape(sppc, H, W, v.shape[-1]).mean(0)
+                for k, v in outs.items()}
+
+    return pass_fn(scene, jnp.uint32(seed), tuple(aovs))
+
+
 def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One jitted pass: (spp_per_pass x H x W) lanes -> (H, W, C) + weights."""
     H, W = config.height, config.width
@@ -154,7 +220,11 @@ def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.nda
         wl = jnp.zeros((n, 0), jnp.float32)
         wl_pdf = None
 
-    ray = sensors.perspective_ray(scene, uv, wavelengths=wl)
+    if scene.cam_type == "thinlens":
+        u_lens, sampler = sampler.next_2d()
+    else:
+        u_lens = None
+    ray = sensors.sample_ray(scene, uv, u_lens, wavelengths=wl)
     spec, sampler = sample_path(scene, ray, sampler, config)
 
     if config.color_mode == "spectral":
@@ -189,3 +259,31 @@ def render(scene, config: RenderConfig, seed: int = None) -> jnp.ndarray:
         image = img_p if image is None else image + img_p
         wsum = w_p if wsum is None else wsum + w_p
     return film_mod.develop(image, wsum)
+
+
+def render_direct(scene, config: RenderConfig, seed: int = None) -> jnp.ndarray:
+    """`direct` integrator (src/integrators/direct.cpp): one-bounce MIS
+    direct illumination == the path tracer truncated at depth 2."""
+    return render(scene, config.replace(max_depth=2), seed)
+
+
+def render_with_variance(scene, config: RenderConfig, seed: int = None):
+    """`moment` integrator (src/integrators/moment.cpp): accumulate the 2nd
+    sample moment alongside the mean. Returns (mean, variance-of-the-mean);
+    variance is estimated across passes, so it requires >= 2 passes."""
+    if seed is None:
+        seed = config.seed
+    sppc = min(config.spp_per_pass, config.spp)
+    config = config.replace(spp_per_pass=sppc)
+    n_passes = (config.spp + sppc - 1) // sppc
+    m1 = m2 = wsum = None
+    for p in range(n_passes):
+        img_p, w_p = _render_pass_jit(
+            scene, config, jnp.uint32((seed * 0x9E3779B1 + p) & 0xFFFFFFFF))
+        img_p = film_mod.develop(img_p, w_p)
+        m1 = img_p if m1 is None else m1 + img_p
+        m2 = img_p ** 2 if m2 is None else m2 + img_p ** 2
+    mean = m1 / n_passes
+    var_pass = m2 / n_passes - mean ** 2  # variance of one pass estimate
+    var_mean = var_pass / max(n_passes - 1, 1)
+    return mean, var_mean

@@ -43,6 +43,9 @@ class SurfaceInteraction:
     shape: jnp.ndarray       # (N,) int32 shape index, -1 = none
     prim_index: jnp.ndarray  # (N,) int32
     wavelengths: jnp.ndarray  # (N, C)
+    # Texture atlas reference (scene.textures), threaded through so textured
+    # spectrum slots can gather at si.uv; None = scene has no textures.
+    tex: object = None
 
     def to_world(self, v):
         return self.sh_frame.to_world(v)

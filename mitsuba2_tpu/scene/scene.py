@@ -74,6 +74,11 @@ class SceneData:
     # --- sensor -------------------------------------------------------------------
     cam_to_world: jnp.ndarray  # (4, 4)
     cam_fov_x: jnp.ndarray     # () degrees
+    cam_data: jnp.ndarray = None  # (4,) [aperture, focus_dist, ortho_sx, ortho_sy]
+    # --- textures (None = scene has no textured parameters) -----------------------
+    textures: Any = None
+    # --- environment map (None = constant env or none) -----------------------------
+    envmap: Any = None
     # --- static metadata (not traced) ----------------------------------------------
     mat_families: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     n_emitters: int = struct.field(pytree_node=False, default=0)
@@ -81,6 +86,10 @@ class SceneData:
     n_shapes: int = struct.field(pytree_node=False, default=0)
     has_spheres: bool = struct.field(pytree_node=False, default=True)
     emitter_kinds: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    cam_type: str = struct.field(pytree_node=False, default="perspective")
+    # Differentiable-parameter index (diff/params.py traverse):
+    # tuple of (name, table_attr, row, col0, col1, kind)
+    param_paths: Tuple = struct.field(pytree_node=False, default=())
 
     @property
     def n_prims(self) -> int:
@@ -96,6 +105,17 @@ def build_scene(shapes: List[MeshData], sensor: dict,
     """Pack shapes + sensor (+ shapeless emitters like `constant`) into a
     frozen SceneData. Mirrors Scene::Scene(Properties) + accel build
     (scene.cpp), emitter set_scene hooks, and area-CDF precomputation."""
+    from ..render import spectra as spectra_mod
+    from ..render import texture as texture_mod
+    staging = spectra_mod.begin_texture_staging()
+    try:
+        return _build_scene_impl(shapes, sensor, emitters,
+                                 staging, texture_mod)
+    finally:
+        spectra_mod.end_texture_staging()
+
+
+def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod):
     # --- materials (dedupe identical descriptors; wrappers append children) --
     mats, mat_key2idx = [], {}
 
@@ -189,15 +209,20 @@ def build_scene(shapes: List[MeshData], sensor: dict,
     emitter_types = np.zeros(E, np.int32)
     emitter_shapes = np.full(E, -1, np.int32)
     env_emitter = -1
+    envmap_data = None
     shape_of_emitter = {}
     for e_idx, (desc, s_idx) in enumerate(emitter_descs):
-        etype, row = emitters_mod.pack_emitter(desc)
+        etype, row, aux = emitters_mod.pack_emitter(desc)
         emitter_types[e_idx] = etype
         emitter_rows[e_idx] = row
         emitter_shapes[e_idx] = s_idx
         shape_of_emitter[e_idx] = s_idx
         if etype in (emitters_mod.CONSTANT, emitters_mod.ENVMAP):
+            if env_emitter >= 0:
+                raise ValueError("only one environment emitter is supported")
             env_emitter = e_idx
+        if aux is not None:
+            envmap_data = aux
 
     # per-emitter prim CDFs (area-weighted NEE sampling over shape prims)
     Fmax = 1
@@ -225,6 +250,56 @@ def build_scene(shapes: List[MeshData], sensor: dict,
     # --- sensor -------------------------------------------------------------------
     cam_to_world = np.asarray(sensor["to_world"], np.float32).reshape(4, 4)
     fov_x = float(sensor.get("fov", 45.0))
+    cam_type = sensor.get("type", "perspective")
+    if cam_type == "orthographic":
+        # extent from the to_world scale columns (sensors/orthographic.cpp)
+        sx = float(np.linalg.norm(cam_to_world[:3, 0]))
+        sy = float(np.linalg.norm(cam_to_world[:3, 1]))
+        cam_to_world = cam_to_world.copy()
+        cam_to_world[:3, 0] /= max(sx, 1e-20)
+        cam_to_world[:3, 1] /= max(sy, 1e-20)
+        cam_data = np.array([0, 0, sx, sy], np.float32)
+    else:
+        cam_data = np.array([float(sensor.get("aperture_radius", 0.0)),
+                             float(sensor.get("focus_distance", 1.0)),
+                             0, 0], np.float32)
+
+    # --- texture atlas ----------------------------------------------------------
+    atlas = texture_mod.pack_atlas(tex_staging)
+
+    # --- differentiable-parameter index (mitsuba's traverse() paths) ------------
+    param_paths = []
+
+    def _add_mat_params(prefix, m_idx):
+        cls = bsdf_mod.FAMILIES[mats[m_idx][0]]
+        for pname, (ptype, loc) in getattr(cls, "param_spec", {}).items():
+            if ptype == "slot":
+                c0 = loc * bsdf_mod.SLOT_W
+                param_paths.append((f"{prefix}.{pname}", "mat_data",
+                                    m_idx, c0, c0 + 3, "rgb"))
+            else:
+                param_paths.append((f"{prefix}.{pname}", "mat_data",
+                                    m_idx, loc, loc + 1, "scalar"))
+
+    seen_rows = set()
+    for s_idx, sh in enumerate(shapes):
+        sid = sh.id or f"shape{s_idx}"
+        m_idx = shape_mat[s_idx]
+        if m_idx not in seen_rows:
+            seen_rows.add(m_idx)
+            _add_mat_params(f"{sid}.bsdf", m_idx)
+    for e_idx, (desc, s_idx) in enumerate(emitter_descs):
+        pname = emitters_mod.PARAM_NAME.get(emitter_types[e_idx])
+        if pname is None:
+            continue
+        ename = (f"{shapes[s_idx].id or f'shape{s_idx}'}.emitter"
+                 if s_idx >= 0 else desc.get("id") or f"emitter{e_idx}")
+        param_paths.append((f"{ename}.{pname}", "emitter_data",
+                            e_idx, 0, 3, "rgb"))
+    for t_idx, tb in enumerate(tex_staging):
+        tname = tb.name or f"texture{t_idx}"
+        param_paths.append((f"{tname}.data", "textures.data",
+                            t_idx, -1, -1, "image"))
 
     dev = jnp.asarray
     return SceneData(
@@ -244,12 +319,16 @@ def build_scene(shapes: List[MeshData], sensor: dict,
         emitter_shape=dev(emitter_shapes), emitter_prims=dev(emitter_prims),
         emitter_prim_cdf=dev(emitter_cdf), emitter_area=dev(emitter_area),
         cam_to_world=dev(cam_to_world), cam_fov_x=jnp.float32(fov_x),
+        cam_data=dev(cam_data), cam_type=cam_type,
+        textures=atlas,
+        envmap=envmap_data,
         mat_families=tuple(sorted({mt[0] for mt in mats})),
         n_emitters=len(emitter_descs),
         env_emitter=env_emitter,
         n_shapes=len(shapes),
         has_spheres=bool((ptype == PRIM_SPHERE).any()),
-        emitter_kinds=tuple(sorted(set(emitter_types[:len(emitter_descs)].tolist()))))
+        emitter_kinds=tuple(sorted(set(emitter_types[:len(emitter_descs)].tolist()))),
+        param_paths=tuple(param_paths))
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +387,8 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
         wi=sh_frame.to_local(wi_world),
         shape=jnp.where(valid, scene.prim_shape[idx], -1),
         prim_index=jnp.where(valid, idx, -1),
-        wavelengths=ray.wavelengths)
+        wavelengths=ray.wavelengths,
+        tex=scene.textures)
     return si
 
 

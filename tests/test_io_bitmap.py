@@ -1,0 +1,57 @@
+"""Bitmap I/O round-trips (src/libcore/tests/test_bitmap.py analog)."""
+import numpy as np
+import pytest
+
+from mitsuba2_tpu.core import io_bitmap as io
+
+
+@pytest.fixture
+def img():
+    rng = np.random.default_rng(7)
+    return (rng.uniform(0, 4, (33, 17, 3)) ** 2).astype(np.float32)
+
+
+def test_exr_roundtrip_float(tmp_path, img):
+    p = str(tmp_path / "t.exr")
+    io.write_exr(p, img, half=False)
+    out = io.read_exr(p)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_exr_roundtrip_half(tmp_path, img):
+    p = str(tmp_path / "t.exr")
+    io.write_exr(p, img, half=True)
+    out = io.read_exr(p)
+    # exactly the float16 quantization, nothing more
+    np.testing.assert_array_equal(out, img.astype(np.float16).astype(np.float32))
+
+
+def test_exr_single_channel(tmp_path):
+    img = np.linspace(0, 10, 64, dtype=np.float32).reshape(8, 8)
+    p = "/tmp/claude-0/t1.exr"
+    import os
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    io.write_exr(p, img, half=False)
+    out = io.read_exr(p)
+    np.testing.assert_array_equal(out[..., 0], img)
+
+
+def test_pfm_roundtrip(tmp_path, img):
+    p = str(tmp_path / "t.pfm")
+    io.write_pfm(p, img)
+    np.testing.assert_array_equal(io.read_pfm(p), img)
+
+
+def test_png_roundtrip(tmp_path):
+    img = np.clip(np.random.default_rng(1).uniform(0, 1, (16, 16, 3)), 0, 1)
+    img = img.astype(np.float32)
+    p = str(tmp_path / "t.png")
+    io.write(p, img)
+    out = io.srgb_to_linear(io.read(p))
+    np.testing.assert_allclose(out, img, atol=0.01)
+
+
+def test_srgb_transfer_involution():
+    x = np.linspace(0, 1, 256, dtype=np.float32)
+    np.testing.assert_allclose(io.srgb_to_linear(io.linear_to_srgb(x)), x,
+                               atol=1e-6)

@@ -1,0 +1,123 @@
+"""XML / dict scene loader tests (src/libcore/tests/test_xml.py analog)."""
+import numpy as np
+import pytest
+
+from mitsuba2_tpu.render.integrators import render
+from mitsuba2_tpu.scene import loader
+
+CBOX_XML = """
+<scene version="2.0.0">
+  <default name="spp" value="8"/>
+  <integrator type="path">
+    <integer name="max_depth" value="$depth"/>
+  </integrator>
+  <sensor type="perspective">
+    <float name="fov" value="39.5"/>
+    <transform name="to_world">
+      <lookat origin="0.5 0.5 -1.39" target="0.5 0.5 0.5" up="0 1 0"/>
+    </transform>
+    <film type="hdrfilm">
+      <integer name="width" value="24"/>
+      <integer name="height" value="24"/>
+    </film>
+    <sampler type="independent">
+      <integer name="sample_count" value="$spp"/>
+    </sampler>
+  </sensor>
+  <bsdf type="diffuse" id="white">
+    <rgb name="reflectance" value="0.73 0.735 0.729"/>
+  </bsdf>
+  <shape type="rectangle" id="floor">
+    <transform name="to_world">
+      <rotate x="1" angle="-90"/>
+      <scale value="0.5"/>
+      <translate x="0.5" y="0" z="0.5"/>
+    </transform>
+    <ref id="white"/>
+  </shape>
+  <shape type="rectangle" id="light">
+    <transform name="to_world">
+      <rotate x="1" angle="90"/>
+      <scale value="0.13"/>
+      <translate x="0.5" y="0.9995" z="0.5"/>
+    </transform>
+    <ref id="white"/>
+    <emitter type="area">
+      <rgb name="radiance" value="18.4 15.6 8.0"/>
+    </emitter>
+  </shape>
+</scene>
+"""
+
+
+def test_load_string_renders():
+    scene, config = loader.load_string(CBOX_XML, depth=3)
+    assert config.max_depth == 3
+    assert config.spp == 8
+    assert (config.width, config.height) == (24, 24)
+    assert scene.n_shapes == 2
+    img = np.asarray(render(scene, config))
+    assert img.shape == (24, 24, 3)
+    assert img.max() > 0.0  # light visible / floor lit
+    assert np.isfinite(img).all()
+
+
+def test_default_override():
+    _, config = loader.load_string(CBOX_XML, depth=2, spp=4)
+    assert config.spp == 4
+
+
+def test_undefined_param_raises():
+    with pytest.raises(ValueError, match="undefined parameter"):
+        loader.load_string(CBOX_XML)  # $depth not provided
+
+
+def test_undefined_ref_raises():
+    xml = """<scene version="2.0.0">
+      <shape type="sphere"><ref id="nope"/></shape></scene>"""
+    with pytest.raises(ValueError, match="undefined reference"):
+        loader.load_string(xml)
+
+
+def test_transform_composition():
+    """scale-then-translate must place the unit rect at [0,1]^2 in xz."""
+    scene, config = loader.load_string(CBOX_XML, depth=2)
+    floor_prims = np.asarray(scene.prim_shape) == 0
+    p0 = np.asarray(scene.prim_p0)[floor_prims]
+    e1 = np.asarray(scene.prim_e1)[floor_prims]
+    e2 = np.asarray(scene.prim_e2)[floor_prims]
+    pts = np.concatenate([p0, p0 + e1, p0 + e2])
+    assert pts[:, 0].min() >= -1e-4 and pts[:, 0].max() <= 1 + 1e-4
+    np.testing.assert_allclose(pts[:, 1], 0, atol=1e-6)
+
+
+def test_load_dict():
+    scene, config = loader.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 40.0,
+                   "to_world": np.eye(4),
+                   "film": {"width": 16, "height": 16},
+                   "sampler": {"sample_count": 4}},
+        "white": {"type": "diffuse", "reflectance": [0.8, 0.8, 0.8]},
+        "ball": {"type": "sphere", "center": [0, 0, 3], "radius": 1.0,
+                 "bsdf": "white"},
+        "env": {"type": "constant", "radiance": [0.5, 0.5, 0.5]},
+    })
+    assert config.max_depth == 2 and config.spp == 4
+    img = np.asarray(render(scene, config))
+    assert img.shape == (16, 16, 3)
+    assert img.max() > 0.1
+
+
+def test_load_file_with_include(tmp_path):
+    inc = tmp_path / "mat.xml"
+    inc.write_text("""<scene version="2.0.0">
+      <bsdf type="diffuse" id="white">
+        <rgb name="reflectance" value="0.8 0.8 0.8"/></bsdf></scene>""")
+    main = tmp_path / "main.xml"
+    main.write_text("""<scene version="2.0.0">
+      <include filename="mat.xml"/>
+      <shape type="sphere"><ref id="white"/></shape></scene>""")
+    scene, _ = loader.load_file(str(main))
+    assert scene.n_shapes == 1

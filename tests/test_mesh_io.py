@@ -1,0 +1,87 @@
+"""Mesh loader round-trips (obj/ply/serialized — src/shapes tests analog)."""
+import numpy as np
+
+from mitsuba2_tpu.scene import mesh_io, shapes
+
+
+def _cube():
+    return shapes.cube()
+
+
+def test_obj_roundtrip(tmp_path):
+    p = str(tmp_path / "m.obj")
+    cube = _cube()
+    with open(p, "w") as f:
+        for v in cube.vertices:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for n in cube.normals:
+            f.write(f"vn {n[0]} {n[1]} {n[2]}\n")
+        for uv in cube.uvs:
+            f.write(f"vt {uv[0]} {uv[1]}\n")
+        for face in cube.faces:
+            f.write("f " + " ".join(f"{i+1}/{i+1}/{i+1}" for i in face) + "\n")
+    m = mesh_io.load_obj(p, flip_tex_coords=False)
+    assert m.faces.shape == cube.faces.shape
+    # same triangle soup (vertex order may differ)
+    a = np.sort(m.vertices[m.faces].reshape(-1, 9), axis=0)
+    b = np.sort(cube.vertices[cube.faces].reshape(-1, 9), axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert m.normals is not None and m.uvs is not None
+
+
+def test_obj_quad_triangulation_and_negative_indices(tmp_path):
+    p = str(tmp_path / "q.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n")
+        f.write("f -4 -3 -2 -1\n")  # quad with negative indices
+    m = mesh_io.load_obj(p)
+    assert m.faces.shape == (2, 3)
+    assert m.vertices.shape == (4, 3)
+
+
+def test_ply_binary_roundtrip(tmp_path):
+    cube = _cube()
+    p = str(tmp_path / "m.ply")
+    with open(p, "wb") as f:
+        hdr = (f"ply\nformat binary_little_endian 1.0\n"
+               f"element vertex {len(cube.vertices)}\n"
+               "property float x\nproperty float y\nproperty float z\n"
+               "property float nx\nproperty float ny\nproperty float nz\n"
+               "property float u\nproperty float v\n"
+               f"element face {len(cube.faces)}\n"
+               "property list uchar int vertex_indices\nend_header\n")
+        f.write(hdr.encode())
+        inter = np.concatenate([cube.vertices, cube.normals, cube.uvs], -1)
+        f.write(inter.astype("<f4").tobytes())
+        for face in cube.faces:
+            f.write(bytes([3]) + face.astype("<i4").tobytes())
+    m = mesh_io.load_ply(p)
+    np.testing.assert_allclose(m.vertices, cube.vertices)
+    np.testing.assert_allclose(m.normals, cube.normals)
+    np.testing.assert_allclose(m.uvs, cube.uvs)
+    np.testing.assert_array_equal(m.faces, cube.faces)
+
+
+def test_ply_ascii(tmp_path):
+    p = str(tmp_path / "a.ply")
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex 3\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "element face 1\n"
+                "property list uchar int vertex_indices\nend_header\n"
+                "0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    m = mesh_io.load_ply(p)
+    assert m.vertices.shape == (3, 3)
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2]])
+
+
+def test_serialized_roundtrip(tmp_path):
+    cube = _cube()
+    p = str(tmp_path / "m.serialized")
+    mesh_io.save_serialized(p, cube, name="cube")
+    m = mesh_io.load_serialized(p)
+    np.testing.assert_allclose(m.vertices, cube.vertices)
+    np.testing.assert_allclose(m.normals, cube.normals)
+    np.testing.assert_allclose(m.uvs, cube.uvs)
+    np.testing.assert_array_equal(m.faces, cube.faces)
+    assert m.id == "cube"
