@@ -29,6 +29,9 @@ class RenderConfig:
     rfilter: str = "box"              # box | tent | gaussian | mitchell | catmullrom | lanczos
     hide_emitters: bool = False
     sampler: str = "independent"
+    integrator: str = "path"          # path | volpath
+    remat: bool = False               # checkpoint each bounce (adjoint memory)
+    compact: bool = False             # sort wavefront between bounces (kernels/compact.py)
 
     def __post_init__(self):
         if self.color_mode not in COLOR_MODES:

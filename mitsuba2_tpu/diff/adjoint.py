@@ -1,0 +1,138 @@
+"""Adjoint (radiative-backprop-style) differentiable rendering.
+
+TPU-native rebuild of the reference's differentiable-rendering entry
+(src/python/python/autodiff.py::render + the Radiative Backpropagation
+follow-up, Nimier-David 2020, which upstream shipped on a branch). The
+reference's enoki tape records every arithmetic op of the forward render
+and replays it backward — O(wavefront x depth) tape memory. Radiative
+backprop instead re-traces paths in the backward sweep, propagating the
+adjoint radiance dLoss/dImage and scatter-adding into scene parameters.
+
+The XLA-native formulation used here has the same structure and memory
+behavior, in two nested pieces:
+
+1. PASS-LEVEL two-phase schedule (`render_and_grad`): phase 1 renders all
+   spp passes WITHOUT a tape and computes the adjoint image deltaL =
+   dLoss/dImage once; phase 2 re-traces each pass under jax.vjp with
+   deltaL as the cotangent, accumulating parameter gradients pass by pass.
+   Peak memory = ONE pass's tape, independent of total spp.
+2. BOUNCE-LEVEL rematerialization (config.remat -> jax.checkpoint around
+   each bounce in integrators._path_bounce): the pass tape itself shrinks
+   from O(wavefront x depth) to O(wavefront); the backward sweep re-traces
+   each bounce — exactly radiative backprop's "replay the path" step.
+
+Intersections are detached (stop_gradient on hit geometry happens
+naturally: prim gathers are integer-indexed), so gradients flow through
+shading/texture/emission only — matching the reference's gpu_autodiff
+behavior (SURVEY.md §3.3). Visibility gradients are the reparameterized
+integrator's job (diff/reparam.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..render import film as film_mod
+from ..render.integrators import render_pass
+
+
+def diff_tables(scene) -> Dict[str, jnp.ndarray]:
+    """The differentiable-leaf sub-pytree of a scene (the gradient targets:
+    material table, emitter table, texture atlas, envmap image/scale)."""
+    t = {"mat_data": scene.mat_data, "emitter_data": scene.emitter_data}
+    if scene.textures is not None:
+        t["tex_data"] = scene.textures.data
+    if scene.envmap is not None:
+        t["env_image"] = scene.envmap.image
+        t["env_scale"] = scene.envmap.scale
+    return t
+
+
+def with_tables(scene, tables: Dict[str, jnp.ndarray]):
+    """Functionally install diff tables back into the scene pytree."""
+    scene = scene.replace(mat_data=tables["mat_data"],
+                          emitter_data=tables["emitter_data"])
+    if "tex_data" in tables:
+        scene = scene.replace(
+            textures=scene.textures.replace(data=tables["tex_data"]))
+    if "env_image" in tables:
+        scene = scene.replace(
+            envmap=scene.envmap.replace(image=tables["env_image"],
+                                        scale=tables["env_scale"]))
+    return scene
+
+
+def _pass_seed(seed: int, p: int):
+    return jnp.uint32((seed * 0x9E3779B1 + p) & 0xFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _forward_pass(scene, config, seed_p):
+    return render_pass(scene, config, seed_p)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _adjoint_pass(scene, config, seed_p, ct_image):
+    """Re-trace one pass under vjp with the adjoint image as cotangent.
+
+    ct_image = dLoss/d(pass image sum); the filter-weight output gets a
+    zero cotangent (weights do not depend on scene parameters)."""
+    tables = diff_tables(scene)
+
+    def f(tb):
+        img_p, w_p = render_pass(with_tables(scene, tb), config, seed_p)
+        return img_p
+
+    _, vjp_fn = jax.vjp(f, tables)
+    return vjp_fn(ct_image)[0]
+
+
+def render_and_grad(scene, config: RenderConfig,
+                    loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                    seed: int = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """Differentiable render with pass-level adjoint accumulation.
+
+    Returns (image, loss, grads) where grads matches diff_tables(scene).
+    Memory: one pass's (rematerialized) tape, for any spp.
+    """
+    if seed is None:
+        seed = config.seed
+    config = config.replace(remat=True)
+    sppc = min(config.spp_per_pass, config.spp)
+    config = config.replace(spp_per_pass=sppc)
+    n_passes = (config.spp + sppc - 1) // sppc
+
+    # ---- phase 1: forward accumulation (tape-free) -------------------------
+    image_sum = wsum = None
+    for p in range(n_passes):
+        img_p, w_p = _forward_pass(scene, config, _pass_seed(seed, p))
+        image_sum = img_p if image_sum is None else image_sum + img_p
+        wsum = w_p if wsum is None else wsum + w_p
+    image = film_mod.develop(image_sum, wsum)
+
+    # ---- adjoint image (deltaL in radiative-backprop terms) ----------------
+    loss, dL_dimage = jax.value_and_grad(loss_fn)(image)
+    # d develop / d img_p = 1 / wsum (weights are theta-independent)
+    if jnp.ndim(wsum) == 0:
+        ct_image = dL_dimage / jnp.maximum(wsum, 1e-8)
+    else:
+        ct_image = dL_dimage / jnp.maximum(wsum, 1e-8)[..., None]
+
+    # ---- phase 2: adjoint passes ------------------------------------------
+    grads = None
+    for p in range(n_passes):
+        g_p = _adjoint_pass(scene, config, _pass_seed(seed, p), ct_image)
+        grads = g_p if grads is None else jax.tree.map(jnp.add, grads, g_p)
+
+    return image, loss, grads
+
+
+def render_l2_grad(scene, config: RenderConfig, target, seed: int = None):
+    """Convenience: L2 loss against a target image (the invert_cbox loop)."""
+    return render_and_grad(
+        scene, config, lambda img: jnp.mean((img - target) ** 2), seed)

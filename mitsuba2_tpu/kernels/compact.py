@@ -1,0 +1,63 @@
+"""Path-state compaction / wavefront sorting.
+
+SURVEY.md §5.7's named subsystem: the reference masks dead lanes per bounce
+without compaction (a known inefficiency of its megakernel design); the
+TPU rebuild instead PERMUTES the wavefront between bounces, keeping shapes
+static (§7.3 item 3 — pack, don't shrink):
+
+- dead lanes sort to the back (so packet blocks at the front stay dense);
+- live lanes sort by the Morton code of their hit position, which makes
+  the next bounce's shadow + continuation rays spatially coherent — the
+  property the block-synchronous Pallas packet kernel (traverse_pallas.py)
+  converts into node-culling efficiency.
+
+Permuting EVERY per-lane state array (including the PCG32 sampler state)
+preserves each lane's computation bit-exactly; the integrator carries the
+original lane index and unsorts the radiance at the end.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _part1by2(x):
+    """Spread bits of a 10-bit int: b9..b0 -> b9 0 0 b8 0 0 ... (Morton)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton3(p, lo, hi):
+    """(N, 3) points in [lo, hi]^3 -> 30-bit Morton codes (math.h::morton)."""
+    t = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
+    q = (t * 1023.0).astype(jnp.uint32)
+    return (_part1by2(q[..., 0]) |
+            (_part1by2(q[..., 1]) << 1) |
+            (_part1by2(q[..., 2]) << 2))
+
+
+def compaction_order(active, p, bb_min, bb_max):
+    """Permutation: live lanes first, Morton-ordered by position `p`.
+
+    Returns (N,) int32 `perm` such that arr[perm] is the compacted layout.
+    """
+    key = morton3(p, bb_min, bb_max)
+    key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))  # dead to the back
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def permute(tree, perm):
+    """Apply a lane permutation to every per-lane array of a pytree."""
+    n = perm.shape[0]
+    return jax.tree.map(
+        lambda a: a[perm] if (hasattr(a, "shape") and a.ndim >= 1 and
+                              a.shape[0] == n) else a, tree)
+
+
+def unsort(values, orig_lane):
+    """Scatter per-lane values back to their original lane order."""
+    return jnp.zeros_like(values).at[orig_lane].set(values)

@@ -1,0 +1,304 @@
+"""Pallas TPU packet-traversal kernel for the threaded BVH.
+
+The TPU-native replacement for the reference's acceleration backends
+(OptiX RT cores in scene_optix.inl, Embree/kd-tree on CPU) — SURVEY.md
+§7.3 hard part #1. The design is BLOCK-SYNCHRONOUS PACKET TRAVERSAL,
+the TPU-shaped reincarnation of mitsuba2's SIMD packet variant (Enoki
+`Packet<float,16>`, §2.6 P1) rather than a per-lane SIMT walk:
+
+- each grid step owns a block of 8x128 = 1024 rays (one f32 VPU tile);
+- ONE scalar node cursor walks the skip-link BVH for the whole block
+  (scalar loads from VMEM; the while_loop is scalar control flow);
+- the AABB slab test runs vectorized across all 1024 lanes; the block
+  descends if ANY lane hits (lane vote);
+- leaf prims stream in as scalars and are tested against all lanes with
+  Möller-Trumbore / sphere quadratics on the VPU.
+
+Coherent packets (primary rays, shadow rays to one emitter) prune like a
+scalar BVH; fully incoherent packets degrade toward brute force — the
+caller sorts/compacts the wavefront to keep packets coherent
+(kernels/compact.py). The pure-jnp per-lane walker (traverse_jnp.py) is
+the oracle; `interpret=True` runs this kernel on CPU for CI.
+
+Memory layout (host-packed once per scene, cached by id):
+    node_f: (B, 8)  f32  [min.xyz, max.xyz, 0, 0]
+    node_i: (B, 4)  i32  [leaf_start, leaf_count, miss, 0]
+    prim_f: (P, 12) f32  [p0.xyz, e1.xyz, e2.xyz, type, 0, 0]
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.bvh import LEAF_K
+
+BLOCK = 1024          # rays per grid step = one (8, 128) f32 tile
+_SUB, _LANE = 8, 128
+
+
+def _pack_tables(scene):
+    """SceneData BVH/prim arrays -> kernel tables (traced, fuses to copies)."""
+    B = scene.bvh_min.shape[0]
+    P = scene.prim_p0.shape[0]
+    node_f = jnp.concatenate(
+        [scene.bvh_min, scene.bvh_max, jnp.zeros((B, 2), jnp.float32)], -1)
+    node_i = jnp.stack(
+        [scene.bvh_leaf_start, scene.bvh_leaf_count, scene.bvh_miss,
+         jnp.zeros(B, jnp.int32)], -1)
+    prim_f = jnp.concatenate(
+        [scene.prim_p0, scene.prim_e1, scene.prim_e2,
+         scene.prim_type.astype(jnp.float32)[:, None],
+         jnp.zeros((P, 2), jnp.float32)], -1)
+    return node_f, node_i, prim_f
+
+
+def _slab(nf, ox, oy, oz, ix, iy, iz, t_best):
+    """Vectorized AABB slab test of one node against the lane block."""
+    t0x = (nf[0, 0] - ox) * ix
+    t1x = (nf[0, 3] - ox) * ix
+    t0y = (nf[0, 1] - oy) * iy
+    t1y = (nf[0, 4] - oy) * iy
+    t0z = (nf[0, 2] - oz) * iz
+    t1z = (nf[0, 5] - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.minimum(t0z, t1z))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                   jnp.maximum(t0y, t1y)),
+                       jnp.maximum(t0z, t1z))
+    return (tmin <= tmax) & (tmax > 0.0) & (tmin < t_best)
+
+
+def _prim_test(pr, ox, oy, oz, dx, dy, dz):
+    """One prim (scalar row (1, 12)) vs the lane block.
+
+    Returns (t, u, v) with t = +inf where missed. Triangle: Möller-Trumbore
+    (mesh.h::ray_intersect_triangle); sphere: stable quadratic."""
+    p0x, p0y, p0z = pr[0, 0], pr[0, 1], pr[0, 2]
+    e1x, e1y, e1z = pr[0, 3], pr[0, 4], pr[0, 5]
+    e2x, e2y, e2z = pr[0, 6], pr[0, 7], pr[0, 8]
+    is_tri = pr[0, 9] == 0.0
+
+    # --- triangle -----------------------------------------------------------
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t_tri = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit_tri = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t_tri > 0.0) & \
+        (inv_det != 0.0)
+
+    # --- sphere (center p0, radius e1.x) -------------------------------------
+    r = e1x
+    ocx, ocy, ocz = ox - p0x, oy - p0y, oz - p0z
+    A = dx * dx + dy * dy + dz * dz
+    Bq = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+    Cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = Bq * Bq - 4.0 * A * Cq
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # numerically stable roots
+    qq = -0.5 * (Bq + jnp.sign(Bq) * sq)
+    t0 = jnp.where(jnp.abs(A) > 1e-20, qq / A, jnp.inf)
+    t1 = jnp.where(jnp.abs(qq) > 1e-20, Cq / qq, jnp.inf)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    t_sph = jnp.where(lo > 0.0, lo, hi)
+    hit_sph = ok & (t_sph > 0.0)
+
+    t = jnp.where(is_tri,
+                  jnp.where(hit_tri, t_tri, jnp.inf),
+                  jnp.where(hit_sph, t_sph, jnp.inf))
+    return t, jnp.where(is_tri, u, 0.0), jnp.where(is_tri, v, 0.0)
+
+
+def _closest_hit_kernel(node_f, node_i, prim_f,
+                        ox, oy, oz, dx, dy, dz, tmax,
+                        t_out, prim_out, u_out, v_out):
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                               jnp.where(d >= 0, 1e-20, -1e-20), d)
+
+    ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
+
+    def cond(state):
+        node, _, _, _, _ = state
+        return node >= 0
+
+    def body(state):
+        node, t_best, best, bu, bv = state
+        nf = node_f[pl.ds(node, 1), :]
+        ni = node_i[pl.ds(node, 1), :]
+        leaf_start = ni[0, 0]
+        leaf_count = ni[0, 1]
+        miss = ni[0, 2]
+        is_leaf = leaf_start >= 0
+
+        hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
+
+        def leaf_tests(args):
+            t_best, best, bu, bv = args
+            for k in range(LEAF_K):
+                pr = prim_f[pl.ds(leaf_start + k, 1), :]
+                tk, uk, vk = _prim_test(pr, oxv, oyv, ozv, dxv, dyv, dzv)
+                closer = (k < leaf_count) & (tk < t_best)
+                t_best = jnp.where(closer, tk, t_best)
+                best = jnp.where(closer, leaf_start + k, best)
+                bu = jnp.where(closer, uk, bu)
+                bv = jnp.where(closer, vk, bv)
+            return t_best, best, bu, bv
+
+        t_best, best, bu, bv = jax.lax.cond(
+            is_leaf & hit_any, leaf_tests, lambda a: a,
+            (t_best, best, bu, bv))
+
+        nxt = jnp.where(is_leaf | jnp.logical_not(hit_any), miss, node + 1)
+        return nxt, t_best, best, bu, bv
+
+    init = (jnp.int32(0), tmax[:],
+            jnp.full((_SUB, _LANE), -1, jnp.int32),
+            jnp.zeros((_SUB, _LANE), jnp.float32),
+            jnp.zeros((_SUB, _LANE), jnp.float32))
+    _, t_best, best, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
+    prim_out[:] = best
+    u_out[:] = bu
+    v_out[:] = bv
+
+
+def _any_hit_kernel(node_f, node_i, prim_f,
+                    ox, oy, oz, dx, dy, dz, tmax, occ_out):
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    tmv = tmax[:]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                               jnp.where(d >= 0, 1e-20, -1e-20), d)
+
+    ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
+
+    def cond(state):
+        node, occ = state
+        return (node >= 0) & jnp.logical_not(jnp.all(occ))
+
+    def body(state):
+        node, occ = state
+        nf = node_f[pl.ds(node, 1), :]
+        ni = node_i[pl.ds(node, 1), :]
+        leaf_start = ni[0, 0]
+        leaf_count = ni[0, 1]
+        miss = ni[0, 2]
+        is_leaf = leaf_start >= 0
+
+        hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, tmv) &
+                          jnp.logical_not(occ))
+
+        def leaf_tests(occ):
+            for k in range(LEAF_K):
+                pr = prim_f[pl.ds(leaf_start + k, 1), :]
+                tk, _, _ = _prim_test(pr, oxv, oyv, ozv, dxv, dyv, dzv)
+                # isfinite guard: tk = inf on miss and tmv may be inf too
+                occ = occ | ((k < leaf_count) & jnp.isfinite(tk) & (tk <= tmv))
+            return occ
+
+        occ = jax.lax.cond(is_leaf & hit_any, leaf_tests, lambda o: o, occ)
+        nxt = jnp.where(is_leaf | jnp.logical_not(hit_any), miss, node + 1)
+        return nxt, occ
+
+    init = (jnp.int32(0), jnp.zeros((_SUB, _LANE), bool))
+    _, occ = jax.lax.while_loop(cond, body, init)
+    occ_out[:] = occ.astype(jnp.int32)  # bool VMEM outputs are fragile on TPU
+
+
+def _blockify(x, n_pad):
+    x = jnp.pad(x, (0, n_pad - x.shape[0]))
+    return x.reshape(n_pad // BLOCK * _SUB, _LANE)
+
+
+_ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+_tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full table, replicated
+
+
+def _grid_call(kernel, n_blocks, out_shapes, interpret):
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec, _tab_spec, _tab_spec] + [_ray_spec] * 7,
+        out_specs=tuple(_ray_spec for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )
+
+
+def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
+                              ) -> Tuple[jnp.ndarray, ...]:
+    """Closest hit via the packet kernel. Same contract as
+    traverse_jnp.ray_intersect_preliminary (detached under AD)."""
+    sg = jax.lax.stop_gradient
+    scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                ray_o.shape[:1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = ray_o.shape[0]
+    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
+    n_blocks = n_pad // BLOCK
+
+    node_f, node_i, prim_f = _pack_tables(scene)
+    args = [_blockify(ray_o[:, 0], n_pad), _blockify(ray_o[:, 1], n_pad),
+            _blockify(ray_o[:, 2], n_pad), _blockify(ray_d[:, 0], n_pad),
+            _blockify(ray_d[:, 1], n_pad), _blockify(ray_d[:, 2], n_pad),
+            _blockify(t_max, n_pad)]
+    sh = (n_blocks * _SUB, _LANE)
+    outs = _grid_call(_closest_hit_kernel, n_blocks,
+                      [jax.ShapeDtypeStruct(sh, jnp.float32),
+                       jax.ShapeDtypeStruct(sh, jnp.int32),
+                       jax.ShapeDtypeStruct(sh, jnp.float32),
+                       jax.ShapeDtypeStruct(sh, jnp.float32)],
+                      interpret)(node_f, node_i, prim_f, *args)
+    t, prim, u, v = (o.reshape(n_pad)[:N] for o in outs)
+    return t, prim, u, v
+
+
+def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
+    """Any-hit occlusion query via the packet kernel."""
+    sg = jax.lax.stop_gradient
+    scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                ray_o.shape[:1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = ray_o.shape[0]
+    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
+    n_blocks = n_pad // BLOCK
+
+    node_f, node_i, prim_f = _pack_tables(scene)
+    args = [_blockify(ray_o[:, 0], n_pad), _blockify(ray_o[:, 1], n_pad),
+            _blockify(ray_o[:, 2], n_pad), _blockify(ray_d[:, 0], n_pad),
+            _blockify(ray_d[:, 1], n_pad), _blockify(ray_d[:, 2], n_pad),
+            _blockify(t_max, n_pad)]
+    sh = (n_blocks * _SUB, _LANE)
+    occ = _grid_call(_any_hit_kernel, n_blocks,
+                     [jax.ShapeDtypeStruct(sh, jnp.int32)],
+                     interpret)(node_f, node_i, prim_f, *args)
+    if isinstance(occ, (tuple, list)):
+        occ = occ[0]
+    return (occ.reshape(n_pad)[:N]) != 0

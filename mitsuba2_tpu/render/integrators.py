@@ -39,13 +39,102 @@ def mis_weight(pdf_a, pdf_b):
     return jnp.where(pdf_a > 0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-38), 0.0)
 
 
+def _path_bounce(scene, config: RenderConfig, depth: int, carry):
+    """One bounce of path.cpp's loop: NEE (+MIS) from the current vertex,
+    BSDF sampling, emitter hit along the new ray (+MIS), Russian roulette.
+
+    carry = (si, active, throughput, result, sampler); `depth` is static.
+    Factored out so the adjoint integrator can wrap each bounce in
+    jax.checkpoint (recompute-in-backward = the radiative-backprop memory
+    discipline; diff/adjoint.py).
+    """
+    from ..scene import scene as scene_mod
+    si, active, throughput, result, sampler, orig = carry
+
+    if config.compact:
+        # wavefront compaction: dead lanes to the back, live lanes Morton-
+        # sorted by hit position (kernels/compact.py) -> coherent packets
+        from ..kernels import compact as compact_mod
+        perm = compact_mod.compaction_order(active, si.p,
+                                            scene.bvh_min[0], scene.bvh_max[0])
+        si, active, throughput, result, sampler, orig = compact_mod.permute(
+            (si, active, throughput, result, sampler, orig), perm)
+
+    si = si.replace(tex=scene.textures)  # re-attach (kept out of the carry)
+
+    # ----------------------------------------------------------------------
+    # Next-event estimation (Scene::sample_emitter_direction + shadow ray)
+    # ----------------------------------------------------------------------
+    flags = bsdf_mod.lane_flags(scene, si)
+    is_smooth = (flags & bsdf_mod.F_SMOOTH) != 0
+    u_nee, sampler = sampler.next_1d()
+    u2_nee, sampler = sampler.next_2d()
+    ds, e_val = emitters.sample_direction(scene, si.p, si.wavelengths,
+                                          u_nee, u2_nee, config)
+    nee_active = active & is_smooth & (ds.pdf > 0)
+    shadow_ray = si.spawn_ray_d(ds.d, maxt=ds.dist * (1.0 - 1e-3))
+    occluded = scene_mod.ray_test(scene, shadow_ray)
+    wo_local = si.to_local(ds.d)
+    f_val = bsdf_mod.eval_(scene, si, wo_local, config)
+    f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
+    w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, f_pdf))
+    contrib = throughput * e_val * f_val * \
+        (w_nee / jnp.maximum(ds.pdf, 1e-20))[..., None]
+    result = result + jnp.where((nee_active & ~occluded)[..., None],
+                                contrib, 0.0)
+
+    # ----------------------------------------------------------------------
+    # BSDF sampling
+    # ----------------------------------------------------------------------
+    u1_b, sampler = sampler.next_1d()
+    u2_b, sampler = sampler.next_2d()
+    bs, b_weight = bsdf_mod.sample(scene, si, u1_b, u2_b, config)
+    throughput = throughput * jnp.where(active[..., None], b_weight, 1.0)
+    active = active & (bs.pdf > 0) & jnp.any(b_weight > 0, axis=-1)
+
+    bounce_d = si.to_world(bs.wo)
+    next_ray = si.spawn_ray_d(bounce_d)
+    # Kill rays of inactive lanes cheaply (maxt = 0 -> instant miss)
+    next_ray = next_ray.replace(maxt=jnp.where(active, jnp.inf, 0.0))
+    si_next = scene_mod.ray_intersect(scene, next_ray)
+
+    # Emitter hit along the BSDF ray, MIS-weighted against NEE
+    delta_sample = (bs.sampled_flags & bsdf_mod.F_DELTA) != 0
+    em_pdf_hit = emitters.pdf_direction_hit(scene, si.p, si_next, config)
+    em_pdf_env = emitters.pdf_direction_env(scene, config, bounce_d)
+    em_pdf = jnp.where(si_next.valid, em_pdf_hit, em_pdf_env)
+    em_pdf = jnp.where(delta_sample, 0.0, em_pdf)
+    w_bsdf = mis_weight(bs.pdf, em_pdf)
+    L_hit = emitters.eval_hit(scene, si_next, config)
+    L_env = emitters.eval_env(scene, bounce_d, si.wavelengths, config)
+    L = jnp.where(si_next.valid[..., None], L_hit, L_env)
+    result = result + jnp.where(active[..., None],
+                                throughput * L * w_bsdf[..., None], 0.0)
+
+    # ----------------------------------------------------------------------
+    # Russian roulette (path.cpp: after rr_depth, q capped at 0.95)
+    # ----------------------------------------------------------------------
+    if depth + 1 >= config.rr_depth and depth + 1 < config.max_depth:
+        q = jnp.minimum(jnp.max(throughput, axis=-1) * bs.eta * bs.eta, 0.95)
+        u_rr, sampler = sampler.next_1d()
+        rr_alive = u_rr < q
+        throughput = throughput / jnp.maximum(q, 1e-8)[..., None]
+        active = active & rr_alive
+
+    active = active & si_next.valid
+    si_next = si_next.replace(tex=None)  # keep the atlas out of the carry
+    return (si_next, active, throughput, result, sampler, orig)
+
+
 def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
                 ) -> Tuple[jnp.ndarray, Sampler]:
     """Path-trace one wavefront of rays. Returns ((N, C) radiance, sampler).
 
     Follows src/integrators/path.cpp: emitter hit at depth 1, then for each
     bounce NEE (+MIS) and BSDF sampling (+MIS on the induced emitter hit),
-    Russian roulette after rr_depth.
+    Russian roulette after rr_depth. With config.remat each bounce is
+    jax.checkpoint'ed: the backward pass re-traces instead of storing
+    per-bounce intermediates (O(wavefront) not O(wavefront x depth) memory).
     """
     from ..scene import scene as scene_mod
 
@@ -64,71 +153,18 @@ def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
                                     emitters.eval_env(scene, ray.d,
                                                       ray.wavelengths, config))
 
-    prev_ray_d = ray.d
-
+    orig = jnp.arange(N, dtype=jnp.int32)
+    carry = (si.replace(tex=None), active, throughput, result, sampler, orig)
     for depth in range(1, config.max_depth):
-        # ------------------------------------------------------------------
-        # Next-event estimation (Scene::sample_emitter_direction + shadow ray)
-        # ------------------------------------------------------------------
-        flags = bsdf_mod.lane_flags(scene, si)
-        is_smooth = (flags & bsdf_mod.F_SMOOTH) != 0
-        u_nee, sampler = sampler.next_1d()
-        u2_nee, sampler = sampler.next_2d()
-        ds, e_val = emitters.sample_direction(scene, si.p, si.wavelengths,
-                                              u_nee, u2_nee, config)
-        nee_active = active & is_smooth & (ds.pdf > 0)
-        shadow_ray = si.spawn_ray_d(ds.d, maxt=ds.dist * (1.0 - 1e-3))
-        occluded = scene_mod.ray_test(scene, shadow_ray)
-        wo_local = si.to_local(ds.d)
-        f_val = bsdf_mod.eval_(scene, si, wo_local, config)
-        f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
-        w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, f_pdf))
-        contrib = throughput * e_val * f_val * \
-            (w_nee / jnp.maximum(ds.pdf, 1e-20))[..., None]
-        result = result + jnp.where((nee_active & ~occluded)[..., None],
-                                    contrib, 0.0)
+        step = partial(_path_bounce, scene, config, depth)
+        if config.remat:
+            step = jax.checkpoint(step)
+        carry = step(carry)
+    _, _, _, result, sampler, orig = carry
 
-        # ------------------------------------------------------------------
-        # BSDF sampling
-        # ------------------------------------------------------------------
-        u1_b, sampler = sampler.next_1d()
-        u2_b, sampler = sampler.next_2d()
-        bs, b_weight = bsdf_mod.sample(scene, si, u1_b, u2_b, config)
-        throughput = throughput * jnp.where(active[..., None], b_weight, 1.0)
-        active = active & (bs.pdf > 0) & jnp.any(b_weight > 0, axis=-1)
-
-        bounce_d = si.to_world(bs.wo)
-        next_ray = si.spawn_ray_d(bounce_d)
-        # Kill rays of inactive lanes cheaply (maxt = 0 -> instant miss)
-        next_ray = next_ray.replace(maxt=jnp.where(active, jnp.inf, 0.0))
-        si_next = scene_mod.ray_intersect(scene, next_ray)
-
-        # Emitter hit along the BSDF ray, MIS-weighted against NEE
-        delta_sample = (bs.sampled_flags & bsdf_mod.F_DELTA) != 0
-        em_pdf_hit = emitters.pdf_direction_hit(scene, si.p, si_next, config)
-        em_pdf_env = emitters.pdf_direction_env(scene, config, bounce_d)
-        em_pdf = jnp.where(si_next.valid, em_pdf_hit, em_pdf_env)
-        em_pdf = jnp.where(delta_sample, 0.0, em_pdf)
-        w_bsdf = mis_weight(bs.pdf, em_pdf)
-        L_hit = emitters.eval_hit(scene, si_next, config)
-        L_env = emitters.eval_env(scene, bounce_d, si.wavelengths, config)
-        L = jnp.where(si_next.valid[..., None], L_hit, L_env)
-        result = result + jnp.where(active[..., None],
-                                    throughput * L * w_bsdf[..., None], 0.0)
-
-        # ------------------------------------------------------------------
-        # Russian roulette (path.cpp: after rr_depth, q capped at 0.95)
-        # ------------------------------------------------------------------
-        if depth + 1 >= config.rr_depth and depth + 1 < config.max_depth:
-            q = jnp.minimum(jnp.max(throughput, axis=-1) * bs.eta * bs.eta, 0.95)
-            u_rr, sampler = sampler.next_1d()
-            rr_alive = u_rr < q
-            throughput = throughput / jnp.maximum(q, 1e-8)[..., None]
-            active = active & rr_alive
-
-        active = active & si_next.valid
-        si = si_next
-        prev_ray_d = bounce_d
+    if config.compact:
+        from ..kernels import compact as compact_mod
+        result = compact_mod.unsort(result, orig)
 
     return result, sampler
 
@@ -225,7 +261,11 @@ def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.nda
     else:
         u_lens = None
     ray = sensors.sample_ray(scene, uv, u_lens, wavelengths=wl)
-    spec, sampler = sample_path(scene, ray, sampler, config)
+    if config.integrator == "volpath" or scene.has_media:
+        from .volpath import sample_path_vol
+        spec, sampler = sample_path_vol(scene, ray, sampler, config)
+    else:
+        spec, sampler = sample_path(scene, ray, sampler, config)
 
     if config.color_mode == "spectral":
         rgb = sp.spectrum_to_srgb(spec, wl, wl_pdf)

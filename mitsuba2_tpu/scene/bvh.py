@@ -36,10 +36,24 @@ class BVH:
     prim_order: np.ndarray   # (P,) i32 permutation: new prim i = old prim_order[i]
 
 
-def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray) -> BVH:
-    """Binned-SAH BVH2 over primitive AABBs, flattened with miss links."""
+def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
+              native: bool = True) -> BVH:
+    """Binned-SAH BVH2 over primitive AABBs, flattened with miss links.
+
+    Uses the C++ builder (native/bvh_builder.cpp) when the toolchain is
+    available; this numpy implementation is the oracle and fallback."""
     P = prim_bb_min.shape[0]
     assert P > 0
+    if native and P > 512:  # tiny scenes: numpy is fast enough
+        try:
+            from .. import native as native_mod
+            (n_min, n_max, l_start, l_count,
+             miss, order) = native_mod.build_bvh_native(prim_bb_min, prim_bb_max)
+            return BVH(bounds_min=n_min, bounds_max=n_max,
+                       leaf_start=l_start, leaf_count=l_count, miss=miss,
+                       prim_order=order)
+        except Exception:
+            pass  # no toolchain -> numpy path below
     centroids = 0.5 * (prim_bb_min + prim_bb_max)
 
     # --- recursive build into a temporary node list -------------------------

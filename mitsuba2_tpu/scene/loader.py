@@ -201,9 +201,19 @@ def _parse_shape(node, ctx) -> shapes_mod.MeshData:
     props = _collect_props(node, ctx)
     bsdf = props.get("bsdf")
     emitter = None
+    interior = None
     for c in node:
         if c.tag == "emitter":
             emitter = _parse_emitter(c, ctx)
+        elif c.tag == "medium":
+            if _attr(c, "name", ctx.params, "interior") == "interior":
+                mprops = _collect_props(c, ctx)
+                interior = {"type": _attr(c, "type", ctx.params), **mprops}
+                for pc in c:
+                    if pc.tag == "phase":
+                        php = _collect_props(pc, ctx)
+                        if _attr(pc, "type", ctx.params) == "hg":
+                            interior["g"] = float(php.get("g", 0.0))
     sid = node.get("id") or props.get("id", "")
 
     if stype in ("obj", "ply", "serialized"):
@@ -233,6 +243,7 @@ def _parse_shape(node, ctx) -> shapes_mod.MeshData:
 
     if "to_world" in props:
         mesh = mesh.transformed(props["to_world"])
+    mesh.interior = interior
     return mesh
 
 
@@ -400,6 +411,7 @@ def load_dict(d: dict) -> Tuple[SceneData, RenderConfig]:
             if isinstance(bsdf, str):  # reference by name
                 bsdf = refs[bsdf]
             emitter = obj.pop("emitter", None)
+            interior = obj.pop("interior", None)
             to_world = obj.pop("to_world", None)
             if t in ("obj", "ply", "serialized"):
                 kw = {}
@@ -418,6 +430,7 @@ def load_dict(d: dict) -> Tuple[SceneData, RenderConfig]:
                 raise ValueError(f"unknown object type {t!r} for {name!r}")
             if to_world is not None:
                 mesh = mesh.transformed(np.asarray(to_world, np.float32))
+            mesh.interior = interior
             shape_list.append(mesh)
     if sensor is None:
         sensor = {"type": "perspective",

@@ -75,6 +75,11 @@ class SceneData:
     cam_to_world: jnp.ndarray  # (4, 4)
     cam_fov_x: jnp.ndarray     # () degrees
     cam_data: jnp.ndarray = None  # (4,) [aperture, focus_dist, ortho_sx, ortho_sy]
+    # --- media ---------------------------------------------------------------------
+    med_type: jnp.ndarray = None      # (Md,) i32
+    med_data: jnp.ndarray = None      # (Md, MED_W)
+    shape_interior: jnp.ndarray = None  # (S,) i32 medium index, -1 = vacuum
+    medium_grid: Any = None           # GridVolume or None
     # --- textures (None = scene has no textured parameters) -----------------------
     textures: Any = None
     # --- environment map (None = constant env or none) -----------------------------
@@ -87,6 +92,7 @@ class SceneData:
     has_spheres: bool = struct.field(pytree_node=False, default=True)
     emitter_kinds: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     cam_type: str = struct.field(pytree_node=False, default="perspective")
+    has_media: bool = struct.field(pytree_node=False, default=False)
     # Differentiable-parameter index (diff/params.py traverse):
     # tuple of (name, table_attr, row, col0, col1, kind)
     param_paths: Tuple = struct.field(pytree_node=False, default=())
@@ -264,6 +270,31 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod):
                              float(sensor.get("focus_distance", 1.0)),
                              0, 0], np.float32)
 
+    # --- media ------------------------------------------------------------------
+    from ..render import media as media_mod
+    med_types_l, med_rows, med_key2idx = [], [], {}
+    shape_interior = np.full(max(len(shapes), 1), -1, np.int32)
+    medium_grid = None
+    for s_idx, sh in enumerate(shapes):
+        if sh.interior is None:
+            continue
+        key = repr(sh.interior)
+        if key not in med_key2idx:
+            mtype, mrow, grid_desc = media_mod.pack_medium(sh.interior)
+            med_key2idx[key] = len(med_rows)
+            med_types_l.append(mtype)
+            med_rows.append(mrow)
+            if grid_desc is not None:
+                if medium_grid is not None:
+                    raise ValueError("only one heterogeneous grid supported")
+                medium_grid = media_mod.GridVolume(
+                    data=jnp.asarray(grid_desc["density"]),
+                    bbox_min=jnp.asarray(grid_desc["bbox_min"]),
+                    bbox_max=jnp.asarray(grid_desc["bbox_max"]))
+        shape_interior[s_idx] = med_key2idx[key]
+    if not med_rows:
+        med_types_l, med_rows = [0], [np.zeros(media_mod.MED_W, np.float32)]
+
     # --- texture atlas ----------------------------------------------------------
     atlas = texture_mod.pack_atlas(tex_staging)
 
@@ -320,6 +351,11 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod):
         emitter_prim_cdf=dev(emitter_cdf), emitter_area=dev(emitter_area),
         cam_to_world=dev(cam_to_world), cam_fov_x=jnp.float32(fov_x),
         cam_data=dev(cam_data), cam_type=cam_type,
+        med_type=dev(np.asarray(med_types_l, np.int32)),
+        med_data=dev(np.stack(med_rows)),
+        shape_interior=dev(shape_interior),
+        medium_grid=medium_grid,
+        has_media=bool(med_key2idx),
         textures=atlas,
         envmap=envmap_data,
         mat_families=tuple(sorted({mt[0] for mt in mats})),
@@ -392,14 +428,41 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
     return si
 
 
-def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
-    """Scene::ray_intersect — full wavefront closest hit + shading record.
+# Intersection backend selection. "auto": gather-free brute force for tiny
+# scenes (fastest: no traversal overhead), the Pallas packet kernel on TPU
+# for everything bigger, the per-lane jnp walker elsewhere. Override via
+# set_backend for tests/benchmarks.
+_BACKEND = "auto"
 
-    Statically picks the intersection backend: gather-free brute force for
-    small scenes, skip-link BVH traversal otherwise (kernels/)."""
-    from ..kernels import brute, traverse_jnp
+
+def set_backend(name: str) -> None:
+    """Force the intersection backend: auto | brute | jnp | pallas."""
+    global _BACKEND
+    assert name in ("auto", "brute", "jnp", "pallas"), name
+    _BACKEND = name
+
+
+def _pick_backend(scene) -> str:
+    from ..kernels import brute
+    if _BACKEND != "auto":
+        return _BACKEND
     if scene.n_prims <= brute.MAX_BRUTE_PRIMS:
+        return "brute"
+    import jax
+    if jax.devices()[0].platform == "tpu":
+        return "pallas"
+    return "jnp"
+
+
+def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
+    """Scene::ray_intersect — full wavefront closest hit + shading record."""
+    from ..kernels import brute, traverse_jnp, traverse_pallas
+    backend = _pick_backend(scene)
+    if backend == "brute":
         t, prim, u, v = brute.ray_intersect_brute(scene, ray.o, ray.d, ray.maxt)
+    elif backend == "pallas":
+        t, prim, u, v = traverse_pallas.ray_intersect_preliminary(
+            scene, ray.o, ray.d, ray.maxt)
     else:
         t, prim, u, v = traverse_jnp.ray_intersect_preliminary(
             scene, ray.o, ray.d, ray.maxt)
@@ -410,7 +473,10 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
 
 def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
     """Scene::ray_test — occlusion query."""
-    from ..kernels import brute, traverse_jnp
-    if scene.n_prims <= brute.MAX_BRUTE_PRIMS:
+    from ..kernels import brute, traverse_jnp, traverse_pallas
+    backend = _pick_backend(scene)
+    if backend == "brute":
         return brute.ray_test_brute(scene, ray.o, ray.d, ray.maxt)
+    if backend == "pallas":
+        return traverse_pallas.ray_test(scene, ray.o, ray.d, ray.maxt)
     return traverse_jnp.ray_test(scene, ray.o, ray.d, ray.maxt)

@@ -27,6 +27,7 @@ class MeshData:
     # scene wiring
     bsdf: Optional[object] = None          # bsdf descriptor (dict)
     emitter: Optional[object] = None       # emitter descriptor (dict) or None
+    interior: Optional[object] = None      # interior medium descriptor (dict)
     id: str = ""
 
     def transformed(self, to_world) -> "MeshData":

@@ -1,0 +1,69 @@
+"""Pallas packet-traversal kernel vs the pure-jnp oracle (SURVEY.md §4
+oracle laddering: interpret-mode Pallas = CPU CI for TPU kernels)."""
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba2_tpu.kernels import traverse_jnp, traverse_pallas
+from mitsuba2_tpu.scene.presets import cornell_box, furnace
+
+
+def random_rays(n, seed=0, spread=1.4):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-0.2, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_closest_hit_matches_oracle_cbox():
+    scene = cornell_box()
+    o, d = random_rays(2048)
+    t_max = jnp.full(2048, jnp.inf)
+    t_p, p_p, u_p, v_p = traverse_pallas.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    t_j, p_j, u_j, v_j = traverse_jnp.ray_intersect_preliminary(
+        scene, o, d, t_max)
+    t_p, t_j = np.asarray(t_p), np.asarray(t_j)
+    hit_p, hit_j = np.isfinite(t_p), np.isfinite(t_j)
+    np.testing.assert_array_equal(hit_p, hit_j)
+    np.testing.assert_allclose(t_p[hit_p], t_j[hit_j], rtol=1e-4, atol=1e-5)
+    # prim ids equal except equidistant ties (quad diagonals)
+    same = np.asarray(p_p) == np.asarray(p_j)
+    assert same[hit_p].mean() > 0.995
+    # wherever prim ids differ the hit distances must still agree (ties)
+    tie = hit_p & ~same
+    np.testing.assert_allclose(t_p[tie], t_j[tie], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_p)[same & hit_p],
+                               np.asarray(u_j)[same & hit_p],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_closest_hit_matches_oracle_sphere():
+    scene = furnace()
+    o, d = random_rays(1024, seed=3, spread=2.0)
+    t_max = jnp.full(1024, jnp.inf)
+    t_p, _, _, _ = traverse_pallas.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    t_j, _, _, _ = traverse_jnp.ray_intersect_preliminary(scene, o, d, t_max)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_j),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_any_hit_matches_oracle():
+    scene = cornell_box()
+    o, d = random_rays(2048, seed=1)
+    for maxt in (jnp.full(2048, jnp.inf), jnp.full(2048, 0.3)):
+        occ_p = traverse_pallas.ray_test(scene, o, d, maxt, interpret=True)
+        occ_j = traverse_jnp.ray_test(scene, o, d, maxt)
+        np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_j))
+
+
+def test_non_multiple_block_sizes():
+    scene = cornell_box()
+    o, d = random_rays(777, seed=2)
+    t_max = jnp.full(777, jnp.inf)
+    t_p, _, _, _ = traverse_pallas.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    t_j, _, _, _ = traverse_jnp.ray_intersect_preliminary(scene, o, d, t_max)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_j),
+                               rtol=1e-4, atol=1e-5)

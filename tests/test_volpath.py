@@ -1,0 +1,144 @@
+"""Volumetric path tracer tests (volpath.cpp analog): Beer-Lambert
+attenuation, phase-function correctness, in-scattering, heterogeneous
+grids, and medium transmittance along shadow rays."""
+import jax.numpy as jnp
+import numpy as np
+
+import mitsuba2_tpu as mi
+from mitsuba2_tpu.core.geometry import Transform4
+from mitsuba2_tpu.render import media
+from mitsuba2_tpu.render.integrators import render
+from mitsuba2_tpu.scene import shapes
+from mitsuba2_tpu.scene.scene import build_scene
+
+
+def test_hg_phase_normalized():
+    """∫ HG dω = 1 over the sphere for several g."""
+    n = 256
+    theta = (np.arange(n) + 0.5) / n * np.pi
+    for g in (0.0, 0.3, -0.5, 0.8):
+        vals = np.asarray(media.phase_hg_eval(jnp.float32(g),
+                                              jnp.cos(jnp.asarray(theta))))
+        integral = (vals * np.sin(theta)).sum() * (np.pi / n) * 2 * np.pi
+        np.testing.assert_allclose(integral, 1.0, rtol=1e-3)
+
+
+def test_hg_sample_matches_pdf():
+    """Sampled cos-theta histogram vs analytic HG pdf."""
+    rng = np.random.default_rng(0)
+    g = jnp.float32(0.5)
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (200_000, 3))
+    u2 = jnp.asarray(rng.uniform(size=(200_000, 2)), jnp.float32)
+    wo, pdf = media.phase_hg_sample(jnp.full(200_000, 0.5), wi, u2)
+    # propagation dir is -wi = -z; cos_theta measured against it
+    ct = np.asarray(-wo[:, 2])
+    hist, edges = np.histogram(ct, bins=64, range=(-1, 1), density=True)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    expect = 2 * np.pi * np.asarray(
+        media.phase_hg_eval(g, jnp.asarray(centers)))
+    mask = expect > 0.05
+    np.testing.assert_allclose(hist[mask], expect[mask], rtol=0.1)
+
+
+def _slab_scene(medium, L=5.0, emitter_radiance=2.0, depth_extra=None):
+    """Camera -> null-BSDF cube (filled with `medium`) -> emissive wall."""
+    cube = shapes.cube(bsdf={"type": "null"}, id="vol").transformed(
+        np.asarray((Transform4.translate([0, 0, 0]) @
+                    Transform4.scale([2.0, 2.0, 0.5])).matrix))
+    wall = shapes.rectangle(
+        bsdf={"type": "diffuse", "reflectance": [0, 0, 0]},
+        emitter={"type": "area", "radiance": [emitter_radiance] * 3},
+        id="wall").transformed(
+        np.asarray(Transform4.translate([0, 0, -2.0]).matrix))
+    # wall normal +z faces the camera at +z
+    cube.interior = medium
+    cam = Transform4.look_at(origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0])
+    return build_scene([cube, wall],
+                       {"type": "perspective",
+                        "to_world": np.asarray(cam.matrix), "fov": 25.0})
+
+
+CFG = mi.RenderConfig(width=16, height=16, spp=64, spp_per_pass=64,
+                      max_depth=6, rr_depth=99, integrator="volpath")
+
+
+def test_beer_lambert_absorption():
+    """Pure absorber slab: pixel = L * exp(-sigma_t * thickness).
+
+    Free-flight survival is a Bernoulli per sample, so average a central
+    block at decent spp to beat the MC noise."""
+    sigma_t = 1.2
+    thickness = 1.0  # cube scaled to half-extent 0.5 in z
+    scene = _slab_scene({"type": "homogeneous", "sigma_t": sigma_t,
+                         "albedo": 0.0})
+    img = np.asarray(render(scene, CFG.replace(spp=256, spp_per_pass=64)))
+    expect = 2.0 * np.exp(-sigma_t * thickness)
+    np.testing.assert_allclose(img[6:10, 6:10].mean(), expect, rtol=0.06)
+
+
+def test_vacuum_slab_transparent():
+    """sigma_t = 0 medium: emitter seen at full radiance."""
+    scene = _slab_scene({"type": "homogeneous", "sigma_t": 0.0,
+                         "albedo": 0.5})
+    img = np.asarray(render(scene, CFG))
+    np.testing.assert_allclose(img[8, 8].mean(), 2.0, rtol=0.05)
+
+
+def test_heterogeneous_constant_grid_matches_homogeneous():
+    """A constant-density grid must reproduce the homogeneous result."""
+    sigma_t = 0.8
+    hom = _slab_scene({"type": "homogeneous", "sigma_t": sigma_t,
+                       "albedo": 0.0})
+    het = _slab_scene({"type": "heterogeneous", "sigma_t": sigma_t,
+                       "albedo": 0.0,
+                       "density": np.ones((4, 4, 4), np.float32),
+                       "bbox_min": [-2, -2, -0.5],
+                       "bbox_max": [2, 2, 0.5]})
+    a = np.asarray(render(hom, CFG))[8, 8].mean()
+    b = np.asarray(render(het, CFG))[8, 8].mean()
+    np.testing.assert_allclose(b, a, rtol=0.12)
+
+
+def test_scattering_adds_inscatter():
+    """With albedo ~1 the slab glows wider than the emitter (in-scatter),
+    and total energy seen is larger than the pure absorber."""
+    absorb = _slab_scene({"type": "homogeneous", "sigma_t": 2.0,
+                          "albedo": 0.0})
+    scatter = _slab_scene({"type": "homogeneous", "sigma_t": 2.0,
+                           "albedo": 0.95})
+    cfg = CFG.replace(spp=128, spp_per_pass=128, max_depth=8)
+    ia = np.asarray(render(absorb, cfg))
+    isc = np.asarray(render(scatter, cfg))
+    assert isc.mean() > ia.mean() * 1.5
+    assert np.isfinite(isc).all()
+
+
+def test_shadow_transmittance_through_medium():
+    """NEE shadow rays attenuate through an absorbing slab between the
+    surface and the light instead of being fully blocked."""
+    sigma_t = 1.0
+    floor = shapes.rectangle(bsdf={"type": "diffuse",
+                                   "reflectance": [0.8] * 3}, id="floor")
+    cube = shapes.cube(bsdf={"type": "null"}, id="vol").transformed(
+        np.asarray((Transform4.translate([0, 0, 1.0]) @
+                    Transform4.scale([2.0, 2.0, 0.25])).matrix))
+    cube.interior = {"type": "homogeneous", "sigma_t": sigma_t, "albedo": 0.0}
+    light = shapes.rectangle(
+        bsdf={"type": "diffuse", "reflectance": [0, 0, 0]},
+        emitter={"type": "area", "radiance": [5.0] * 3},
+        id="light").transformed(
+        np.asarray((Transform4.translate([0, 0, 2.5]) @
+                    Transform4.rotate([1, 0, 0], 180.0) @
+                    Transform4.scale([0.3, 0.3, 1.0])).matrix))
+    cam = Transform4.look_at(origin=[0, 0.5, 3], target=[0, 0, 0],
+                             up=[0, 1, 0])
+    mk = lambda shapes_: build_scene(
+        shapes_, {"type": "perspective", "to_world": np.asarray(cam.matrix),
+                  "fov": 45.0})
+    with_slab = mk([floor, cube, light])
+    no_slab = mk([floor, light])
+    cfg = CFG.replace(max_depth=8)
+    a = np.asarray(render(with_slab, cfg))[8, 8].mean()
+    b = np.asarray(render(no_slab, cfg.replace(integrator="volpath")))[8, 8].mean()
+    assert a < b  # attenuated
+    assert a > 0.2 * b  # but not fully blocked (exp(-0.5) ~ 0.6 per crossing)
