@@ -65,6 +65,9 @@ ROUGHPLASTIC = 7
 NULL_BSDF = 8
 MASK = 9
 BLEND = 10
+NORMALMAP = 11
+BUMPMAP = 12
+MEASURED = 13
 
 _DIST_NAME = {"ggx": mf.GGX, "beckmann": mf.BECKMANN}
 
@@ -820,10 +823,183 @@ Null.param_spec = {}
 Mask.param_spec = {"opacity": ("slot", 2)}
 Blend.param_spec = {"weight": ("scalar", 29)}
 
+# ===========================================================================
+# normalmap / bumpmap (src/bsdfs/{normalmap,bumpmap}.cpp) — wrappers that
+# perturb the shading frame from a texture, then delegate to the child.
+# The perturbed frame lives INSIDE the original local frame (frame-within-
+# frame, exactly the reference's construction).
+# ===========================================================================
+
+def _perturbed_frame_normalmap(scene, data, si):
+    """Tangent-space normal from the RGB texture in slot 2 -> local Frame."""
+    from .spectra import eval_spectrum_slot
+    rgb = eval_spectrum_slot(_slot(data, 2), si.wavelengths, "rgb",
+                             tex=si.tex, uv=si.uv)
+    n_local = normalize_(2.0 * rgb - 1.0)
+    return Frame.from_n(n_local)
+
+
+def _perturbed_frame_bumpmap(scene, data, si):
+    """Height texture in slot 2 -> gradient-perturbed local normal
+    (finite differences of the texture, bumpmap.cpp's approach)."""
+    from .spectra import eval_spectrum_slot
+
+    def h(uv):
+        v = eval_spectrum_slot(_slot(data, 2), si.wavelengths, "rgb",
+                               tex=si.tex, uv=uv)
+        return jnp.mean(v, axis=-1)
+
+    eps = 5e-4
+    du = jnp.asarray([eps, 0.0])
+    dv = jnp.asarray([0.0, eps])
+    scale = data[..., 29]
+    dh_du = (h(si.uv + du) - h(si.uv - du)) / (2 * eps)
+    dh_dv = (h(si.uv + dv) - h(si.uv - dv)) / (2 * eps)
+    n_local = normalize_(jnp.stack(
+        [-scale * dh_du, -scale * dh_dv, jnp.ones_like(dh_du)], axis=-1))
+    return Frame.from_n(n_local)
+
+
+class _FramePerturb:
+    """Shared sample/eval/pdf plumbing for normalmap/bumpmap."""
+
+    @classmethod
+    def _child(cls, scene, data):
+        idx = data[..., 30].astype(jnp.int32)
+        return scene.mat_type[idx], scene.mat_data[idx]
+
+    @classmethod
+    def sample(cls, scene, data, si, u1, u2, config):
+        fp = cls._frame(scene, data, si)
+        wi_p = fp.to_local(si.wi)
+        si_p = si.replace(wi=wi_p)
+        ct, cd = cls._child(scene, data)
+        bs, w = _sample_leaf(scene, ct, cd, si_p, u1, u2, config)
+        wo = fp.to_world(bs.wo)
+        # reject samples the perturbation pushed below the true surface
+        ok = (Frame.cos_theta(wo) * Frame.cos_theta(bs.wo) > 0)
+        bs = bs.replace(wo=wo, pdf=jnp.where(ok, bs.pdf, 0.0))
+        return bs, jnp.where(ok[..., None], w, 0.0)
+
+    @classmethod
+    def eval(cls, scene, data, si, wo, config):
+        fp = cls._frame(scene, data, si)
+        si_p = si.replace(wi=fp.to_local(si.wi))
+        ct, cd = cls._child(scene, data)
+        return _eval_leaf(scene, ct, cd, si_p, fp.to_local(wo), config)
+
+    @classmethod
+    def pdf(cls, scene, data, si, wo, config):
+        fp = cls._frame(scene, data, si)
+        si_p = si.replace(wi=fp.to_local(si.wi))
+        ct, cd = cls._child(scene, data)
+        return _pdf_leaf(scene, ct, cd, si_p, fp.to_local(wo), config)
+
+
+class NormalMap(_FramePerturb):
+    id = NORMALMAP
+    flags = 0  # inherits child lobes at pack time
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        data[2 * SLOT_W:3 * SLOT_W] = _rgb_slot(
+            props.get("normalmap", [0.5, 0.5, 1.0]))
+        data[30] = build_child(props.get("bsdf", {"type": "diffuse"}))
+        return data
+
+    _frame = classmethod(
+        lambda cls, scene, data, si: _perturbed_frame_normalmap(scene, data, si))
+
+
+class BumpMap(_FramePerturb):
+    id = BUMPMAP
+    flags = 0
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        data[2 * SLOT_W:3 * SLOT_W] = _rgb_slot(props.get("bumpmap", 0.0))
+        data[29] = float(props.get("scale", 1.0))
+        data[30] = build_child(props.get("bsdf", {"type": "diffuse"}))
+        return data
+
+    _frame = classmethod(
+        lambda cls, scene, data, si: _perturbed_frame_bumpmap(scene, data, si))
+
+
+def normalize_(v):
+    return v / jnp.maximum(
+        jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), 1e-20)
+
+
+# ===========================================================================
+# measured (src/bsdfs/measured.cpp) — data-driven tabulated BRDF sampled by
+# per-incident-angle Marginal2D CDF inversion (render/measured.py)
+# ===========================================================================
+
+class Measured:
+    id = MEASURED
+    flags = F_GLOSSY_R
+    param_spec = {}
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        from . import measured as measured_mod
+        data = np.zeros(MAT_W, np.float32)
+        if "values" in props:
+            table = np.asarray(props["values"], np.float32)
+        elif "bake" in props:
+            table = measured_mod.bake_from_desc(
+                props["bake"], n_ti=int(props.get("n_ti", 32)),
+                n_to=int(props.get("n_to", 64)),
+                n_phi=int(props.get("n_phi", 64)))
+        else:
+            raise ValueError("measured bsdf needs 'values' or 'bake'")
+        data[28] = measured_mod.stage_table(table)
+        return data
+
+    @staticmethod
+    def sample(scene, data, si, u1, u2, config):
+        from . import measured as measured_mod
+        tid = data[..., 28].astype(jnp.int32)
+        wo, pdf = measured_mod.sample_measured(scene.measured, tid, si.wi, u2)
+        val = measured_mod.eval_measured(scene.measured, tid, si.wi, wo)
+        weight = val / jnp.maximum(pdf, 1e-20)[..., None]
+        C = config.n_channels
+        if C != 3:
+            weight = jnp.mean(weight, -1, keepdims=True) * jnp.ones((1, C))
+        bs = BSDFSample(wo=wo, pdf=pdf, eta=jnp.ones_like(pdf),
+                        sampled_flags=jnp.where(pdf > 0, F_GLOSSY_R,
+                                                0).astype(jnp.int32))
+        return bs, jnp.where((pdf > 0)[..., None], weight, 0.0)
+
+    @staticmethod
+    def eval(scene, data, si, wo, config):
+        from . import measured as measured_mod
+        tid = data[..., 28].astype(jnp.int32)
+        val = measured_mod.eval_measured(scene.measured, tid, si.wi, wo)
+        C = config.n_channels
+        if C != 3:
+            val = jnp.mean(val, -1, keepdims=True) * jnp.ones((1, C))
+        return val
+
+    @staticmethod
+    def pdf(scene, data, si, wo, config):
+        from . import measured as measured_mod
+        tid = data[..., 28].astype(jnp.int32)
+        return measured_mod.pdf_measured(scene.measured, tid, si.wi, wo)
+
+
+NormalMap.param_spec = {"normalmap": ("slot", 2)}
+BumpMap.param_spec = {"bumpmap": ("slot", 2), "scale": ("scalar", 29)}
+
 LEAF_FAMILIES = {c.id: c for c in
                  (Diffuse, Conductor, RoughConductor, Dielectric,
                   ThinDielectric, RoughDielectric, Plastic, RoughPlastic, Null)}
-WRAPPER_FAMILIES = {Mask.id: Mask, Blend.id: Blend}
+WRAPPER_FAMILIES = {Mask.id: Mask, Blend.id: Blend,
+                    NormalMap.id: NormalMap, BumpMap.id: BumpMap,
+                    Measured.id: Measured}
 FAMILIES = {**LEAF_FAMILIES, **WRAPPER_FAMILIES}
 
 _BY_NAME = {"diffuse": Diffuse, "conductor": Conductor,
@@ -831,7 +1007,9 @@ _BY_NAME = {"diffuse": Diffuse, "conductor": Conductor,
             "thindielectric": ThinDielectric,
             "roughdielectric": RoughDielectric, "plastic": Plastic,
             "roughplastic": RoughPlastic, "null": Null, "mask": Mask,
-            "blendbsdf": Blend, "blend": Blend}
+            "blendbsdf": Blend, "blend": Blend,
+            "normalmap": NormalMap, "bumpmap": BumpMap,
+            "measured": Measured}
 
 
 def build_material(desc: dict, mats: List) -> int:

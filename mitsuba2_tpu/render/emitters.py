@@ -262,43 +262,79 @@ def sample_direction(scene, ref_p, wavelengths, u1, u2, config
 
 def _sample_area(scene, ref_p, wavelengths, e_idx, etype, row, scaled, u2,
                  pick_pdf, ds, val, config):
-    cdf = scene.emitter_prim_cdf[e_idx]            # (N, Fmax)
+    """Component-planar internals (kernels/brute.py layout note)."""
     total = scene.emitter_area[e_idx]              # (N,)
-    # sample prim by area
+    # sample prim by area: CDF search unrolled over the (static, small)
+    # Fmax axis with (N,) ops — an (N, Fmax) compare would pad Fmax -> 128
+    # lanes on TPU (kernels/brute.py layout note)
+    Fmax = scene.emitter_prims.shape[1]
     u_reuse = scaled - e_idx
     target = u_reuse * total
-    slot = jnp.sum((cdf < target[..., None]).astype(jnp.int32), axis=-1)
-    slot = jnp.clip(slot, 0, scene.emitter_prims.shape[1] - 1)
-    prim = jnp.take_along_axis(scene.emitter_prims[e_idx], slot[..., None], axis=-1)[..., 0]
+    if Fmax <= 16:  # unrolled linear scan in (N,) ops
+        slot = jnp.zeros_like(e_idx)
+        for k in range(Fmax):
+            slot = slot + (scene.emitter_prim_cdf[e_idx, k] < target
+                           ).astype(jnp.int32)
+    else:  # big mesh lights: one batched row search
+        cdf = scene.emitter_prim_cdf[e_idx]        # (N, Fmax)
+        slot = jnp.sum((cdf < target[..., None]).astype(jnp.int32), axis=-1)
+    slot = jnp.clip(slot, 0, Fmax - 1)
+    prim = scene.emitter_prims.reshape(-1)[e_idx * Fmax + slot]
     prim_c = jnp.maximum(prim, 0)
-    p0 = scene.prim_p0[prim_c]
-    e1 = scene.prim_e1[prim_c]
-    e2 = scene.prim_e2[prim_c]
+
+    def g3(table):
+        t = table[prim_c]
+        return t[..., 0], t[..., 1], t[..., 2]
+
+    def norm3(x, y, z):
+        inv = 1.0 / jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+        return x * inv, y * inv, z * inv
+
+    p0x, p0y, p0z = g3(scene.prim_p0)
+    e1x, e1y, e1z = g3(scene.prim_e1)
+    e2x, e2y, e2z = g3(scene.prim_e2)
     # triangle position
     bc = warp.square_to_uniform_triangle(u2)
-    p_tri = p0 + e1 * bc[..., 0:1] + e2 * bc[..., 1:2]
-    n_tri = normalize(jnp.cross(e1, e2))
-    bw = (1.0 - bc[..., 0] - bc[..., 1])[..., None]
-    uv_tri = (scene.prim_uv0[prim_c] * bw +
-              scene.prim_uv1[prim_c] * bc[..., 0:1] +
-              scene.prim_uv2[prim_c] * bc[..., 1:2])
+    b0, b1 = bc[..., 0], bc[..., 1]
+    px = p0x + e1x * b0 + e2x * b1
+    py = p0y + e1y * b0 + e2y * b1
+    pz = p0z + e1z * b0 + e2z * b1
+    nx, ny, nz = norm3(e1y * e2z - e1z * e2y,
+                       e1z * e2x - e1x * e2z,
+                       e1x * e2y - e1y * e2x)
+    bw = 1.0 - b0 - b1
+    uv0 = scene.prim_uv0[prim_c]
+    uv1 = scene.prim_uv1[prim_c]
+    uv2 = scene.prim_uv2[prim_c]
+    uvx = uv0[..., 0] * bw + uv1[..., 0] * b0 + uv2[..., 0] * b1
+    uvy = uv0[..., 1] * bw + uv1[..., 1] * b0 + uv2[..., 1] * b1
     if scene.has_spheres:
         is_sph = scene.prim_type[prim_c] == _PRIM_SPHERE
         dir_s = warp.square_to_uniform_sphere(u2)
-        p_sph = p0 + dir_s * e1[..., 0:1]
-        p_e = jnp.where(is_sph[..., None], p_sph, p_tri)
-        n_e = jnp.where(is_sph[..., None], dir_s, n_tri)
-        uv_e = jnp.where(is_sph[..., None], u2, uv_tri)
-    else:
-        p_e, n_e, uv_e = p_tri, n_tri, uv_tri
-    d_vec = p_e - ref_p
-    dist2 = jnp.sum(d_vec * d_vec, axis=-1)
+        sx, sy, sz = dir_s[..., 0], dir_s[..., 1], dir_s[..., 2]
+        px = jnp.where(is_sph, p0x + sx * e1x, px)
+        py = jnp.where(is_sph, p0y + sy * e1x, py)
+        pz = jnp.where(is_sph, p0z + sz * e1x, pz)
+        nx = jnp.where(is_sph, sx, nx)
+        ny = jnp.where(is_sph, sy, ny)
+        nz = jnp.where(is_sph, sz, nz)
+        uvx = jnp.where(is_sph, u2[..., 0], uvx)
+        uvy = jnp.where(is_sph, u2[..., 1], uvy)
+    dvx = px - ref_p[..., 0]
+    dvy = py - ref_p[..., 1]
+    dvz = pz - ref_p[..., 2]
+    dist2 = dvx * dvx + dvy * dvy + dvz * dvz
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
-    d_unit = d_vec / dist[..., None]
-    cos_e = dot(n_e, -d_unit)
+    inv_dist = 1.0 / dist
+    dux, duy, duz = dvx * inv_dist, dvy * inv_dist, dvz * inv_dist
+    cos_e = -(nx * dux + ny * duy + nz * duz)
     pdf_area = 1.0 / jnp.maximum(total, 1e-20)
     pdf_sa = pick_pdf * pdf_area * dist2 / jnp.maximum(cos_e, 1e-20)
     area_ok = (etype == AREA) & (cos_e > 0) & (prim >= 0)
+    p_e = jnp.stack([px, py, pz], axis=-1)
+    n_e = jnp.stack([nx, ny, nz], axis=-1)
+    uv_e = jnp.stack([uvx, uvy], axis=-1)
+    d_unit = jnp.stack([dux, duy, duz], axis=-1)
     radiance = eval_spectrum_slot(row[..., 0:SLOT_W], wavelengths,
                                   config.color_mode,
                                   tex=scene.textures, uv=uv_e)

@@ -203,6 +203,13 @@ def sample_aovs(scene, ray: Ray, config: RenderConfig, aovs: Tuple[str, ...]):
             out[name] = si.prim_index.astype(jnp.float32)[..., None]
         elif name == "shape_index":
             out[name] = si.shape.astype(jnp.float32)[..., None]
+        elif name == "albedo":
+            # first spectrum slot of the hit material (denoiser guide)
+            _, mdata, _ = bsdf_mod._lane_materials(scene, si)
+            from .spectra import eval_spectrum_slot
+            alb = eval_spectrum_slot(mdata[..., 0:8], si.wavelengths, "rgb",
+                                     tex=si.tex, uv=si.uv)
+            out[name] = jnp.where(v[..., None], alb, 0.0)
         else:
             raise ValueError(f"unknown aov {name!r}")
     return out

@@ -84,6 +84,8 @@ class SceneData:
     textures: Any = None
     # --- environment map (None = constant env or none) -----------------------------
     envmap: Any = None
+    # --- measured-BSDF tables (None = no measured materials) ------------------------
+    measured: Any = None
     # --- static metadata (not traced) ----------------------------------------------
     mat_families: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     n_emitters: int = struct.field(pytree_node=False, default=0)
@@ -113,15 +115,19 @@ def build_scene(shapes: List[MeshData], sensor: dict,
     (scene.cpp), emitter set_scene hooks, and area-CDF precomputation."""
     from ..render import spectra as spectra_mod
     from ..render import texture as texture_mod
+    from ..render import measured as measured_mod
     staging = spectra_mod.begin_texture_staging()
+    m_staging = measured_mod.begin_staging()
     try:
         return _build_scene_impl(shapes, sensor, emitters,
-                                 staging, texture_mod)
+                                 staging, texture_mod, m_staging)
     finally:
         spectra_mod.end_texture_staging()
+        measured_mod.end_staging()
 
 
-def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod):
+def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
+                      measured_staging):
     # --- materials (dedupe identical descriptors; wrappers append children) --
     mats, mat_key2idx = [], {}
 
@@ -298,6 +304,12 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod):
     # --- texture atlas ----------------------------------------------------------
     atlas = texture_mod.pack_atlas(tex_staging)
 
+    # --- measured-BSDF tables -----------------------------------------------------
+    measured_data = None
+    if measured_staging:
+        from ..render import measured as measured_mod
+        measured_data = measured_mod.build_measured(measured_staging)
+
     # --- differentiable-parameter index (mitsuba's traverse() paths) ------------
     param_paths = []
 
@@ -358,6 +370,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod):
         has_media=bool(med_key2idx),
         textures=atlas,
         envmap=envmap_data,
+        measured=measured_data,
         mat_families=tuple(sorted({mt[0] for mt in mats})),
         n_emitters=len(emitter_descs),
         env_emitter=env_emitter,
@@ -374,45 +387,84 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod):
 
 def compute_surface_interaction(scene: SceneData, ray: Ray,
                                 pi: PreliminaryIntersection) -> SurfaceInteraction:
+    """PreliminaryIntersection -> full shading record.
+
+    Internals are COMPONENT-PLANAR (x/y/z as separate (N,) arrays): TPU
+    tiles pad an (N, 3) op's minor dim 3 -> 128 lanes, so vec3 math in that
+    layout wastes ~40x VPU throughput (see kernels/brute.py). The (N, 3)
+    outputs are stacked once at the end."""
     idx = jnp.maximum(pi.prim_index, 0)
     valid = pi.valid & (pi.prim_index >= 0)
     ptype = scene.prim_type[idx]
-    p0 = scene.prim_p0[idx]
-    e1 = scene.prim_e1[idx]
-    e2 = scene.prim_e2[idx]
     u = pi.prim_uv[..., 0]
     v = pi.prim_uv[..., 1]
     w = 1.0 - u - v
 
+    def g3(table):
+        t = table[idx]
+        return t[..., 0], t[..., 1], t[..., 2]
+
+    def g2(table):
+        t = table[idx]
+        return t[..., 0], t[..., 1]
+
+    p0x, p0y, p0z = g3(scene.prim_p0)
+    e1x, e1y, e1z = g3(scene.prim_e1)
+    e2x, e2y, e2z = g3(scene.prim_e2)
+
+    def norm3(x, y, z):
+        inv = 1.0 / jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+        return x * inv, y * inv, z * inv
+
     # Triangle: position from barycentrics (better precision than o + t d)
-    p_tri = p0 + e1 * u[..., None] + e2 * v[..., None]
-    ng_tri = normalize(jnp.cross(e1, e2))
-    ns_tri = normalize(scene.prim_n0[idx] * w[..., None] +
-                       scene.prim_n1[idx] * u[..., None] +
-                       scene.prim_n2[idx] * v[..., None])
-    uv_tri = (scene.prim_uv0[idx] * w[..., None] +
-              scene.prim_uv1[idx] * u[..., None] +
-              scene.prim_uv2[idx] * v[..., None])
+    ptx = p0x + e1x * u + e2x * v
+    pty = p0y + e1y * u + e2y * v
+    ptz = p0z + e1z * u + e2z * v
+    ngx, ngy, ngz = norm3(e1y * e2z - e1z * e2y,
+                          e1z * e2x - e1x * e2z,
+                          e1x * e2y - e1y * e2x)
+    n0x, n0y, n0z = g3(scene.prim_n0)
+    n1x, n1y, n1z = g3(scene.prim_n1)
+    n2x, n2y, n2z = g3(scene.prim_n2)
+    nsx, nsy, nsz = norm3(n0x * w + n1x * u + n2x * v,
+                          n0y * w + n1y * u + n2y * v,
+                          n0z * w + n1z * u + n2z * v)
+    u0x, u0y = g2(scene.prim_uv0)
+    u1x, u1y = g2(scene.prim_uv1)
+    u2x, u2y = g2(scene.prim_uv2)
+    uvx = u0x * w + u1x * u + u2x * v
+    uvy = u0y * w + u1y * u + u2y * v
 
     if scene.has_spheres:
-        # Sphere
-        p_ray = ray.o + ray.d * pi.t[..., None]
-        r_sph = jnp.maximum(e1[..., 0:1], 1e-20)
-        ng_sph = (p_ray - p0) / r_sph
-        ng_sph = normalize(ng_sph)
-        p_sph = p0 + ng_sph * r_sph  # re-projected for precision (sphere.cpp)
-        theta = m.safe_acos(ng_sph[..., 2])
-        phi = jnp.arctan2(ng_sph[..., 1], ng_sph[..., 0])
+        # Sphere (center p0, radius e1.x)
+        r_sph = jnp.maximum(e1x, 1e-20)
+        sx, sy, sz = norm3(ray.o[..., 0] + ray.d[..., 0] * pi.t - p0x,
+                           ray.o[..., 1] + ray.d[..., 1] * pi.t - p0y,
+                           ray.o[..., 2] + ray.d[..., 2] * pi.t - p0z)
+        psx = p0x + sx * r_sph  # re-projected for precision (sphere.cpp)
+        psy = p0y + sy * r_sph
+        psz = p0z + sz * r_sph
+        theta = m.safe_acos(sz)
+        phi = jnp.arctan2(sy, sx)
         phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
-        uv_sph = jnp.stack([phi * (0.5 / jnp.pi), theta / jnp.pi], axis=-1)
 
-        is_tri = (ptype == PRIM_TRI)[..., None]
-        p = jnp.where(is_tri, p_tri, p_sph)
-        ng = jnp.where(is_tri, ng_tri, ng_sph)
-        ns = jnp.where(is_tri, ns_tri, ng_sph)
-        uv = jnp.where(is_tri, uv_tri, uv_sph)
-    else:  # static specialization: all-triangle scene
-        p, ng, ns, uv = p_tri, ng_tri, ns_tri, uv_tri
+        is_tri = ptype == PRIM_TRI
+        ptx = jnp.where(is_tri, ptx, psx)
+        pty = jnp.where(is_tri, pty, psy)
+        ptz = jnp.where(is_tri, ptz, psz)
+        ngx = jnp.where(is_tri, ngx, sx)
+        ngy = jnp.where(is_tri, ngy, sy)
+        ngz = jnp.where(is_tri, ngz, sz)
+        nsx = jnp.where(is_tri, nsx, sx)
+        nsy = jnp.where(is_tri, nsy, sy)
+        nsz = jnp.where(is_tri, nsz, sz)
+        uvx = jnp.where(is_tri, uvx, phi * (0.5 / jnp.pi))
+        uvy = jnp.where(is_tri, uvy, theta / jnp.pi)
+
+    p = jnp.stack([ptx, pty, ptz], axis=-1)
+    ng = jnp.stack([ngx, ngy, ngz], axis=-1)
+    ns = jnp.stack([nsx, nsy, nsz], axis=-1)
+    uv = jnp.stack([uvx, uvy], axis=-1)
 
     sh_frame = Frame.from_n(ns)
     wi_world = -ray.d
