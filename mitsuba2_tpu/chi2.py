@@ -87,7 +87,13 @@ class ChiSquareTest:
     def tabulate_histogram(self):
         rng = np.random.default_rng(self.seed)
         u = rng.random((self.sample_count, self.sample_dim), dtype=np.float64).astype(np.float32)
-        pts = np.asarray(self.sample_func(jnp.asarray(u)))
+        pts = self.sample_func(jnp.asarray(u))
+        # planar-layout returns: Vec3 -> (N, 3); (x, y) tuple -> (N, 2)
+        if hasattr(pts, "x"):
+            pts = pts.to_array()
+        elif isinstance(pts, (tuple, list)):
+            pts = jnp.stack([jnp.asarray(c) for c in pts], axis=-1)
+        pts = np.asarray(pts)
         p = self.domain.map_forward(pts)
         b = self.domain.bounds()
         # Drop invalid samples (zero-direction convention for rejected draws)

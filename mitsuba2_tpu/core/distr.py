@@ -218,36 +218,52 @@ class Marginal2D:
         return self.data.shape
 
     def sample(self, u):
-        """u: (..., 2) -> ((..., 2) position in [0,1]^2, (...,) pdf).
+        """u: planar Vec2 / (u, v) tuple / (..., 2) array ->
+        (Vec2 position in [0,1]^2, (...,) pdf).
 
         The pdf is w.r.t. the unit square (multiply by h*w/total ... already
-        normalized here)."""
+        normalized here). The conditional-row search is a per-lane bisection
+        over the flattened CDF table ((N,) gathers — no (N, w) row
+        materialization, no lane padding)."""
+        from .vec import Vec2, as_vec2
+        u = as_vec2(u)
         h, w = self.data.shape
+        flat_cond = self.cond_cdf.reshape(-1)
         # Row from marginal
-        target_r = u[..., 1] * self.total
+        target_r = u.y * self.total
         row = jnp.clip(jnp.searchsorted(self.marg_cdf, target_r, side="right"), 0, h - 1)
         marg_lo = jnp.where(row > 0, jnp.take(self.marg_cdf, jnp.maximum(row - 1, 0)), 0.0)
         row_sum = jnp.take(self.marg_cdf, row) - marg_lo
         # Re-scaled residual inside the row
         ur = jnp.clip((target_r - marg_lo) / jnp.maximum(row_sum, 1e-20), 0.0, m.ONE_MINUS_EPSILON)
-        # Column from conditional
-        cond_row = self.cond_cdf[row]  # gather rows: (..., w)
-        target_c = u[..., 0] * row_sum  # (...,)
-        col = jnp.clip(_searchsorted_rows(cond_row, target_c), 0, w - 1)
-        cond_lo = jnp.where(col > 0, jnp.take_along_axis(
-            cond_row, jnp.maximum(col - 1, 0)[..., None], axis=-1)[..., 0], 0.0)
-        cell = jnp.take_along_axis(cond_row, col[..., None], axis=-1)[..., 0] - cond_lo
+        # Column from conditional: lower-bound bisection in cond_cdf[row, :]
+        target_c = u.x * row_sum
+        base = row * w
+        lo = jnp.zeros_like(row)
+        hi = jnp.full_like(row, w)
+        steps = int(np.ceil(np.log2(max(w, 2)))) + 1
+        for _ in range(steps):
+            mid = (lo + hi) // 2
+            go_right = flat_cond[base + mid] < target_c
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        col = jnp.clip(lo, 0, w - 1)
+        cond_lo = jnp.where(col > 0, flat_cond[base + jnp.maximum(col - 1, 0)], 0.0)
+        cell = flat_cond[base + col] - cond_lo
         uc = jnp.clip((target_c - cond_lo) / jnp.maximum(cell, 1e-20), 0.0, m.ONE_MINUS_EPSILON)
-        pos = jnp.stack([(col + uc) / w, (row + ur) / h], axis=-1)
+        pos = Vec2((col + uc) / w, (row + ur) / h)
         pdf = cell * (h * w) / jnp.maximum(self.total, 1e-20)
         return pos, pdf
 
     def eval_pdf(self, pos):
-        """pdf at pos in [0,1]^2, w.r.t. the unit square."""
+        """pdf at pos (Vec2 / tuple / (..., 2)) in [0,1]^2, w.r.t. the unit
+        square."""
+        from .vec import as_vec2
+        pos = as_vec2(pos)
         h, w = self.data.shape
-        col = jnp.clip((pos[..., 0] * w).astype(jnp.int32), 0, w - 1)
-        row = jnp.clip((pos[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        val = self.data[row, col]
+        col = jnp.clip((pos.x * w).astype(jnp.int32), 0, w - 1)
+        row = jnp.clip((pos.y * h).astype(jnp.int32), 0, h - 1)
+        val = self.data.reshape(-1)[row * w + col]
         return val * (h * w) / jnp.maximum(self.total, 1e-20)
 
 

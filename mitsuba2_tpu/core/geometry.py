@@ -2,8 +2,11 @@
 
 TPU-native rebuild of mitsuba2's geometry headers
 (include/mitsuba/core/{ray,bbox,frame,transform,vector}.h). All records are
-SoA pytrees of jnp arrays — a `Ray` holding N rays is a struct of (N, 3)
-arrays, never an array of structs. Everything is jit/vmap/grad-safe.
+SoA pytrees — and since the vec.py layout finding (TPU pads an (N, 3)
+array's minor dim to 128 lanes, wasting ~40x VPU throughput), per-lane
+3-vectors are PLANAR `Vec3` structs of (N,) component arrays. The array
+helpers below (dot/cross/normalize on (..., 3)) remain for host-side code
+and small fixed-size math (transforms, Mueller matrices).
 """
 from __future__ import annotations
 
@@ -15,6 +18,15 @@ import numpy as np
 from flax import struct
 
 from . import math as m
+from .vec import (Vec3, vcross, vdot, vnorm, vnormalize, vsqnorm,  # noqa: F401
+                  vwhere, vmax_abs)
+
+
+def as_vec3(v) -> Vec3:
+    """Coerce an (..., 3) array (or Vec3) to Vec3 — boundary adapter."""
+    if isinstance(v, Vec3):
+        return v
+    return Vec3.from_array(v)
 
 
 # ---------------------------------------------------------------------------
@@ -47,21 +59,18 @@ def vec3(x, y, z):
         jnp.asarray(z, jnp.float32)), axis=-1)
 
 
-def coordinate_system(n):
-    """Build an orthonormal basis around unit vector n.
+def coordinate_system(n: Vec3):
+    """Build an orthonormal basis around unit Vec3 n.
 
     Duff et al. 2017 branchless construction — same algorithm as mitsuba's
-    `coordinate_system` (include/mitsuba/core/vector.h). n: (..., 3).
-    Returns (s, t) with s x t = n.
+    `coordinate_system` (include/mitsuba/core/vector.h). Returns (s, t)
+    with s x t = n.
     """
-    z = n[..., 2]
-    sign = jnp.where(z >= 0.0, 1.0, -1.0)
-    a = -1.0 / (sign + z)
-    b = n[..., 0] * n[..., 1] * a
-    s = jnp.stack([1.0 + sign * n[..., 0] * n[..., 0] * a,
-                   sign * b,
-                   -sign * n[..., 0]], axis=-1)
-    t = jnp.stack([b, sign + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
+    sign = jnp.where(n.z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n.z)
+    b = n.x * n.y * a
+    s = Vec3(1.0 + sign * n.x * n.x * a, sign * b, -sign * n.x)
+    t = Vec3(b, sign + n.y * n.y * a, -n.y)
     return s, t
 
 
@@ -71,57 +80,64 @@ def coordinate_system(n):
 
 @struct.dataclass
 class Frame:
-    """Shading frame; n is the +z axis in local coordinates."""
-    s: jnp.ndarray  # (..., 3) tangent
-    t: jnp.ndarray  # (..., 3) bitangent
-    n: jnp.ndarray  # (..., 3) normal
+    """Shading frame; n is the +z axis in local coordinates. All planar."""
+    s: Vec3  # tangent
+    t: Vec3  # bitangent
+    n: Vec3  # normal
 
     @staticmethod
-    def from_n(n):
+    def from_n(n) -> "Frame":
+        n = as_vec3(n)
         s, t = coordinate_system(n)
         return Frame(s=s, t=t, n=n)
 
-    def to_local(self, v):
-        return jnp.stack([dot(v, self.s), dot(v, self.t), dot(v, self.n)], axis=-1)
+    def to_local(self, v: Vec3) -> Vec3:
+        v = as_vec3(v)
+        return Vec3(vdot(v, self.s), vdot(v, self.t), vdot(v, self.n))
 
-    def to_world(self, v):
-        return (self.s * v[..., 0:1] + self.t * v[..., 1:2] + self.n * v[..., 2:3])
+    def to_world(self, v: Vec3) -> Vec3:
+        v = as_vec3(v)
+        return Vec3(self.s.x * v.x + self.t.x * v.y + self.n.x * v.z,
+                    self.s.y * v.x + self.t.y * v.y + self.n.y * v.z,
+                    self.s.z * v.x + self.t.z * v.y + self.n.z * v.z)
 
-    # Frame::cos_theta and friends operate on LOCAL-space directions
+    # Frame::cos_theta and friends operate on LOCAL-space Vec3 directions
     @staticmethod
-    def cos_theta(v):
-        return v[..., 2]
-
-    @staticmethod
-    def cos_theta_2(v):
-        return v[..., 2] * v[..., 2]
-
-    @staticmethod
-    def sin_theta_2(v):
-        return jnp.maximum(1.0 - v[..., 2] * v[..., 2], 0.0)
+    def cos_theta(v: Vec3):
+        return v.z
 
     @staticmethod
-    def sin_theta(v):
+    def cos_theta_2(v: Vec3):
+        return v.z * v.z
+
+    @staticmethod
+    def sin_theta_2(v: Vec3):
+        return jnp.maximum(1.0 - v.z * v.z, 0.0)
+
+    @staticmethod
+    def sin_theta(v: Vec3):
         return jnp.sqrt(Frame.sin_theta_2(v))
 
     @staticmethod
-    def tan_theta(v):
-        return Frame.sin_theta(v) / jnp.where(v[..., 2] == 0, 1e-20, v[..., 2])
+    def tan_theta(v: Vec3):
+        return Frame.sin_theta(v) / jnp.where(v.z == 0, 1e-20, v.z)
 
     @staticmethod
-    def tan_theta_2(v):
-        c2 = v[..., 2] * v[..., 2]
+    def tan_theta_2(v: Vec3):
+        c2 = v.z * v.z
         return jnp.maximum(1.0 - c2, 0.0) / jnp.maximum(c2, 1e-20)
 
     @staticmethod
-    def sin_phi(v):
+    def sin_phi(v: Vec3):
         st = Frame.sin_theta(v)
-        return jnp.where(st == 0, 0.0, jnp.clip(v[..., 1] / jnp.maximum(st, 1e-20), -1.0, 1.0))
+        return jnp.where(st == 0, 0.0,
+                         jnp.clip(v.y / jnp.maximum(st, 1e-20), -1.0, 1.0))
 
     @staticmethod
-    def cos_phi(v):
+    def cos_phi(v: Vec3):
         st = Frame.sin_theta(v)
-        return jnp.where(st == 0, 1.0, jnp.clip(v[..., 0] / jnp.maximum(st, 1e-20), -1.0, 1.0))
+        return jnp.where(st == 0, 1.0,
+                         jnp.clip(v.x / jnp.maximum(st, 1e-20), -1.0, 1.0))
 
 
 # ---------------------------------------------------------------------------
@@ -130,22 +146,22 @@ class Frame:
 
 @struct.dataclass
 class Ray:
-    """A (batch of) rays. o/d: (..., 3); maxt/time: (...,).
+    """A (batch of) rays. o/d: planar Vec3; maxt/time: (N,).
 
-    `wavelengths`: (..., C) — hero wavelengths in spectral mode, else a
-    zero-width placeholder. Mirrors mitsuba's `Ray3f`.
+    `wavelengths`: planar Spec (4 hero wavelengths per lane) in spectral
+    mode, else None. Mirrors mitsuba's `Ray3f`.
     """
-    o: jnp.ndarray
-    d: jnp.ndarray
+    o: Vec3
+    d: Vec3
     maxt: jnp.ndarray
     time: jnp.ndarray
-    wavelengths: jnp.ndarray
+    wavelengths: object = None
 
     @staticmethod
     def make(o, d, maxt=None, time=None, wavelengths=None):
-        o = jnp.asarray(o, jnp.float32)
-        d = jnp.asarray(d, jnp.float32)
-        batch = jnp.broadcast_shapes(o.shape[:-1], d.shape[:-1])
+        o = as_vec3(o)
+        d = as_vec3(d)
+        batch = jnp.broadcast_shapes(o.shape, d.shape)
         if maxt is None:
             maxt = jnp.full(batch, jnp.inf, jnp.float32)
         else:
@@ -154,22 +170,21 @@ class Ray:
             time = jnp.zeros(batch, jnp.float32)
         else:
             time = jnp.broadcast_to(jnp.asarray(time, jnp.float32), batch)
-        if wavelengths is None:
-            wavelengths = jnp.zeros(batch + (0,), jnp.float32)
         return Ray(o=o, d=d, maxt=maxt, time=time, wavelengths=wavelengths)
 
-    def at(self, t):
-        return self.o + self.d * t[..., None]
+    def at(self, t) -> Vec3:
+        return self.o + self.d * t
 
 
 def spawn_ray(p, d, n=None, maxt=None, wavelengths=None, time=None):
     """Offset ray origin along the geometric normal to avoid self-intersection
     (mirrors Interaction::spawn_ray, include/mitsuba/render/interaction.h)."""
+    p, d = as_vec3(p), as_vec3(d)
     if n is not None:
-        offset = n * m.mulsign(jnp.float32(m.RAY_EPSILON) *
-                               (1.0 + jnp.max(jnp.abs(p), axis=-1, keepdims=True)),
-                               dot(n, d, keepdims=True))
-        o = p + offset
+        n = as_vec3(n)
+        eps = m.mulsign(jnp.float32(m.RAY_EPSILON) * (1.0 + vmax_abs(p)),
+                        vdot(n, d))
+        o = p + n * eps
     else:
         o = p
     return Ray.make(o, d, maxt=maxt, time=time, wavelengths=wavelengths)
@@ -287,26 +302,42 @@ class Transform4:
                           inverse_transpose=self.matrix.T)
 
     def apply_point(self, p):
+        if isinstance(p, Vec3):
+            mm = self.matrix
+            return Vec3(mm[0, 0] * p.x + mm[0, 1] * p.y + mm[0, 2] * p.z + mm[0, 3],
+                        mm[1, 0] * p.x + mm[1, 1] * p.y + mm[1, 2] * p.z + mm[1, 3],
+                        mm[2, 0] * p.x + mm[2, 1] * p.y + mm[2, 2] * p.z + mm[2, 3])
         r = p @ self.matrix[:3, :3].T + self.matrix[:3, 3]
         w = p @ self.matrix[3, :3].T + self.matrix[3, 3]
         return r / w[..., None]
 
     def apply_vector(self, v):
+        if isinstance(v, Vec3):
+            mm = self.matrix
+            return Vec3(mm[0, 0] * v.x + mm[0, 1] * v.y + mm[0, 2] * v.z,
+                        mm[1, 0] * v.x + mm[1, 1] * v.y + mm[1, 2] * v.z,
+                        mm[2, 0] * v.x + mm[2, 1] * v.y + mm[2, 2] * v.z)
         return v @ self.matrix[:3, :3].T
 
     def apply_normal(self, n):
+        if isinstance(n, Vec3):
+            it = self.inverse_transpose
+            return Vec3(it[0, 0] * n.x + it[0, 1] * n.y + it[0, 2] * n.z,
+                        it[1, 0] * n.x + it[1, 1] * n.y + it[1, 2] * n.z,
+                        it[2, 0] * n.x + it[2, 1] * n.y + it[2, 2] * n.z)
         return n @ self.inverse_transpose[:3, :3].T
 
 
-def sph_dir(theta, phi):
-    """Spherical to cartesian unit vector (z-up)."""
+def sph_dir(theta, phi) -> Vec3:
+    """Spherical to cartesian unit Vec3 (z-up)."""
     st, ct = jnp.sin(theta), jnp.cos(theta)
     sp, cp = jnp.sin(phi), jnp.cos(phi)
-    return jnp.stack([st * cp, st * sp, ct], axis=-1)
+    return Vec3(st * cp, st * sp, ct)
 
 
-def dir_sph(v):
+def dir_sph(v: Vec3):
     """Cartesian to (theta, phi)."""
-    theta = m.safe_acos(v[..., 2])
-    phi = jnp.arctan2(v[..., 1], v[..., 0])
+    v = as_vec3(v)
+    theta = m.safe_acos(v.z)
+    phi = jnp.arctan2(v.y, v.x)
     return theta, phi

@@ -100,6 +100,95 @@ def luminance_rgb(rgb):
     return jnp.sum(rgb * w, axis=-1)
 
 
+# ---- planar (channel-SoA) variants of the hot-path color ops ---------------
+# The wavefront carries colors as core/spec.py Spec pytrees (C separate (N,)
+# channels) for TPU lane density; these helpers are the planar counterparts
+# of the (..., C) functions above, used inside the render pass.
+
+def cie1931_xyz_t(wl):
+    """Elementwise CIE XYZ at one wavelength channel — returns a 3-tuple."""
+    x = (1.056 * _gauss_piecewise(wl, 599.8, 37.9, 31.0)
+         + 0.362 * _gauss_piecewise(wl, 442.0, 16.0, 26.7)
+         - 0.065 * _gauss_piecewise(wl, 501.1, 20.4, 26.2))
+    y = (0.821 * _gauss_piecewise(wl, 568.8, 46.9, 40.5)
+         + 0.286 * _gauss_piecewise(wl, 530.9, 16.3, 31.1))
+    z = (1.217 * _gauss_piecewise(wl, 437.0, 11.8, 36.0)
+         + 0.681 * _gauss_piecewise(wl, 459.0, 26.0, 13.8))
+    return x, y, z
+
+
+def luminance_t(r, g, b):
+    """Planar luminance of linear sRGB channels."""
+    return 0.212671 * r + 0.715160 * g + 0.072169 * b
+
+
+def xyz_to_srgb_t(x, y, z):
+    m_ = XYZ_TO_SRGB
+    return (x * m_[0, 0] + y * m_[0, 1] + z * m_[0, 2],
+            x * m_[1, 0] + y * m_[1, 1] + z * m_[1, 2],
+            x * m_[2, 0] + y * m_[2, 1] + z * m_[2, 2])
+
+
+def srgb_model_eval_t(c2, c1, c0, wl):
+    """Planar sigmoid-polynomial eval: all args (N,)."""
+    x = (c2 * wl + c1) * wl + c0
+    return 0.5 + 0.5 * x / jnp.sqrt(1.0 + x * x)
+
+
+def sample_hero_wavelengths_t(u):
+    """Planar hero-wavelength sampling: u (N,) -> (wl Spec4, pdf Spec4)."""
+    from .spec import Spec
+    wls, pdfs = [], []
+    for i in range(N_HERO):
+        ui = jnp.mod(u + i / N_HERO, 1.0)
+        wl, pdf = sample_rgb_spectrum(ui)
+        wls.append(wl)
+        pdfs.append(pdf)
+    return Spec(tuple(wls)), Spec(tuple(pdfs))
+
+
+def spectrum_to_srgb_t(values, wavelengths, pdfs):
+    """Planar MC spectral -> linear sRGB: Spec4 x Spec4 x Spec4 -> Spec3."""
+    from .spec import Spec
+    X = Y = Z = 0.0
+    for v, w, p in zip(values.ch, wavelengths.ch, pdfs.ch):
+        s = v / jnp.maximum(p, 1e-20)
+        cx, cy, cz = cie1931_xyz_t(w)
+        X = X + s * cx
+        Y = Y + s * cy
+        Z = Z + s * cz
+    inv = 1.0 / (N_HERO * CIE_Y_INTEGRAL)
+    return Spec(xyz_to_srgb_t(X * inv, Y * inv, Z * inv))
+
+
+def srgb_model_fetch_interp_t(lattice, r, g, b):
+    """Planar trilinear coefficient fetch: (N,) rgb channels ->
+    (c2, c1, c0) each (N,). 24 dense (N,) gathers instead of 8 lane-padded
+    (N, 3) gathers."""
+    lattice = jnp.asarray(lattice)
+    res = lattice.shape[0]
+    ti = jnp.clip(r, 0.0, 1.0) * (res - 1)
+    tj = jnp.clip(g, 0.0, 1.0) * (res - 1)
+    tk = jnp.clip(b, 0.0, 1.0) * (res - 1)
+    i0 = jnp.clip(jnp.floor(ti).astype(jnp.int32), 0, res - 2)
+    j0 = jnp.clip(jnp.floor(tj).astype(jnp.int32), 0, res - 2)
+    k0 = jnp.clip(jnp.floor(tk).astype(jnp.int32), 0, res - 2)
+    fi, fj, fk = ti - i0, tj - j0, tk - k0
+    out = []
+    for c in range(3):
+        acc = 0.0
+        for di in (0, 1):
+            wi_ = fi if di else (1.0 - fi)
+            for dj in (0, 1):
+                wj_ = fj if dj else (1.0 - fj)
+                for dk in (0, 1):
+                    wk_ = fk if dk else (1.0 - fk)
+                    acc = acc + lattice[i0 + di, j0 + dj, k0 + dk, c] * \
+                        (wi_ * wj_ * wk_)
+        out.append(acc)
+    return out[0], out[1], out[2]
+
+
 # ---------------------------------------------------------------------------
 # Hero-wavelength sampling (spectrum.h :: sample_rgb_spectrum)
 # ---------------------------------------------------------------------------
@@ -302,13 +391,16 @@ def srgb_model_fetch_lattice(res: int = 16):
         for j, g in enumerate(grid):
             for k, b in enumerate(grid):
                 coeffs[i, j, k], _ = fit_srgb_model(np.array([r, g, b]))
-    out = jnp.asarray(coeffs, jnp.float32)
+    # cache HOST memory: a device array created under a jit trace would leak
+    # its tracer into later traces
+    out = np.asarray(coeffs, np.float32)
     _LATTICE_CACHE[res] = out
     return out
 
 
 def srgb_model_fetch_interp(lattice, rgb):
     """Trilinear interp of fitted coefficients at rgb in [0,1]^3 (device)."""
+    lattice = jnp.asarray(lattice)
     res = lattice.shape[0]
     t = jnp.clip(rgb, 0.0, 1.0) * (res - 1)
     i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, res - 2)

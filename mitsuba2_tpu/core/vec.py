@@ -96,6 +96,73 @@ class Vec3:
         return Vec3(-self.x, -self.y, -self.z)
 
 
+@struct.dataclass
+class Vec2:
+    """Planar 2-vector (same layout rationale as Vec3) — used for uv
+    coordinates, barycentrics, and film jitter."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+
+    @staticmethod
+    def from_array(a) -> "Vec2":
+        a = jnp.asarray(a, jnp.float32)
+        return Vec2(a[..., 0], a[..., 1])
+
+    @staticmethod
+    def zeros(shape) -> "Vec2":
+        z = jnp.zeros(shape, jnp.float32)
+        return Vec2(z, z)
+
+    @staticmethod
+    def gather(table, idx) -> "Vec2":
+        return Vec2(table[idx, 0], table[idx, 1])
+
+    def to_array(self):
+        return jnp.stack(jnp.broadcast_arrays(self.x, self.y), -1)
+
+    @property
+    def shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.x), jnp.shape(self.y))
+
+    def __add__(self, o):
+        if isinstance(o, Vec2):
+            return Vec2(self.x + o.x, self.y + o.y)
+        if isinstance(o, (tuple, list)):
+            return Vec2(self.x + o[0], self.y + o[1])
+        return Vec2(self.x + o, self.y + o)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, Vec2):
+            return Vec2(self.x - o.x, self.y - o.y)
+        if isinstance(o, (tuple, list)):
+            return Vec2(self.x - o[0], self.y - o[1])
+        return Vec2(self.x - o, self.y - o)
+
+    def __mul__(self, o):
+        if isinstance(o, Vec2):
+            return Vec2(self.x * o.x, self.y * o.y)
+        return Vec2(self.x * o, self.y * o)
+
+    __rmul__ = __mul__
+
+
+def as_vec2(v) -> Vec2:
+    """Coerce an (..., 2) array / (x, y) tuple / Vec2 to Vec2."""
+    if isinstance(v, Vec2):
+        return v
+    if isinstance(v, (tuple, list)):
+        return Vec2(jnp.asarray(v[0], jnp.float32), jnp.asarray(v[1], jnp.float32))
+    return Vec2.from_array(v)
+
+
+def v2where(mask, a: Vec2, b: Vec2) -> Vec2:
+    a = as_vec2(a) if not isinstance(a, Vec2) else a
+    b = as_vec2(b) if not isinstance(b, Vec2) else b
+    return Vec2(jnp.where(mask, a.x, b.x), jnp.where(mask, a.y, b.y))
+
+
 # ---- free functions (match geometry.py's helper names) ----------------------
 
 def vdot(a: Vec3, b: Vec3):

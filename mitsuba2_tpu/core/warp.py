@@ -4,19 +4,36 @@ TPU-native rebuild of mitsuba2's warp library (include/mitsuba/core/warp.h,
 src/libcore/warp.cpp). Same function names and conventions: every
 `square_to_X` has a matching `square_to_X_pdf` (density w.r.t. the solid
 angle / area measure of the target domain) and, where the reference provides
-one, an inverse `X_to_square`. All pure jnp, elementwise over (..., 2) /
-(..., 3) arrays; chi^2-tested in tests/test_warp.py.
+one, an inverse `X_to_square`. chi^2-tested in tests/test_warp.py.
+
+PLANAR LAYOUT: directional outputs are Vec3 (struct-of-arrays; see
+core/vec.py for the measured TPU rationale); 2D samples are accepted as
+either an (..., 2) array or a (u, v) tuple of (...,) arrays and 2D outputs
+are returned as tuples.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from . import math as m
-from .geometry import vec3
+from .vec import Vec3
 
 INV_PI = 1.0 / jnp.pi
 INV_TWO_PI = 1.0 / (2.0 * jnp.pi)
 INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
+
+
+def _u2(u):
+    """Accept (..., 2) array or (ua, ub) tuple."""
+    if isinstance(u, (tuple, list)):
+        return u[0], u[1]
+    return u[..., 0], u[..., 1]
+
+
+def _v3(v) -> Vec3:
+    if isinstance(v, Vec3):
+        return v
+    return Vec3.from_array(v)
 
 
 # ---------------------------------------------------------------------------
@@ -24,20 +41,23 @@ INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
 # ---------------------------------------------------------------------------
 
 def square_to_uniform_disk(u):
-    r = jnp.sqrt(u[..., 0])
-    theta = 2.0 * jnp.pi * u[..., 1]
-    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+    ua, ub = _u2(u)
+    r = jnp.sqrt(ua)
+    theta = 2.0 * jnp.pi * ub
+    return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
 def square_to_uniform_disk_pdf(p):
-    inside = jnp.sum(p * p, axis=-1) <= 1.0
+    px, py = _u2(p)
+    inside = px * px + py * py <= 1.0
     return jnp.where(inside, INV_PI, 0.0)
 
 
 def square_to_uniform_disk_concentric(u):
-    """Shirley–Chiu concentric disk mapping (warp::square_to_uniform_disk_concentric)."""
-    x = 2.0 * u[..., 0] - 1.0
-    y = 2.0 * u[..., 1] - 1.0
+    """Shirley–Chiu concentric disk mapping."""
+    ua, ub = _u2(u)
+    x = 2.0 * ua - 1.0
+    y = 2.0 * ub - 1.0
     is_zero = (x == 0.0) & (y == 0.0)
     quadrant_1_or_3 = jnp.abs(x) < jnp.abs(y)
     r = jnp.where(quadrant_1_or_3, y, x)
@@ -45,96 +65,98 @@ def square_to_uniform_disk_concentric(u):
     phi = 0.25 * jnp.pi * rp / jnp.where(r == 0.0, 1.0, r)
     phi = jnp.where(quadrant_1_or_3, 0.5 * jnp.pi - phi, phi)
     phi = jnp.where(is_zero, 0.0, phi)
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+    return r * jnp.cos(phi), r * jnp.sin(phi)
 
 
 def uniform_disk_to_square_concentric(p):
-    """Inverse of the Shirley–Chiu concentric mapping.
-
-    Forward cases: |x|>|y| -> (r=x, phi=(pi/4)(y/x));
-    else (r=y, phi=pi/2-(pi/4)(x/y)). The point angle equals phi for r>0
-    and phi+pi for r<0; invert per angular octant-pair.
-    """
-    rr = jnp.sqrt(jnp.sum(p * p, axis=-1))
-    ang = jnp.arctan2(p[..., 1], p[..., 0])  # [-pi, pi]
+    """Inverse of the Shirley–Chiu concentric mapping."""
+    px, py = _u2(p)
+    rr = jnp.sqrt(px * px + py * py)
+    ang = jnp.arctan2(py, px)  # [-pi, pi]
     quarter_pi = 0.25 * jnp.pi
-    case_px = jnp.abs(ang) <= quarter_pi                      # r = x = +rr
-    case_py = (ang >= quarter_pi) & (ang <= 3 * quarter_pi)   # r = y = +rr
-    case_nx = jnp.abs(ang) >= 3 * quarter_pi                  # r = x = -rr
-    # remaining: r = y = -rr
-    # r = x branches: y = x * phi / (pi/4), phi = wrap(ang) into [-pi/4, pi/4]
+    case_px = jnp.abs(ang) <= quarter_pi
+    case_py = (ang >= quarter_pi) & (ang <= 3 * quarter_pi)
+    case_nx = jnp.abs(ang) >= 3 * quarter_pi
     phi_nx = jnp.where(ang > 0, ang - jnp.pi, ang + jnp.pi)
     x1 = jnp.where(case_px, rr, -rr)
     y1 = x1 * jnp.where(case_px, ang, phi_nx) / quarter_pi
-    # r = y branches: x = y * (pi/2 - phi) / (pi/4)
-    phi_ny = ang + jnp.pi  # maps [-3pi/4, -pi/4] -> [pi/4, 3pi/4]
+    phi_ny = ang + jnp.pi
     y2 = jnp.where(case_py, rr, -rr)
     x2 = y2 * (0.5 * jnp.pi - jnp.where(case_py, ang, phi_ny)) / quarter_pi
     x_branch = case_px | case_nx
     x = jnp.where(x_branch, x1, x2)
     y = jnp.where(x_branch, y1, y2)
-    return jnp.stack([(x + 1.0) * 0.5, (y + 1.0) * 0.5], axis=-1)
+    return (x + 1.0) * 0.5, (y + 1.0) * 0.5
 
 
 # ---------------------------------------------------------------------------
 # Sphere / hemisphere
 # ---------------------------------------------------------------------------
 
-def square_to_uniform_sphere(u):
-    z = 1.0 - 2.0 * u[..., 0]
+def square_to_uniform_sphere(u) -> Vec3:
+    ua, ub = _u2(u)
+    z = 1.0 - 2.0 * ua
     r = m.safe_sqrt(1.0 - z * z)
-    phi = 2.0 * jnp.pi * u[..., 1]
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    phi = 2.0 * jnp.pi * ub
+    return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
 def square_to_uniform_sphere_pdf(v):
-    return jnp.full(v.shape[:-1], INV_FOUR_PI, jnp.float32)
+    v = _v3(v)
+    return jnp.full(jnp.shape(v.z), INV_FOUR_PI, jnp.float32)
 
 
 def uniform_sphere_to_square(v):
-    phi = jnp.arctan2(v[..., 1], v[..., 0])
+    v = _v3(v)
+    phi = jnp.arctan2(v.y, v.x)
     phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
-    return jnp.stack([(1.0 - v[..., 2]) * 0.5, phi * INV_TWO_PI], axis=-1)
+    return (1.0 - v.z) * 0.5, phi * INV_TWO_PI
 
 
-def square_to_uniform_hemisphere(u):
+def square_to_uniform_hemisphere(u) -> Vec3:
     """Uniform hemisphere (+z), via concentric disk lift (as upstream)."""
-    p = square_to_uniform_disk_concentric(u)
-    z = 1.0 - jnp.sum(p * p, axis=-1)
-    p = p * jnp.sqrt(jnp.maximum(2.0 - jnp.sum(p * p, axis=-1), 0.0))[..., None]
-    return jnp.concatenate([p, z[..., None]], axis=-1)
+    px, py = square_to_uniform_disk_concentric(u)
+    r2 = px * px + py * py
+    z = 1.0 - r2
+    s = jnp.sqrt(jnp.maximum(2.0 - r2, 0.0))
+    return Vec3(px * s, py * s, z)
 
 
 def square_to_uniform_hemisphere_pdf(v):
-    return jnp.where(v[..., 2] >= 0, INV_TWO_PI, 0.0)
+    v = _v3(v)
+    return jnp.where(v.z >= 0, INV_TWO_PI, 0.0)
 
 
-def square_to_cosine_hemisphere(u):
+def square_to_cosine_hemisphere(u) -> Vec3:
     """Cosine-weighted hemisphere via Malley (concentric disk + lift)."""
-    p = square_to_uniform_disk_concentric(u)
-    z = m.safe_sqrt(1.0 - jnp.sum(p * p, axis=-1))
-    return jnp.concatenate([p, z[..., None]], axis=-1)
+    px, py = square_to_uniform_disk_concentric(u)
+    z = m.safe_sqrt(1.0 - (px * px + py * py))
+    return Vec3(px, py, z)
 
 
 def square_to_cosine_hemisphere_pdf(v):
-    return jnp.where(v[..., 2] >= 0, v[..., 2] * INV_PI, 0.0)
+    v = _v3(v)
+    return jnp.where(v.z >= 0, v.z * INV_PI, 0.0)
 
 
 def cosine_hemisphere_to_square(v):
-    return uniform_disk_to_square_concentric(v[..., :2])
+    v = _v3(v)
+    return uniform_disk_to_square_concentric((v.x, v.y))
 
 
-def square_to_uniform_cone(u, cos_cutoff):
+def square_to_uniform_cone(u, cos_cutoff) -> Vec3:
     """Uniform direction in a cone around +z with cos(angle) >= cos_cutoff."""
-    cos_theta = (1.0 - u[..., 0]) + u[..., 0] * cos_cutoff
+    ua, ub = _u2(u)
+    cos_theta = (1.0 - ua) + ua * cos_cutoff
     sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
-    phi = 2.0 * jnp.pi * u[..., 1]
-    return jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1)
+    phi = 2.0 * jnp.pi * ub
+    return Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
 
 
 def square_to_uniform_cone_pdf(v, cos_cutoff):
+    v = _v3(v)
     pdf = INV_TWO_PI / (1.0 - cos_cutoff)
-    return jnp.where(v[..., 2] >= cos_cutoff, pdf, 0.0)
+    return jnp.where(v.z >= cos_cutoff, pdf, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -142,15 +164,15 @@ def square_to_uniform_cone_pdf(v, cos_cutoff):
 # ---------------------------------------------------------------------------
 
 def square_to_uniform_triangle(u):
-    """Uniform barycentrics on the standard triangle (b1 + b2 <= 1).
-
-    Upstream uses the sqrt parameterization (warp.cpp)."""
-    t = m.safe_sqrt(1.0 - u[..., 0])
-    return jnp.stack([1.0 - t, t * u[..., 1]], axis=-1)
+    """Uniform barycentrics (b0, b1) on the standard triangle (b0+b1 <= 1)."""
+    ua, ub = _u2(u)
+    t = m.safe_sqrt(1.0 - ua)
+    return 1.0 - t, t * ub
 
 
 def square_to_uniform_triangle_pdf(p):
-    inside = (p[..., 0] >= 0) & (p[..., 1] >= 0) & (p[..., 0] + p[..., 1] <= 1.0)
+    b0, b1 = _u2(p)
+    inside = (b0 >= 0) & (b1 >= 0) & (b0 + b1 <= 1.0)
     return jnp.where(inside, 2.0, 0.0)
 
 
@@ -160,51 +182,57 @@ def square_to_uniform_triangle_pdf(p):
 
 def square_to_std_normal(u):
     """Box–Muller (warp::square_to_std_normal)."""
-    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-38)))
-    phi = 2.0 * jnp.pi * u[..., 1]
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+    ua, ub = _u2(u)
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - ua, 1e-38)))
+    phi = 2.0 * jnp.pi * ub
+    return r * jnp.cos(phi), r * jnp.sin(phi)
 
 
 def square_to_std_normal_pdf(p):
-    return INV_TWO_PI * jnp.exp(-0.5 * jnp.sum(p * p, axis=-1))
+    px, py = _u2(p)
+    return INV_TWO_PI * jnp.exp(-0.5 * (px * px + py * py))
 
 
-def square_to_beckmann(u, alpha):
+def square_to_beckmann(u, alpha) -> Vec3:
     """Sample the (isotropic) Beckmann distribution of normals."""
-    phi = 2.0 * jnp.pi * u[..., 1]
-    tan_theta_2 = -alpha * alpha * jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-38))
+    ua, ub = _u2(u)
+    phi = 2.0 * jnp.pi * ub
+    tan_theta_2 = -alpha * alpha * jnp.log(jnp.maximum(1.0 - ua, 1e-38))
     cos_theta = 1.0 / jnp.sqrt(1.0 + tan_theta_2)
     sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
-    return jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1)
+    return Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
 
 
 def square_to_beckmann_pdf(v, alpha):
-    cos_theta = v[..., 2]
-    tan_theta_2 = jnp.maximum(1.0 - cos_theta * cos_theta, 0.0) / jnp.maximum(cos_theta * cos_theta, 1e-20)
+    v = _v3(v)
+    cos_theta = v.z
+    tan_theta_2 = jnp.maximum(1.0 - cos_theta * cos_theta, 0.0) / \
+        jnp.maximum(cos_theta * cos_theta, 1e-20)
     a2 = alpha * alpha
-    pdf = jnp.exp(-tan_theta_2 / a2) / (jnp.pi * a2 * jnp.maximum(cos_theta, 1e-20) ** 3)
+    pdf = jnp.exp(-tan_theta_2 / a2) / \
+        (jnp.pi * a2 * jnp.maximum(cos_theta, 1e-20) ** 3)
     return jnp.where(cos_theta > 0, pdf, 0.0)
 
 
-def square_to_von_mises_fisher(u, kappa):
-    """vMF distribution around +z with concentration kappa (warp.cpp).
-
-    Stable formulation: cos_theta = 1 + log(u + (1-u) exp(-2 kappa)) / kappa.
-    """
+def square_to_von_mises_fisher(u, kappa) -> Vec3:
+    """vMF distribution around +z with concentration kappa (warp.cpp)."""
+    ua, ub = _u2(u)
     kappa = jnp.asarray(kappa, jnp.float32)
     e2k = jnp.exp(-2.0 * kappa)
-    cos_theta = 1.0 + jnp.log(u[..., 0] + (1.0 - u[..., 0]) * e2k) / jnp.maximum(kappa, 1e-20)
-    # kappa == 0 -> uniform sphere
-    cos_theta = jnp.where(kappa <= 0.0, 1.0 - 2.0 * u[..., 0], cos_theta)
+    cos_theta = 1.0 + jnp.log(ua + (1.0 - ua) * e2k) / jnp.maximum(kappa, 1e-20)
+    cos_theta = jnp.where(kappa <= 0.0, 1.0 - 2.0 * ua, cos_theta)
     sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
-    phi = 2.0 * jnp.pi * u[..., 1]
-    return jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1)
+    phi = 2.0 * jnp.pi * ub
+    return Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
 
 
 def square_to_von_mises_fisher_pdf(v, kappa):
+    v = _v3(v)
     kappa = jnp.asarray(kappa, jnp.float32)
-    pdf = jnp.exp(kappa * (v[..., 2] - 1.0)) * kappa / (2.0 * jnp.pi * (1.0 - jnp.exp(-2.0 * kappa)))
-    return jnp.where(kappa <= 0.0, jnp.full(v.shape[:-1], INV_FOUR_PI, jnp.float32), pdf)
+    pdf = jnp.exp(kappa * (v.z - 1.0)) * kappa / \
+        (2.0 * jnp.pi * (1.0 - jnp.exp(-2.0 * kappa)))
+    return jnp.where(kappa <= 0.0,
+                     jnp.full(jnp.shape(v.z), INV_FOUR_PI, jnp.float32), pdf)
 
 
 # ---------------------------------------------------------------------------
@@ -219,12 +247,14 @@ def interval_to_tent(u):
 
 
 def square_to_tent(u):
-    return jnp.stack([interval_to_tent(u[..., 0]), interval_to_tent(u[..., 1])], axis=-1)
+    ua, ub = _u2(u)
+    return interval_to_tent(ua), interval_to_tent(ub)
 
 
 def square_to_tent_pdf(p):
-    inside = (jnp.abs(p[..., 0]) <= 1) & (jnp.abs(p[..., 1]) <= 1)
-    return jnp.where(inside, (1.0 - jnp.abs(p[..., 0])) * (1.0 - jnp.abs(p[..., 1])), 0.0)
+    px, py = _u2(p)
+    inside = (jnp.abs(px) <= 1) & (jnp.abs(py) <= 1)
+    return jnp.where(inside, (1.0 - jnp.abs(px)) * (1.0 - jnp.abs(py)), 0.0)
 
 
 def interval_to_nonuniform_tent(u, a, b, c):

@@ -38,6 +38,7 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..core.geometry import Ray, normalize
+from ..core.vec import Vec3, vdot, vnormalize, vcross, vwhere
 from ..render import emitters, sensors
 from ..render.sampler import Sampler
 
@@ -63,17 +64,17 @@ def _follow_point(scene, o, d):
     weights."""
     from ..scene import scene as scene_mod
     si = scene_mod.ray_intersect(scene, Ray.make(o, d))
-    x = jnp.where(si.valid[..., None], si.p, o + d * _FAR)
+    x = vwhere(si.valid, si.p, o + d * _FAR)
     t = jnp.where(si.valid, si.t, jnp.float32(_FAR))
     return x, t
 
 
-def _tangent_frame(d0):
-    up = jnp.where(jnp.abs(d0[..., 2:3]) < 0.9,
-                   jnp.asarray([0.0, 0.0, 1.0]),
-                   jnp.asarray([1.0, 0.0, 0.0]))
-    t1 = normalize(jnp.cross(up, d0))
-    t2 = jnp.cross(d0, t1)
+def _tangent_frame(d0: Vec3):
+    vertical = jnp.abs(d0.z) < 0.9
+    up = Vec3(jnp.where(vertical, 0.0, 1.0), jnp.zeros_like(d0.z),
+              jnp.where(vertical, 1.0, 0.0))
+    t1 = vnormalize(vcross(up, d0))
+    t2 = vcross(d0, t1)
     return t1, t2
 
 
@@ -106,10 +107,11 @@ def warp_and_divergence(scene, o, d):
     omega_k = []
     t_k = []
     for k in range(K_AUX):
-        d_k = normalize(d0 + radius * (offs[k, 0] * t1 + offs[k, 1] * t2))
+        d_k = vnormalize(d0 + t1 * (radius * offs[k, 0]) +
+                         t2 * (radius * offs[k, 1]))
         x_k, tk = _follow_point(scene, o, d_k)
         dirs_k.append(d_k)                      # detached sample direction
-        omega_k.append(normalize(x_k - o))      # theta-following direction
+        omega_k.append(vnormalize(x_k - o))     # theta-following direction
         t_k.append(sg(tk))
 
     # Boundary-aware importance (Loubet's B(omega) test in spirit): the
@@ -123,26 +125,28 @@ def warp_and_divergence(scene, o, d):
 
     kappa_kernel = jnp.float32(KAPPA)
 
-    def V(w):
-        num = jnp.zeros_like(d)
-        den = jnp.zeros(d.shape[:-1], jnp.float32)
+    def V(w: Vec3) -> Vec3:
+        num = Vec3.zeros(jnp.shape(d0.z))
+        den = jnp.zeros(jnp.shape(d0.z), jnp.float32)
         for k in range(K_AUX):
             # vMF-style smooth kernel in the query direction
-            lw = kappa_kernel * (jnp.sum(w * dirs_k[k], -1) - 1.0)
+            lw = kappa_kernel * (vdot(w, dirs_k[k]) - 1.0)
             wk = jnp.exp(jnp.maximum(lw, -30.0)) * h_k[k]
-            num = num + wk[..., None] * omega_k[k]
+            num = num + omega_k[k] * wk
             den = den + wk
-        return normalize(num / jnp.maximum(den, 1e-20)[..., None])
+        return vnormalize(num * (1.0 / jnp.maximum(den, 1e-20)))
 
     V0 = V(d0)
     # tangent-plane Jacobian via two jvp probes; primal part removed so
     # det has primal exactly 1 (T is identity at the primal point)
     _, dV1 = jax.jvp(V, (d0,), (t1,))
     _, dV2 = jax.jvp(V, (d0,), (t2,))
-    j11 = jnp.sum((dV1 - sg(dV1)) * t1, -1)
-    j12 = jnp.sum((dV1 - sg(dV1)) * t2, -1)
-    j21 = jnp.sum((dV2 - sg(dV2)) * t1, -1)
-    j22 = jnp.sum((dV2 - sg(dV2)) * t2, -1)
+    dV1 = dV1 - sg(dV1)
+    dV2 = dV2 - sg(dV2)
+    j11 = vdot(dV1, t1)
+    j12 = vdot(dV1, t2)
+    j21 = vdot(dV2, t1)
+    j22 = vdot(dV2, t2)
     det = (1.0 + j11) * (1.0 + j22) - j12 * j21
     return V0, det
 
@@ -155,11 +159,12 @@ def warp_field(scene, o, d):
 def _radiance_at(scene, o, d, wavelengths, config):
     """Direct radiance along (o, d): emitter hit or environment. Hit
     positions re-derive differentiably; the emitter lookup is smooth."""
+    from ..core.spec import swhere
     from ..scene import scene as scene_mod
     si = scene_mod.ray_intersect(scene, Ray.make(o, d))
     L_hit = emitters.eval_hit(scene, si, config)
     L_env = emitters.eval_env(scene, d, wavelengths, config)
-    return jnp.where(si.valid[..., None], L_hit, L_env)
+    return swhere(si.valid, L_hit, L_env)
 
 
 def render_direct_reparam(scene, config: RenderConfig, seed: int = None
@@ -191,11 +196,10 @@ def render_direct_reparam(scene, config: RenderConfig, seed: int = None
 
         V, det = warp_and_divergence(scene, o, d)
         # reparameterized direction: primal d, tangent follows the warp
-        d_rep = normalize(d + (V - sg(V)))
+        d_rep = vnormalize(d + (V - sg(V)))
 
-        wl = jnp.zeros((n, 0), jnp.float32)
-        L = _radiance_at(scene, o, d_rep, wl, config)
-        vals = L * det[..., None]
+        L = _radiance_at(scene, o, d_rep, None, config)
+        vals = (L * det).to_array()
         return vals.reshape(sppc, H, W, -1).mean(0)
 
     acc = None

@@ -28,6 +28,8 @@ MAX_BRUTE_PRIMS = 192  # above this, use the BVH traversal
 
 
 def _split(v):
+    if hasattr(v, "x"):  # planar Vec3
+        return v.x, v.y, v.z
     return v[..., 0], v[..., 1], v[..., 2]
 
 
@@ -81,17 +83,18 @@ def ray_intersect_brute(scene, ray_o, ray_d, t_max) -> Tuple[jnp.ndarray, ...]:
     """Closest hit by testing every prim. Returns (t, prim_idx, u, v)."""
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
-    N = ray_o.shape[0]
-    P = scene.n_prims
     ox, oy, oz = _split(ray_o)
     dx, dy, dz = _split(ray_d)
+    N = jnp.shape(oz)[0]
+    P = scene.n_prims
     t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
     prim = jnp.full(N, -1, jnp.int32)
     bu = jnp.zeros(N, jnp.float32)
     bv = jnp.zeros(N, jnp.float32)
 
-    # fori_loop keeps the traced program small (P iterations of a scalar
-    # dynamic-slice broadcast, zero gathers); compiles fast, runs at VPU rate
+    # fori_loop over prims: iterations pipeline with other kernels on this
+    # runtime; a fully unrolled single fusion measured SLOWER (register
+    # pressure / long critical path)
     def body(i, carry):
         t_best, prim, bu, bv = carry
         t, u, v = _intersect_one_planar(scene, i, ox, oy, oz, dx, dy, dz)
@@ -110,13 +113,14 @@ def ray_test_brute(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
     """Any hit by testing every prim."""
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
-    N = ray_o.shape[0]
     ox, oy, oz = _split(ray_o)
     dx, dy, dz = _split(ray_d)
+    N = jnp.shape(oz)[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
 
     def body(i, occluded):
         t, _, _ = _intersect_one_planar(scene, i, ox, oy, oz, dx, dy, dz)
-        return occluded | (t <= t_max)
+        # isfinite guard: t = inf on miss and t_max may be inf too
+        return occluded | (jnp.isfinite(t) & (t <= t_max))
 
     return jax.lax.fori_loop(0, scene.n_prims, body, jnp.zeros(N, bool))

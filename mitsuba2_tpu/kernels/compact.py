@@ -32,12 +32,18 @@ def _part1by2(x):
 
 
 def morton3(p, lo, hi):
-    """(N, 3) points in [lo, hi]^3 -> 30-bit Morton codes (math.h::morton)."""
-    t = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
-    q = (t * 1023.0).astype(jnp.uint32)
-    return (_part1by2(q[..., 0]) |
-            (_part1by2(q[..., 1]) << 1) |
-            (_part1by2(q[..., 2]) << 2))
+    """Points in [lo, hi]^3 -> 30-bit Morton codes (math.h::morton).
+    p: planar Vec3 or (N, 3) array; lo/hi: (3,) arrays."""
+    if not hasattr(p, "x"):
+        from ..core.vec import Vec3
+        p = Vec3.from_array(p)
+    ext = jnp.maximum(hi - lo, 1e-20)
+    def q(c, k):
+        t = jnp.clip((c - lo[k]) / ext[k], 0.0, 1.0)
+        return (t * 1023.0).astype(jnp.uint32)
+    return (_part1by2(q(p.x, 0)) |
+            (_part1by2(q(p.y, 1)) << 1) |
+            (_part1by2(q(p.z, 2)) << 2))
 
 
 def compaction_order(active, p, bb_min, bb_max):
@@ -59,5 +65,7 @@ def permute(tree, perm):
 
 
 def unsort(values, orig_lane):
-    """Scatter per-lane values back to their original lane order."""
-    return jnp.zeros_like(values).at[orig_lane].set(values)
+    """Scatter per-lane values (array or pytree, e.g. a planar Spec) back to
+    their original lane order."""
+    return jax.tree.map(
+        lambda a: jnp.zeros_like(a).at[orig_lane].set(a), values)

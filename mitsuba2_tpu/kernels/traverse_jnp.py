@@ -78,6 +78,9 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max):
     come from the reparameterized integrator (diff/reparam.py).
     """
     sg = jax.lax.stop_gradient
+    if hasattr(ray_o, "x"):  # planar Vec3 boundary -> packed rows
+        ray_o = ray_o.to_array()
+        ray_d = ray_d.to_array()
     return _ray_intersect_impl(sg(scene), sg(ray_o), sg(ray_d), sg(t_max))
 
 
@@ -136,6 +139,9 @@ def ray_test(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
     """Any-hit (shadow) traversal with early lane termination. Detached
     under AD like ray_intersect_preliminary (boolean output anyway)."""
     sg = jax.lax.stop_gradient
+    if hasattr(ray_o, "x"):
+        ray_o = ray_o.to_array()
+        ray_d = ray_d.to_array()
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
     N = ray_o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-20,

@@ -232,6 +232,12 @@ def _blockify(x, n_pad):
     return x.reshape(n_pad // BLOCK * _SUB, _LANE)
 
 
+def _components(v):
+    if hasattr(v, "x"):  # planar Vec3
+        return v.x, v.y, v.z
+    return v[:, 0], v[:, 1], v[:, 2]
+
+
 _ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 _tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full table, replicated
@@ -254,18 +260,20 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
     traverse_jnp.ray_intersect_preliminary (detached under AD)."""
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
     t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                                ray_o.shape[:1]))
+                                jnp.shape(oz)[:1]))
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    N = ray_o.shape[0]
+    N = jnp.shape(oz)[0]
     n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
     n_blocks = n_pad // BLOCK
 
     node_f, node_i, prim_f = _pack_tables(scene)
-    args = [_blockify(ray_o[:, 0], n_pad), _blockify(ray_o[:, 1], n_pad),
-            _blockify(ray_o[:, 2], n_pad), _blockify(ray_d[:, 0], n_pad),
-            _blockify(ray_d[:, 1], n_pad), _blockify(ray_d[:, 2], n_pad),
+    args = [_blockify(ox, n_pad), _blockify(oy, n_pad),
+            _blockify(oz, n_pad), _blockify(dx, n_pad),
+            _blockify(dy, n_pad), _blockify(dz, n_pad),
             _blockify(t_max, n_pad)]
     sh = (n_blocks * _SUB, _LANE)
     outs = _grid_call(_closest_hit_kernel, n_blocks,
@@ -282,18 +290,20 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
     """Any-hit occlusion query via the packet kernel."""
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
     t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                                ray_o.shape[:1]))
+                                jnp.shape(oz)[:1]))
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    N = ray_o.shape[0]
+    N = jnp.shape(oz)[0]
     n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
     n_blocks = n_pad // BLOCK
 
     node_f, node_i, prim_f = _pack_tables(scene)
-    args = [_blockify(ray_o[:, 0], n_pad), _blockify(ray_o[:, 1], n_pad),
-            _blockify(ray_o[:, 2], n_pad), _blockify(ray_d[:, 0], n_pad),
-            _blockify(ray_d[:, 1], n_pad), _blockify(ray_d[:, 2], n_pad),
+    args = [_blockify(ox, n_pad), _blockify(oy, n_pad),
+            _blockify(oz, n_pad), _blockify(dx, n_pad),
+            _blockify(dy, n_pad), _blockify(dz, n_pad),
             _blockify(t_max, n_pad)]
     sh = (n_blocks * _SUB, _LANE)
     occ = _grid_call(_any_hit_kernel, n_blocks,

@@ -18,6 +18,11 @@ Material table layout (SceneData):
     mat_data:  (M, MAT_W) f32; [0:8]/[8:16]/[16:24] are spectrum slots
                (see spectra.py), [24:32] scalar params per family.
 
+Per-lane parameters are accessed through a lazy LaneRows column view
+(spectra.py) — materializing `mat_data[idx]` as an (N, 32) array would
+lane-pad 32 -> 128 on TPU (core/vec.py layout note). All color values are
+planar Specs (core/spec.py).
+
 Conventions follow the reference exactly: directions in the LOCAL shading
 frame; `wi` points away from the surface; `sample(u1, u2)` returns
 (BSDFSample, weight = f * cos / pdf); radiance transport mode (the
@@ -33,11 +38,14 @@ from flax import struct
 
 from ..core import math as m
 from ..core import warp
+from ..kernels import gather as gth
 from ..core.geometry import Frame
+from ..core.spec import Spec, swhere
+from ..core.vec import Vec3, vdot, vnormalize, vwhere
 from . import fresnel as fr
 from . import ior as ior_mod
 from . import microfacet as mf
-from .spectra import SLOT_W, eval_spectrum_slot, pack_color
+from .spectra import (LaneRows, SLOT_W, eval_spectrum_slot, pack_color)
 
 MAT_W = 32
 
@@ -74,26 +82,27 @@ _DIST_NAME = {"ggx": mf.GGX, "beckmann": mf.BECKMANN}
 
 @struct.dataclass
 class BSDFSample:
-    """BSDFSample3f (bsdf.h): wo in local frame."""
-    wo: jnp.ndarray             # (N, 3)
+    """BSDFSample3f (bsdf.h): wo in local frame (planar Vec3)."""
+    wo: Vec3
     pdf: jnp.ndarray            # (N,)
     eta: jnp.ndarray            # (N,) relative IOR change
     sampled_flags: jnp.ndarray  # (N,) i32
 
 
 def _zero_sample(N):
-    return BSDFSample(wo=jnp.zeros((N, 3), jnp.float32),
+    return BSDFSample(wo=Vec3.zeros((N,)),
                       pdf=jnp.zeros(N, jnp.float32),
                       eta=jnp.ones(N, jnp.float32),
                       sampled_flags=jnp.zeros(N, jnp.int32))
 
 
-def _slot(data, i):
-    return data[..., i * SLOT_W:(i + 1) * SLOT_W]
+def _lanes(si):
+    """Lane count of a wavefront SurfaceInteraction."""
+    return jnp.shape(si.wi.z)[0]
 
 
-def _spec(data, i, si, config):
-    return eval_spectrum_slot(_slot(data, i), si.wavelengths, config.color_mode,
+def _spec(data, i, si, config) -> Spec:
+    return eval_spectrum_slot(data.slot(i), si.wavelengths, config.color_mode,
                               tex=si.tex, uv=si.uv)
 
 
@@ -125,7 +134,7 @@ class Diffuse:
         bs = BSDFSample(wo=wo, pdf=jnp.where(active, pdf, 0.0),
                         eta=jnp.ones_like(pdf),
                         sampled_flags=jnp.where(active, F_DIFFUSE_R, 0).astype(jnp.int32))
-        return bs, jnp.where(active[..., None], value, 0.0)
+        return bs, value.masked(active)
 
     @staticmethod
     def eval(data, si, wo, config):
@@ -133,7 +142,7 @@ class Diffuse:
         cos_o = Frame.cos_theta(wo)
         active = (cos_i > 0) & (cos_o > 0)
         value = _spec(data, 0, si, config)
-        return jnp.where(active[..., None], value * (warp.INV_PI * cos_o)[..., None], 0.0)
+        return (value * (warp.INV_PI * cos_o)).masked(active)
 
     @staticmethod
     def pdf(data, si, wo, config):
@@ -165,10 +174,10 @@ class Conductor:
         return data
 
     @staticmethod
-    def _fresnel(data, si, cos_i, config):
+    def _fresnel(data, si, cos_i, config) -> Spec:
         eta = _spec(data, 0, si, config)
         k = _spec(data, 1, si, config)
-        return fr.fresnel_conductor(cos_i[..., None], eta, k)
+        return fr.fresnel_conductor(cos_i, eta, k)
 
     @staticmethod
     def sample(data, si, u1, u2, config):
@@ -180,15 +189,15 @@ class Conductor:
         bs = BSDFSample(wo=wo, pdf=jnp.where(active, 1.0, 0.0),
                         eta=jnp.ones_like(cos_i),
                         sampled_flags=jnp.where(active, F_DELTA_R, 0).astype(jnp.int32))
-        return bs, jnp.where(active[..., None], value, 0.0)
+        return bs, value.masked(active)
 
     @staticmethod
     def eval(data, si, wo, config):
-        return jnp.zeros(si.wi.shape[:-1] + (config.n_channels,), jnp.float32)
+        return Spec.zeros((_lanes(si),), config.n_channels)
 
     @staticmethod
     def pdf(data, si, wo, config):
-        return jnp.zeros(si.wi.shape[:-1], jnp.float32)
+        return jnp.zeros(_lanes(si), jnp.float32)
 
 
 # ===========================================================================
@@ -210,8 +219,9 @@ class RoughConductor:
 
     @staticmethod
     def _params(data):
-        return (jnp.maximum(data[..., 24], 1e-4), jnp.maximum(data[..., 25], 1e-4),
-                data[..., 26].astype(jnp.int32))
+        return (jnp.maximum(data.col(24), 1e-4),
+                jnp.maximum(data.col(25), 1e-4),
+                data.col(26).astype(jnp.int32))
 
     @staticmethod
     def sample(data, si, u1, u2, config):
@@ -220,39 +230,39 @@ class RoughConductor:
         m_dir, pdf_m = mf.sample(dist, si.wi, au, av, u2)
         wo = fr.reflect_m(si.wi, m_dir)
         cos_o = Frame.cos_theta(wo)
-        dot_wim = jnp.sum(si.wi * m_dir, axis=-1)
+        dot_wim = vdot(si.wi, m_dir)
         pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(dot_wim), 1e-20)
         active = (cos_i > 0) & (cos_o > 0) & (pdf_m > 0)
         # weight = f cos_o / pdf, via explicit eval for generality
         f_cos = RoughConductor.eval(data, si, wo, config)
-        weight = f_cos / jnp.maximum(pdf, 1e-20)[..., None]
+        weight = f_cos / jnp.maximum(pdf, 1e-20)
         bs = BSDFSample(wo=wo, pdf=jnp.where(active, pdf, 0.0),
                         eta=jnp.ones_like(pdf),
                         sampled_flags=jnp.where(active, F_GLOSSY_R, 0).astype(jnp.int32))
-        return bs, jnp.where(active[..., None], weight, 0.0)
+        return bs, weight.masked(active)
 
     @staticmethod
     def eval(data, si, wo, config):
         au, av, dist = RoughConductor._params(data)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
-        h = m.safe_rsqrt(jnp.sum((si.wi + wo) ** 2, axis=-1, keepdims=True)) * (si.wi + wo)
+        h = vnormalize(si.wi + wo)
         D = mf.eval_d(dist, h, au, av)
         G = mf.g_smith(dist, si.wi, wo, h, au, av)
-        F = Conductor._fresnel(data, si, jnp.sum(si.wi * h, axis=-1), config)
+        F = Conductor._fresnel(data, si, vdot(si.wi, h), config)
         spec = _spec(data, 2, si, config)
-        f_cos = spec * F * (D * G / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+        f_cos = spec * F * (D * G / jnp.maximum(4.0 * cos_i, 1e-20))
         active = (cos_i > 0) & (cos_o > 0)
-        return jnp.where(active[..., None], f_cos, 0.0)
+        return f_cos.masked(active)
 
     @staticmethod
     def pdf(data, si, wo, config):
         au, av, dist = RoughConductor._params(data)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
-        h = m.safe_rsqrt(jnp.sum((si.wi + wo) ** 2, axis=-1, keepdims=True)) * (si.wi + wo)
+        h = vnormalize(si.wi + wo)
         pdf_m = mf.pdf(dist, si.wi, h, au, av)
-        pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(jnp.sum(si.wi * h, axis=-1)), 1e-20)
+        pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(vdot(si.wi, h)), 1e-20)
         return jnp.where((cos_i > 0) & (cos_o > 0), pdf, 0.0)
 
 
@@ -276,17 +286,17 @@ class Dielectric:
 
     @staticmethod
     def sample(data, si, u1, u2, config):
-        eta = data[..., 24]
+        eta = data.col(24)
         cos_i = Frame.cos_theta(si.wi)
         F, cos_t, eta_it, eta_ti = fr.fresnel(cos_i, eta)
         pick_reflect = u1 < F
         wo_r = fr.reflect(si.wi)
         wo_t = fr.refract(si.wi, cos_t, eta_ti)
-        wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+        wo = vwhere(pick_reflect, wo_r, wo_t)
         spec_r = _spec(data, 0, si, config)
         # radiance transport: eta^-2 compression on refraction (dielectric.cpp)
-        spec_t = _spec(data, 1, si, config) * (eta_ti * eta_ti)[..., None]
-        value = jnp.where(pick_reflect[..., None], spec_r, spec_t)
+        spec_t = _spec(data, 1, si, config) * (eta_ti * eta_ti)
+        value = swhere(pick_reflect, spec_r, spec_t)
         pdf = jnp.where(pick_reflect, F, 1.0 - F)
         active = cos_i != 0
         bs = BSDFSample(
@@ -295,15 +305,15 @@ class Dielectric:
             sampled_flags=jnp.where(
                 active, jnp.where(pick_reflect, F_DELTA_R, F_DELTA_T), 0
             ).astype(jnp.int32))
-        return bs, jnp.where(active[..., None], value, 0.0)
+        return bs, value.masked(active)
 
     @staticmethod
     def eval(data, si, wo, config):
-        return jnp.zeros(si.wi.shape[:-1] + (config.n_channels,), jnp.float32)
+        return Spec.zeros((_lanes(si),), config.n_channels)
 
     @staticmethod
     def pdf(data, si, wo, config):
-        return jnp.zeros(si.wi.shape[:-1], jnp.float32)
+        return jnp.zeros(_lanes(si), jnp.float32)
 
 
 # ===========================================================================
@@ -318,16 +328,16 @@ class ThinDielectric:
 
     @staticmethod
     def sample(data, si, u1, u2, config):
-        eta = data[..., 24]
+        eta = data.col(24)
         cos_i = Frame.cos_theta(si.wi)
         F, _, _, _ = fr.fresnel(jnp.abs(cos_i), eta)
         # account for internal bounces: R' = 2R / (1 + R)
         R = jnp.where(F < 1.0, F + (1.0 - F) * (1.0 - F) * F / (1.0 - F * F), 1.0)
         pick_reflect = u1 < R
-        wo = jnp.where(pick_reflect[..., None], fr.reflect(si.wi), -si.wi)
+        wo = vwhere(pick_reflect, fr.reflect(si.wi), -si.wi)
         spec_r = _spec(data, 0, si, config)
         spec_t = _spec(data, 1, si, config)
-        value = jnp.where(pick_reflect[..., None], spec_r, spec_t)
+        value = swhere(pick_reflect, spec_r, spec_t)
         pdf = jnp.where(pick_reflect, R, 1.0 - R)
         active = cos_i != 0
         bs = BSDFSample(
@@ -336,7 +346,7 @@ class ThinDielectric:
             sampled_flags=jnp.where(
                 active, jnp.where(pick_reflect, F_DELTA_R, F_DELTA_T), 0
             ).astype(jnp.int32))
-        return bs, jnp.where(active[..., None], value, 0.0)
+        return bs, value.masked(active)
 
     eval = Dielectric.eval
     pdf = Dielectric.pdf
@@ -361,8 +371,8 @@ class RoughDielectric:
 
     @staticmethod
     def _params(data):
-        return (data[..., 24], jnp.maximum(data[..., 25], 1e-4),
-                jnp.maximum(data[..., 26], 1e-4), data[..., 27].astype(jnp.int32))
+        return (data.col(24), jnp.maximum(data.col(25), 1e-4),
+                jnp.maximum(data.col(26), 1e-4), data.col(27).astype(jnp.int32))
 
     @staticmethod
     def sample(data, si, u1, u2, config):
@@ -371,13 +381,13 @@ class RoughDielectric:
         # m stays in the upper hemisphere; the SIGNED dot(wi, m) tells
         # fresnel which side we approach from (roughdielectric.cpp)
         m_dir, pdf_m = mf.sample(dist, si.wi, au, av, u2)
-        dot_wim = jnp.sum(si.wi * m_dir, axis=-1)
+        dot_wim = vdot(si.wi, m_dir)
         F, cos_t, eta_it, eta_ti = fr.fresnel(dot_wim, eta)
         pick_reflect = u1 < F
 
         wo_r = fr.reflect_m(si.wi, m_dir)
         wo_t = fr.refract_m(si.wi, m_dir, cos_t, eta_ti)
-        wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+        wo = vwhere(pick_reflect, wo_r, wo_t)
         cos_o = Frame.cos_theta(wo)
 
         # validity: reflection stays in wi hemisphere, refraction crosses
@@ -387,14 +397,14 @@ class RoughDielectric:
 
         pdf = RoughDielectric.pdf(data, si, wo, config)
         f_cos = RoughDielectric.eval(data, si, wo, config)
-        weight = f_cos / jnp.maximum(pdf, 1e-20)[..., None]
+        weight = f_cos / jnp.maximum(pdf, 1e-20)
         bs = BSDFSample(
             wo=wo, pdf=jnp.where(active, pdf, 0.0),
             eta=jnp.where(pick_reflect, 1.0, eta_it),
             sampled_flags=jnp.where(
                 active, jnp.where(pick_reflect, F_GLOSSY_R, F_GLOSSY_T), 0
             ).astype(jnp.int32))
-        return bs, jnp.where(active[..., None], weight, 0.0)
+        return bs, weight.masked(active)
 
     @staticmethod
     def _half_vectors(si_wi, wo, eta):
@@ -404,13 +414,13 @@ class RoughDielectric:
         # reflection half vector, oriented +z (the NDF side); fresnel gets
         # the SIGNED dot(wi, hr) so inside rays use the reciprocal IOR
         hr = si_wi + wo
-        hr = m.mulsign(hr, Frame.cos_theta(hr)[..., None])
-        hr = hr * m.safe_rsqrt(jnp.sum(hr * hr, axis=-1, keepdims=True))
+        hr = vwhere(Frame.cos_theta(hr) < 0, -hr, hr)
+        hr = vnormalize(hr)
         # transmission half vector: -(wi + eta_it wo), oriented +z
         eta_it = jnp.where(cos_i >= 0, eta, 1.0 / eta)
-        ht = -(si_wi + wo * eta_it[..., None])
-        ht = m.mulsign(ht, Frame.cos_theta(ht)[..., None])
-        ht = ht * m.safe_rsqrt(jnp.sum(ht * ht, axis=-1, keepdims=True))
+        ht = -(si_wi + wo * eta_it)
+        ht = vwhere(Frame.cos_theta(ht) < 0, -ht, ht)
+        ht = vnormalize(ht)
         return hr, ht, eta_it
 
     @staticmethod
@@ -424,19 +434,16 @@ class RoughDielectric:
         # reflection lobe (hr is +z-oriented; fresnel sees the signed dot)
         D_r = mf.eval_d(dist, hr, au, av)
         G_r = mf.g_smith(dist, si.wi, wo, hr, au, av)
-        F_r, _, _, _ = fr.fresnel(jnp.sum(si.wi * hr, axis=-1), eta)
+        F_r, _, _, _ = fr.fresnel(vdot(si.wi, hr), eta)
         f_r = F_r * D_r * G_r / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-20)
 
         # transmission lobe (Walter 2007 eq. 21, radiance transport)
-        wi_ht = jnp.sum(si.wi * ht, axis=-1)
-        wo_ht = jnp.sum(wo * ht, axis=-1)
+        wi_ht = vdot(si.wi, ht)
+        wo_ht = vdot(wo, ht)
         F_t, _, _, _ = fr.fresnel(wi_ht, eta)
         D_t = mf.eval_d(dist, ht, au, av)
         G_t = mf.g_smith(dist, si.wi, wo, ht, au, av)
         denom = wi_ht + eta_it * wo_ht
-        factor = (jnp.abs(wi_ht * wo_ht) /
-                  jnp.maximum(jnp.abs(cos_i), 1e-20)) * eta_it * eta_it / \
-            jnp.maximum(denom * denom, 1e-20)
         # radiance-mode eta^-2 compression (roughdielectric.cpp applies
         # 1/eta_it^2 in radiance mode): net factor = eta_it^2 / eta_it^2 = 1
         # on the D G (1-F) product scaled by the Jacobian-made term; mitsuba:
@@ -450,9 +457,8 @@ class RoughDielectric:
 
         spec_r = _spec(data, 0, si, config)
         spec_t = _spec(data, 1, si, config)
-        f_cos = jnp.where(is_reflect[..., None], spec_r * f_r[..., None],
-                          spec_t * f_t[..., None])
-        return jnp.where(((cos_i != 0) & (cos_o != 0))[..., None], f_cos, 0.0)
+        f_cos = swhere(is_reflect, spec_r * f_r, spec_t * f_t)
+        return f_cos.masked((cos_i != 0) & (cos_o != 0))
 
     @staticmethod
     def pdf(data, si, wo, config):
@@ -462,13 +468,13 @@ class RoughDielectric:
         is_reflect = cos_i * cos_o > 0
         hr, ht, eta_it = RoughDielectric._half_vectors(si.wi, wo, eta)
 
-        F_r, _, _, _ = fr.fresnel(jnp.sum(si.wi * hr, axis=-1), eta)
+        F_r, _, _, _ = fr.fresnel(vdot(si.wi, hr), eta)
         pdf_m_r = mf.pdf(dist, si.wi, hr, au, av)
-        jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(jnp.sum(si.wi * hr, axis=-1)), 1e-20)
+        jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(vdot(si.wi, hr)), 1e-20)
         pdf_r = F_r * pdf_m_r * jac_r
 
-        wi_ht = jnp.sum(si.wi * ht, axis=-1)
-        wo_ht = jnp.sum(wo * ht, axis=-1)
+        wi_ht = vdot(si.wi, ht)
+        wo_ht = vdot(wo, ht)
         F_t, _, _, _ = fr.fresnel(wi_ht, eta)
         pdf_m_t = mf.pdf(dist, si.wi, ht, au, av)
         denom = wi_ht + eta_it * wo_ht
@@ -499,7 +505,6 @@ class Plastic:
         data[24] = eta
         data[25] = 1.0 if props.get("nonlinear", False) else 0.0
         # host-side fresnel_diffuse_reflectance(1/eta)
-        import numpy as _np
         e = 1.0 / eta
         if e >= 1.0:
             fdr = -1.4399 / (e * e) + 0.7099 / e + 0.6681 + 0.0636 * e
@@ -516,8 +521,8 @@ class Plastic:
 
     @staticmethod
     def _probs(data, cos_i):
-        eta = data[..., 24]
-        ssw = data[..., 27]
+        eta = data.col(24)
+        ssw = data.col(27)
         F_i, _, _, _ = fr.fresnel(cos_i, eta)
         prob_spec = (F_i * ssw) / jnp.maximum(F_i * ssw + (1.0 - F_i) * (1.0 - ssw), 1e-20)
         return F_i, prob_spec
@@ -531,16 +536,16 @@ class Plastic:
 
         wo_s = fr.reflect(si.wi)
         wo_d = warp.square_to_cosine_hemisphere(u2)
-        wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+        wo = vwhere(pick_spec, wo_s, wo_d)
 
         spec_refl = _spec(data, 1, si, config)
-        w_spec = spec_refl * (F_i / jnp.maximum(prob_spec, 1e-20))[..., None]
+        w_spec = spec_refl * (F_i / jnp.maximum(prob_spec, 1e-20))
 
         pdf_d = (1.0 - prob_spec) * warp.square_to_cosine_hemisphere_pdf(wo_d)
         f_d = Plastic.eval(data, si, wo_d, config)
-        w_diff = f_d / jnp.maximum(pdf_d, 1e-20)[..., None]
+        w_diff = f_d / jnp.maximum(pdf_d, 1e-20)
 
-        value = jnp.where(pick_spec[..., None], w_spec, w_diff)
+        value = swhere(pick_spec, w_spec, w_diff)
         pdf = jnp.where(pick_spec, prob_spec, pdf_d)
         bs = BSDFSample(
             wo=wo, pdf=jnp.where(active, pdf, 0.0),
@@ -548,24 +553,25 @@ class Plastic:
             sampled_flags=jnp.where(
                 active, jnp.where(pick_spec, F_DELTA_R, F_DIFFUSE_R), 0
             ).astype(jnp.int32))
-        return bs, jnp.where(active[..., None], value, 0.0)
+        return bs, value.masked(active)
 
     @staticmethod
     def eval(data, si, wo, config):
-        eta = data[..., 24]
+        eta = data.col(24)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         active = (cos_i > 0) & (cos_o > 0)
         F_i, _, _, _ = fr.fresnel(cos_i, eta)
         F_o, _, _, _ = fr.fresnel(cos_o, eta)
         diff = _spec(data, 0, si, config)
-        fdr = data[..., 26:27]
-        nonlinear = data[..., 25:26]
-        denom = 1.0 - jnp.where(nonlinear > 0, diff, 1.0) * fdr
-        value = (diff / jnp.maximum(denom, 1e-8) *
-                 (warp.INV_PI * cos_o * data[..., 28] *
-                  (1.0 - F_i) * (1.0 - F_o))[..., None])
-        return jnp.where(active[..., None], value, 0.0)
+        fdr = data.col(26)
+        nonlinear = data.col(25)
+        denom = 1.0 - swhere(nonlinear > 0, diff, Spec.ones((), diff.n)) * fdr
+        denom = denom.map(lambda c: jnp.maximum(c, 1e-8))
+        value = (diff / denom *
+                 (warp.INV_PI * cos_o * data.col(28) *
+                  (1.0 - F_i) * (1.0 - F_o)))
+        return value.masked(active)
 
     @staticmethod
     def pdf(data, si, wo, config):
@@ -593,7 +599,7 @@ class RoughPlastic:
 
     @staticmethod
     def _params(data):
-        return jnp.maximum(data[..., 29], 1e-4), data[..., 30].astype(jnp.int32)
+        return jnp.maximum(data.col(29), 1e-4), data.col(30).astype(jnp.int32)
 
     @staticmethod
     def sample(data, si, u1, u2, config):
@@ -606,11 +612,11 @@ class RoughPlastic:
         m_dir, _ = mf.sample(dist, si.wi, au, au, u2)
         wo_s = fr.reflect_m(si.wi, m_dir)
         wo_d = warp.square_to_cosine_hemisphere(u2)
-        wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+        wo = vwhere(pick_spec, wo_s, wo_d)
 
         pdf = RoughPlastic.pdf(data, si, wo, config)
         f_cos = RoughPlastic.eval(data, si, wo, config)
-        value = f_cos / jnp.maximum(pdf, 1e-20)[..., None]
+        value = f_cos / jnp.maximum(pdf, 1e-20)
         active = active & (pdf > 0) & (Frame.cos_theta(wo) > 0)
         bs = BSDFSample(
             wo=wo, pdf=jnp.where(active, pdf, 0.0),
@@ -618,32 +624,33 @@ class RoughPlastic:
             sampled_flags=jnp.where(
                 active, jnp.where(pick_spec, F_GLOSSY_R, F_DIFFUSE_R), 0
             ).astype(jnp.int32))
-        return bs, jnp.where(active[..., None], value, 0.0)
+        return bs, value.masked(active)
 
     @staticmethod
     def eval(data, si, wo, config):
-        eta = data[..., 24]
+        eta = data.col(24)
         au, dist = RoughPlastic._params(data)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         active = (cos_i > 0) & (cos_o > 0)
-        h = m.safe_rsqrt(jnp.sum((si.wi + wo) ** 2, axis=-1, keepdims=True)) * (si.wi + wo)
+        h = vnormalize(si.wi + wo)
         D = mf.eval_d(dist, h, au, au)
         G = mf.g_smith(dist, si.wi, wo, h, au, au)
-        F_h, _, _, _ = fr.fresnel(jnp.sum(si.wi * h, axis=-1), eta)
+        F_h, _, _, _ = fr.fresnel(vdot(si.wi, h), eta)
         spec_refl = _spec(data, 1, si, config)
-        f_spec = spec_refl * (F_h * D * G / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+        f_spec = spec_refl * (F_h * D * G / jnp.maximum(4.0 * cos_i, 1e-20))
         # diffuse substrate with internal-scattering compensation
         F_i, _, _, _ = fr.fresnel(cos_i, eta)
         F_o, _, _, _ = fr.fresnel(cos_o, eta)
         diff = _spec(data, 0, si, config)
-        fdr = data[..., 26:27]
-        nonlinear = data[..., 25:26]
-        denom = 1.0 - jnp.where(nonlinear > 0, diff, 1.0) * fdr
-        f_diff = (diff / jnp.maximum(denom, 1e-8) *
-                  (warp.INV_PI * cos_o * data[..., 28] *
-                   (1.0 - F_i) * (1.0 - F_o))[..., None])
-        return jnp.where(active[..., None], f_spec + f_diff, 0.0)
+        fdr = data.col(26)
+        nonlinear = data.col(25)
+        denom = 1.0 - swhere(nonlinear > 0, diff, Spec.ones((), diff.n)) * fdr
+        denom = denom.map(lambda c: jnp.maximum(c, 1e-8))
+        f_diff = (diff / denom *
+                  (warp.INV_PI * cos_o * data.col(28) *
+                   (1.0 - F_i) * (1.0 - F_o)))
+        return (f_spec + f_diff).masked(active)
 
     @staticmethod
     def pdf(data, si, wo, config):
@@ -651,9 +658,9 @@ class RoughPlastic:
         cos_o = Frame.cos_theta(wo)
         _, prob_spec = Plastic._probs(data, cos_i)
         au, dist = RoughPlastic._params(data)
-        h = m.safe_rsqrt(jnp.sum((si.wi + wo) ** 2, axis=-1, keepdims=True)) * (si.wi + wo)
+        h = vnormalize(si.wi + wo)
         pdf_m = mf.pdf(dist, si.wi, h, au, au)
-        pdf_spec = pdf_m / jnp.maximum(4.0 * jnp.abs(jnp.sum(si.wi * h, axis=-1)), 1e-20)
+        pdf_spec = pdf_m / jnp.maximum(4.0 * jnp.abs(vdot(si.wi, h)), 1e-20)
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
         pdf = prob_spec * pdf_spec + (1.0 - prob_spec) * pdf_diff
         return jnp.where((cos_i > 0) & (cos_o > 0), pdf, 0.0)
@@ -673,19 +680,19 @@ class Null:
 
     @staticmethod
     def sample(data, si, u1, u2, config):
-        N = si.wi.shape[0]
+        N = _lanes(si)
         bs = BSDFSample(wo=-si.wi, pdf=jnp.ones(N, jnp.float32),
                         eta=jnp.ones(N, jnp.float32),
                         sampled_flags=jnp.full(N, F_NULL, jnp.int32))
-        return bs, jnp.ones((N, config.n_channels), jnp.float32)
+        return bs, Spec.ones((N,), config.n_channels)
 
     @staticmethod
     def eval(data, si, wo, config):
-        return jnp.zeros(si.wi.shape[:-1] + (config.n_channels,), jnp.float32)
+        return Spec.zeros((_lanes(si),), config.n_channels)
 
     @staticmethod
     def pdf(data, si, wo, config):
-        return jnp.zeros(si.wi.shape[:-1], jnp.float32)
+        return jnp.zeros(_lanes(si), jnp.float32)
 
 
 # ===========================================================================
@@ -707,36 +714,38 @@ class Mask:
     @staticmethod
     def sample(scene, data, si, u1, u2, config):
         opacity = _spec(data, 2, si, config)
-        q = jnp.clip(jnp.mean(opacity, axis=-1), 1e-6, 1.0 - 1e-6)
+        q = jnp.clip(opacity.hmean(), 1e-6, 1.0 - 1e-6)
         pick_child = u1 < q
         u1r = jnp.where(pick_child, u1 / q, (u1 - q) / (1.0 - q))
-        child_idx = data[..., 30].astype(jnp.int32)
-        ct, cd = scene.mat_type[child_idx], scene.mat_data[child_idx]
+        child_idx = data.col(30).astype(jnp.int32)
+        ct = gth.scalar(scene.mat_type, child_idx)
+        cd = LaneRows(scene.mat_data, child_idx)
         bs_c, w_c = _sample_leaf(scene, ct, cd, si, u1r, u2, config)
-        w_c = w_c * opacity / q[..., None]
-        N = si.wi.shape[0]
+        w_c = w_c * opacity / q
         bs = BSDFSample(
-            wo=jnp.where(pick_child[..., None], bs_c.wo, -si.wi),
+            wo=vwhere(pick_child, bs_c.wo, -si.wi),
             pdf=jnp.where(pick_child, bs_c.pdf * q, 1.0 - q),
             eta=jnp.where(pick_child, bs_c.eta, 1.0),
             sampled_flags=jnp.where(pick_child, bs_c.sampled_flags,
                                     F_NULL).astype(jnp.int32))
-        w_null = (1.0 - opacity) / (1.0 - q)[..., None]
-        return bs, jnp.where(pick_child[..., None], w_c, w_null)
+        w_null = (1.0 - opacity) / (1.0 - q)
+        return bs, swhere(pick_child, w_c, w_null)
 
     @staticmethod
     def eval(scene, data, si, wo, config):
         opacity = _spec(data, 2, si, config)
-        child_idx = data[..., 30].astype(jnp.int32)
-        ct, cd = scene.mat_type[child_idx], scene.mat_data[child_idx]
+        child_idx = data.col(30).astype(jnp.int32)
+        ct = gth.scalar(scene.mat_type, child_idx)
+        cd = LaneRows(scene.mat_data, child_idx)
         return opacity * _eval_leaf(scene, ct, cd, si, wo, config)
 
     @staticmethod
     def pdf(scene, data, si, wo, config):
         opacity = _spec(data, 2, si, config)
-        q = jnp.clip(jnp.mean(opacity, axis=-1), 1e-6, 1.0 - 1e-6)
-        child_idx = data[..., 30].astype(jnp.int32)
-        ct, cd = scene.mat_type[child_idx], scene.mat_data[child_idx]
+        q = jnp.clip(opacity.hmean(), 1e-6, 1.0 - 1e-6)
+        child_idx = data.col(30).astype(jnp.int32)
+        ct = gth.scalar(scene.mat_type, child_idx)
+        cd = LaneRows(scene.mat_data, child_idx)
         return q * _pdf_leaf(scene, ct, cd, si, wo, config)
 
 
@@ -762,41 +771,45 @@ class Blend:
 
     @staticmethod
     def sample(scene, data, si, u1, u2, config):
-        w = data[..., 29]
+        w = data.col(29)
         pick_b = u1 < w
         u1r = jnp.where(pick_b, u1 / jnp.maximum(w, 1e-8),
                         (u1 - w) / jnp.maximum(1.0 - w, 1e-8))
-        ia = data[..., 30].astype(jnp.int32)
-        ib = data[..., 31].astype(jnp.int32)
-        bs_a, w_a = _sample_leaf(scene, scene.mat_type[ia], scene.mat_data[ia],
-                                 si, u1r, u2, config)
-        bs_b, w_b = _sample_leaf(scene, scene.mat_type[ib], scene.mat_data[ib],
-                                 si, u1r, u2, config)
+        ia = data.col(30).astype(jnp.int32)
+        ib = data.col(31).astype(jnp.int32)
+        bs_a, w_a = _sample_leaf(scene, gth.scalar(scene.mat_type, ia),
+                                 LaneRows(scene.mat_data, ia), si, u1r, u2, config)
+        bs_b, w_b = _sample_leaf(scene, gth.scalar(scene.mat_type, ib),
+                                 LaneRows(scene.mat_data, ib), si, u1r, u2, config)
         bs = BSDFSample(
-            wo=jnp.where(pick_b[..., None], bs_b.wo, bs_a.wo),
+            wo=vwhere(pick_b, bs_b.wo, bs_a.wo),
             pdf=jnp.where(pick_b, w * bs_b.pdf, (1 - w) * bs_a.pdf),
             eta=jnp.where(pick_b, bs_b.eta, bs_a.eta),
             sampled_flags=jnp.where(pick_b, bs_b.sampled_flags,
                                     bs_a.sampled_flags).astype(jnp.int32))
-        value = jnp.where(pick_b[..., None], w_b, w_a)
+        value = swhere(pick_b, w_b, w_a)
         return bs, value
 
     @staticmethod
     def eval(scene, data, si, wo, config):
-        w = data[..., 29:30]
-        ia = data[..., 30].astype(jnp.int32)
-        ib = data[..., 31].astype(jnp.int32)
-        ea = _eval_leaf(scene, scene.mat_type[ia], scene.mat_data[ia], si, wo, config)
-        eb = _eval_leaf(scene, scene.mat_type[ib], scene.mat_data[ib], si, wo, config)
-        return (1.0 - w) * ea + w * eb
+        w = data.col(29)
+        ia = data.col(30).astype(jnp.int32)
+        ib = data.col(31).astype(jnp.int32)
+        ea = _eval_leaf(scene, gth.scalar(scene.mat_type, ia),
+                        LaneRows(scene.mat_data, ia), si, wo, config)
+        eb = _eval_leaf(scene, gth.scalar(scene.mat_type, ib),
+                        LaneRows(scene.mat_data, ib), si, wo, config)
+        return ea * (1.0 - w) + eb * w
 
     @staticmethod
     def pdf(scene, data, si, wo, config):
-        w = data[..., 29]
-        ia = data[..., 30].astype(jnp.int32)
-        ib = data[..., 31].astype(jnp.int32)
-        pa = _pdf_leaf(scene, scene.mat_type[ia], scene.mat_data[ia], si, wo, config)
-        pb = _pdf_leaf(scene, scene.mat_type[ib], scene.mat_data[ib], si, wo, config)
+        w = data.col(29)
+        ia = data.col(30).astype(jnp.int32)
+        ib = data.col(31).astype(jnp.int32)
+        pa = _pdf_leaf(scene, gth.scalar(scene.mat_type, ia),
+                       LaneRows(scene.mat_data, ia), si, wo, config)
+        pb = _pdf_leaf(scene, gth.scalar(scene.mat_type, ib),
+                       LaneRows(scene.mat_data, ib), si, wo, config)
         return (1.0 - w) * pa + w * pb
 
 
@@ -832,31 +845,29 @@ Blend.param_spec = {"weight": ("scalar", 29)}
 
 def _perturbed_frame_normalmap(scene, data, si):
     """Tangent-space normal from the RGB texture in slot 2 -> local Frame."""
-    from .spectra import eval_spectrum_slot
-    rgb = eval_spectrum_slot(_slot(data, 2), si.wavelengths, "rgb",
+    rgb = eval_spectrum_slot(data.slot(2), si.wavelengths, "rgb",
                              tex=si.tex, uv=si.uv)
-    n_local = normalize_(2.0 * rgb - 1.0)
+    n_local = vnormalize(Vec3(2.0 * rgb.ch[0] - 1.0,
+                              2.0 * rgb.ch[1] - 1.0,
+                              2.0 * rgb.ch[2] - 1.0))
     return Frame.from_n(n_local)
 
 
 def _perturbed_frame_bumpmap(scene, data, si):
     """Height texture in slot 2 -> gradient-perturbed local normal
     (finite differences of the texture, bumpmap.cpp's approach)."""
-    from .spectra import eval_spectrum_slot
 
     def h(uv):
-        v = eval_spectrum_slot(_slot(data, 2), si.wavelengths, "rgb",
+        v = eval_spectrum_slot(data.slot(2), si.wavelengths, "rgb",
                                tex=si.tex, uv=uv)
-        return jnp.mean(v, axis=-1)
+        return v.hmean()
 
     eps = 5e-4
-    du = jnp.asarray([eps, 0.0])
-    dv = jnp.asarray([0.0, eps])
-    scale = data[..., 29]
-    dh_du = (h(si.uv + du) - h(si.uv - du)) / (2 * eps)
-    dh_dv = (h(si.uv + dv) - h(si.uv - dv)) / (2 * eps)
-    n_local = normalize_(jnp.stack(
-        [-scale * dh_du, -scale * dh_dv, jnp.ones_like(dh_du)], axis=-1))
+    scale = data.col(29)
+    dh_du = (h(si.uv + (eps, 0.0)) - h(si.uv + (-eps, 0.0))) / (2 * eps)
+    dh_dv = (h(si.uv + (0.0, eps)) - h(si.uv + (0.0, -eps))) / (2 * eps)
+    n_local = vnormalize(Vec3(-scale * dh_du, -scale * dh_dv,
+                              jnp.ones_like(dh_du)))
     return Frame.from_n(n_local)
 
 
@@ -865,8 +876,8 @@ class _FramePerturb:
 
     @classmethod
     def _child(cls, scene, data):
-        idx = data[..., 30].astype(jnp.int32)
-        return scene.mat_type[idx], scene.mat_data[idx]
+        idx = data.col(30).astype(jnp.int32)
+        return gth.scalar(scene.mat_type, idx), LaneRows(scene.mat_data, idx)
 
     @classmethod
     def sample(cls, scene, data, si, u1, u2, config):
@@ -879,7 +890,7 @@ class _FramePerturb:
         # reject samples the perturbation pushed below the true surface
         ok = (Frame.cos_theta(wo) * Frame.cos_theta(bs.wo) > 0)
         bs = bs.replace(wo=wo, pdf=jnp.where(ok, bs.pdf, 0.0))
-        return bs, jnp.where(ok[..., None], w, 0.0)
+        return bs, w.masked(ok)
 
     @classmethod
     def eval(cls, scene, data, si, wo, config):
@@ -928,11 +939,6 @@ class BumpMap(_FramePerturb):
         lambda cls, scene, data, si: _perturbed_frame_bumpmap(scene, data, si))
 
 
-def normalize_(v):
-    return v / jnp.maximum(
-        jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), 1e-20)
-
-
 # ===========================================================================
 # measured (src/bsdfs/measured.cpp) — data-driven tabulated BRDF sampled by
 # per-incident-angle Marginal2D CDF inversion (render/measured.py)
@@ -962,32 +968,32 @@ class Measured:
     @staticmethod
     def sample(scene, data, si, u1, u2, config):
         from . import measured as measured_mod
-        tid = data[..., 28].astype(jnp.int32)
+        tid = data.col(28).astype(jnp.int32)
         wo, pdf = measured_mod.sample_measured(scene.measured, tid, si.wi, u2)
         val = measured_mod.eval_measured(scene.measured, tid, si.wi, wo)
-        weight = val / jnp.maximum(pdf, 1e-20)[..., None]
+        weight = val / jnp.maximum(pdf, 1e-20)
         C = config.n_channels
         if C != 3:
-            weight = jnp.mean(weight, -1, keepdims=True) * jnp.ones((1, C))
+            weight = Spec.splat(weight.hmean(), C)
         bs = BSDFSample(wo=wo, pdf=pdf, eta=jnp.ones_like(pdf),
                         sampled_flags=jnp.where(pdf > 0, F_GLOSSY_R,
                                                 0).astype(jnp.int32))
-        return bs, jnp.where((pdf > 0)[..., None], weight, 0.0)
+        return bs, weight.masked(pdf > 0)
 
     @staticmethod
     def eval(scene, data, si, wo, config):
         from . import measured as measured_mod
-        tid = data[..., 28].astype(jnp.int32)
+        tid = data.col(28).astype(jnp.int32)
         val = measured_mod.eval_measured(scene.measured, tid, si.wi, wo)
         C = config.n_channels
         if C != 3:
-            val = jnp.mean(val, -1, keepdims=True) * jnp.ones((1, C))
+            val = Spec.splat(val.hmean(), C)
         return val
 
     @staticmethod
     def pdf(scene, data, si, wo, config):
         from . import measured as measured_mod
-        tid = data[..., 28].astype(jnp.int32)
+        tid = data.col(28).astype(jnp.int32)
         return measured_mod.pdf_measured(scene.measured, tid, si.wi, wo)
 
 
@@ -1058,11 +1064,11 @@ def _wrapper_ids(scene):
     return tuple(f for f in scene.mat_families if f in WRAPPER_FAMILIES)
 
 
-def _eval_leaf(scene, mtype, mdata, si, wo, config):
-    out = jnp.zeros((mtype.shape[0], config.n_channels), jnp.float32)
+def _eval_leaf(scene, mtype, mdata, si, wo, config) -> Spec:
+    out = Spec.zeros((mtype.shape[0],), config.n_channels)
     for fid in _leaf_ids(scene):
         val = LEAF_FAMILIES[fid].eval(mdata, si, wo, config)
-        out = jnp.where((mtype == fid)[..., None], val, out)
+        out = swhere(mtype == fid, val, out)
     return out
 
 
@@ -1077,22 +1083,25 @@ def _pdf_leaf(scene, mtype, mdata, si, wo, config):
 def _sample_leaf(scene, mtype, mdata, si, u1, u2, config):
     N = mtype.shape[0]
     bs = _zero_sample(N)
-    weight = jnp.zeros((N, config.n_channels), jnp.float32)
+    weight = Spec.zeros((N,), config.n_channels)
     for fid in _leaf_ids(scene):
         fam_bs, fam_w = LEAF_FAMILIES[fid].sample(mdata, si, u1, u2, config)
         sel = mtype == fid
         bs = BSDFSample(
-            wo=jnp.where(sel[..., None], fam_bs.wo, bs.wo),
+            wo=vwhere(sel, fam_bs.wo, bs.wo),
             pdf=jnp.where(sel, fam_bs.pdf, bs.pdf),
             eta=jnp.where(sel, fam_bs.eta, bs.eta),
             sampled_flags=jnp.where(sel, fam_bs.sampled_flags, bs.sampled_flags))
-        weight = jnp.where(sel[..., None], fam_w, weight)
+        weight = swhere(sel, fam_w, weight)
     return bs, weight
 
 
 def _lane_materials(scene, si):
-    mat_idx = jnp.maximum(scene.shape_mat[jnp.maximum(si.shape, 0)], 0)
-    return scene.mat_type[mat_idx], scene.mat_data[mat_idx], scene.mat_flags[mat_idx]
+    mat_idx = jnp.maximum(
+        gth.scalar(scene.shape_mat, jnp.maximum(si.shape, 0)), 0)
+    return (gth.scalar(scene.mat_type, mat_idx),
+            LaneRows(scene.mat_data, mat_idx),
+            gth.scalar(scene.mat_flags, mat_idx))
 
 
 def lane_flags(scene, si):
@@ -1105,16 +1114,15 @@ def _maybe_flip(scene, si, flags):
     """twosided: flip the local frame when hit from behind (twosided.cpp)."""
     two = (flags & F_TWOSIDED_FLAG) != 0
     flip = two & (Frame.cos_theta(si.wi) < 0)
-    wi = jnp.where(flip[..., None],
-                   si.wi * jnp.asarray([1.0, 1.0, -1.0]), si.wi)
+    wi = vwhere(flip, Vec3(si.wi.x, si.wi.y, -si.wi.z), si.wi)
     return si.replace(wi=wi), flip
 
 
 def _flip_wo(wo, flip):
-    return jnp.where(flip[..., None], wo * jnp.asarray([1.0, 1.0, -1.0]), wo)
+    return vwhere(flip, Vec3(wo.x, wo.y, -wo.z), wo)
 
 
-def sample(scene, si, u1, u2, config) -> Tuple[BSDFSample, jnp.ndarray]:
+def sample(scene, si, u1, u2, config) -> Tuple[BSDFSample, Spec]:
     """BSDF::sample over the wavefront."""
     mtype, mdata, flags = _lane_materials(scene, si)
     si_f, flip = _maybe_flip(scene, si, flags)
@@ -1123,16 +1131,16 @@ def sample(scene, si, u1, u2, config) -> Tuple[BSDFSample, jnp.ndarray]:
         fam_bs, fam_w = WRAPPER_FAMILIES[fid].sample(scene, mdata, si_f, u1, u2, config)
         sel = mtype == fid
         bs = BSDFSample(
-            wo=jnp.where(sel[..., None], fam_bs.wo, bs.wo),
+            wo=vwhere(sel, fam_bs.wo, bs.wo),
             pdf=jnp.where(sel, fam_bs.pdf, bs.pdf),
             eta=jnp.where(sel, fam_bs.eta, bs.eta),
             sampled_flags=jnp.where(sel, fam_bs.sampled_flags, bs.sampled_flags))
-        weight = jnp.where(sel[..., None], fam_w, weight)
+        weight = swhere(sel, fam_w, weight)
     bs = bs.replace(wo=_flip_wo(bs.wo, flip))
     return bs, weight
 
 
-def eval_(scene, si, wo, config) -> jnp.ndarray:
+def eval_(scene, si, wo, config) -> Spec:
     """BSDF::eval (f * cos) over the wavefront."""
     mtype, mdata, flags = _lane_materials(scene, si)
     si_f, flip = _maybe_flip(scene, si, flags)
@@ -1140,7 +1148,7 @@ def eval_(scene, si, wo, config) -> jnp.ndarray:
     out = _eval_leaf(scene, mtype, mdata, si_f, wo_f, config)
     for fid in _wrapper_ids(scene):
         val = WRAPPER_FAMILIES[fid].eval(scene, mdata, si_f, wo_f, config)
-        out = jnp.where((mtype == fid)[..., None], val, out)
+        out = swhere(mtype == fid, val, out)
     return out
 
 

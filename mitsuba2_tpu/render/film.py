@@ -55,33 +55,39 @@ FILTER_RADIUS = {"box": 0, "tent": 1, "gaussian": 2, "mitchell": 2,
 def accumulate_pass(image, wsum, values, jitter, config):
     """Add one pass of per-lane radiance into the (H, W, C) accumulator.
 
-    values: (spp_pass * H * W, C) laid out (spp, H, W); jitter: same layout,
-    (N, 2) subpixel positions in [0,1)^2 relative to the pixel corner.
-    Returns (image, wsum).
+    values: planar Spec of (spp_pass * H * W,) channels laid out (spp, H, W);
+    jitter: planar (jx, jy) tuple, subpixel positions in [0,1)^2 relative to
+    the pixel corner. Returns (image, wsum). The (H, W, C) packing happens
+    here, at the film boundary — everything upstream is channel-planar.
     """
+    from ..core.spec import Spec
     H, W = config.height, config.width
-    sppc = values.shape[0] // (H * W)
-    C = values.shape[-1]
+    if not isinstance(values, Spec):
+        values = Spec.from_array(values)
+    N = values.shape[0]
+    sppc = N // (H * W)
     name = config.rfilter
     if name == "box":
-        img = values.reshape(sppc, H, W, C).sum(0)
+        img = jnp.stack([c.reshape(sppc, H, W).sum(0) for c in values.ch], -1)
         return image + img, wsum + sppc
 
     # General filter: splat to (2R+1)^2 neighbors with static offsets.
     R = FILTER_RADIUS[name]
-    vals = values.reshape(sppc, H, W, C)
-    jit2 = jitter.reshape(sppc, H, W, 2)
+    vals = [c.reshape(sppc, H, W) for c in values.ch]
+    jx, jy = (jitter if isinstance(jitter, (tuple, list))
+              else (jitter.x, jitter.y))
     # sample position relative to its own pixel center: jitter - 0.5
-    rel = jit2 - 0.5
+    rel_x = jx.reshape(sppc, H, W) - 0.5
+    rel_y = jy.reshape(sppc, H, W) - 0.5
     out_img = image
     out_w = wsum
     for dy in range(-R, R + 1):
         for dx in range(-R, R + 1):
             # weight of this sample at pixel (y+dy, x+dx):
             # distance = (pixel_center + d) - sample_pos = d - rel
-            wgt = (filter_eval(name, dx - rel[..., 0]) *
-                   filter_eval(name, dy - rel[..., 1]))  # (spp, H, W)
-            contrib = (vals * wgt[..., None]).sum(0)
+            wgt = (filter_eval(name, dx - rel_x) *
+                   filter_eval(name, dy - rel_y))  # (spp, H, W)
+            contrib = jnp.stack([(c * wgt).sum(0) for c in vals], -1)
             wimg = wgt.sum(0)
             # shift: contribution lands at (y+dy, x+dx) -> roll and crop
             contrib = jnp.roll(contrib, (dy, dx), axis=(0, 1))

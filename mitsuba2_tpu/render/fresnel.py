@@ -51,7 +51,12 @@ def fresnel(cos_theta_i, eta) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jn
 
 def fresnel_conductor(cos_theta_i, eta, k):
     """Unpolarized conductor Fresnel with complex IOR eta + i k
-    (fresnel.h::fresnel_conductor). Broadcasts over trailing channel axis."""
+    (fresnel.h::fresnel_conductor). eta/k may be planar Specs (evaluated
+    channel-wise) or plain arrays."""
+    from ..core.spec import Spec
+    if isinstance(eta, Spec):
+        return Spec(tuple(fresnel_conductor(cos_theta_i, e, kk)
+                          for e, kk in zip(eta.ch, k.ch)))
     cos_theta_i_2 = cos_theta_i * cos_theta_i
     sin_theta_i_2 = 1.0 - cos_theta_i_2
     sin_theta_i_4 = sin_theta_i_2 * sin_theta_i_2
@@ -72,25 +77,28 @@ def fresnel_conductor(cos_theta_i, eta, k):
 
 
 def reflect(wi):
-    """Mirror reflection in the local frame (n = +z)."""
-    return jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+    """Mirror reflection in the local frame (n = +z). wi: planar Vec3."""
+    from ..core.vec import Vec3
+    return Vec3(-wi.x, -wi.y, wi.z)
 
 
 def reflect_m(wi, m_dir):
-    """Reflection about an arbitrary normal m."""
-    return 2.0 * jnp.sum(wi * m_dir, axis=-1, keepdims=True) * m_dir - wi
+    """Reflection about an arbitrary normal m (both Vec3)."""
+    from ..core.vec import vdot
+    return m_dir * (2.0 * vdot(wi, m_dir)) - wi
 
 
 def refract(wi, cos_theta_t, eta_ti):
     """Refraction in the local frame given fresnel() outputs."""
-    return jnp.stack([-eta_ti * wi[..., 0], -eta_ti * wi[..., 1],
-                      cos_theta_t], axis=-1)
+    from ..core.vec import Vec3
+    return Vec3(-eta_ti * wi.x, -eta_ti * wi.y, cos_theta_t)
 
 
 def refract_m(wi, m_dir, cos_theta_t, eta_ti):
     """Refraction about an arbitrary normal m (fresnel.h::refract)."""
-    mu = jnp.sum(wi * m_dir, axis=-1) * eta_ti + cos_theta_t
-    return mu[..., None] * m_dir - eta_ti[..., None] * wi
+    from ..core.vec import vdot
+    mu = vdot(wi, m_dir) * eta_ti + cos_theta_t
+    return m_dir * mu - wi * eta_ti
 
 
 def fresnel_diffuse_reflectance(eta):

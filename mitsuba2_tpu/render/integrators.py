@@ -28,6 +28,7 @@ import numpy as np
 from ..config import RenderConfig
 from ..core import spectrum as sp
 from ..core.geometry import Ray
+from ..core.spec import Spec, swhere
 from . import bsdf as bsdf_mod
 from . import emitters, film as film_mod, sensors
 from .sampler import Sampler
@@ -79,9 +80,8 @@ def _path_bounce(scene, config: RenderConfig, depth: int, carry):
     f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
     w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, f_pdf))
     contrib = throughput * e_val * f_val * \
-        (w_nee / jnp.maximum(ds.pdf, 1e-20))[..., None]
-    result = result + jnp.where((nee_active & ~occluded)[..., None],
-                                contrib, 0.0)
+        (w_nee / jnp.maximum(ds.pdf, 1e-20))
+    result = result + contrib.masked(nee_active & ~occluded)
 
     # ----------------------------------------------------------------------
     # BSDF sampling
@@ -89,8 +89,8 @@ def _path_bounce(scene, config: RenderConfig, depth: int, carry):
     u1_b, sampler = sampler.next_1d()
     u2_b, sampler = sampler.next_2d()
     bs, b_weight = bsdf_mod.sample(scene, si, u1_b, u2_b, config)
-    throughput = throughput * jnp.where(active[..., None], b_weight, 1.0)
-    active = active & (bs.pdf > 0) & jnp.any(b_weight > 0, axis=-1)
+    throughput = throughput * swhere(active, b_weight, 1.0)
+    active = active & (bs.pdf > 0) & b_weight.any_positive()
 
     bounce_d = si.to_world(bs.wo)
     next_ray = si.spawn_ray_d(bounce_d)
@@ -107,18 +107,17 @@ def _path_bounce(scene, config: RenderConfig, depth: int, carry):
     w_bsdf = mis_weight(bs.pdf, em_pdf)
     L_hit = emitters.eval_hit(scene, si_next, config)
     L_env = emitters.eval_env(scene, bounce_d, si.wavelengths, config)
-    L = jnp.where(si_next.valid[..., None], L_hit, L_env)
-    result = result + jnp.where(active[..., None],
-                                throughput * L * w_bsdf[..., None], 0.0)
+    L = swhere(si_next.valid, L_hit, L_env)
+    result = result + (throughput * L * w_bsdf).masked(active)
 
     # ----------------------------------------------------------------------
     # Russian roulette (path.cpp: after rr_depth, q capped at 0.95)
     # ----------------------------------------------------------------------
     if depth + 1 >= config.rr_depth and depth + 1 < config.max_depth:
-        q = jnp.minimum(jnp.max(throughput, axis=-1) * bs.eta * bs.eta, 0.95)
+        q = jnp.minimum(throughput.hmax() * bs.eta * bs.eta, 0.95)
         u_rr, sampler = sampler.next_1d()
         rr_alive = u_rr < q
-        throughput = throughput / jnp.maximum(q, 1e-8)[..., None]
+        throughput = throughput / jnp.maximum(q, 1e-8)
         active = active & rr_alive
 
     active = active & si_next.valid
@@ -143,15 +142,14 @@ def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
 
     si = scene_mod.ray_intersect(scene, ray)
     active = si.valid
-    throughput = jnp.ones((N, C), jnp.float32)
-    result = jnp.zeros((N, C), jnp.float32)
+    throughput = Spec.ones((N,), C)
+    result = Spec.zeros((N,), C)
 
     # Depth-1: directly visible emitters + environment
     if not config.hide_emitters:
         result = result + emitters.eval_hit(scene, si, config)
-        result = result + jnp.where(si.valid[..., None], 0.0,
-                                    emitters.eval_env(scene, ray.d,
-                                                      ray.wavelengths, config))
+        result = result + emitters.eval_env(scene, ray.d, ray.wavelengths,
+                                            config).masked(~si.valid)
 
     orig = jnp.arange(N, dtype=jnp.int32)
     carry = (si.replace(tex=None), active, throughput, result, sampler, orig)
@@ -192,13 +190,13 @@ def sample_aovs(scene, ray: Ray, config: RenderConfig, aovs: Tuple[str, ...]):
         if name == "depth":
             out[name] = jnp.where(v, si.t, 0.0)[..., None]
         elif name == "position":
-            out[name] = jnp.where(v[..., None], si.p, 0.0)
+            out[name] = jnp.where(v[..., None], si.p.to_array(), 0.0)
         elif name == "sh_normal":
-            out[name] = jnp.where(v[..., None], si.sh_frame.n, 0.0)
+            out[name] = jnp.where(v[..., None], si.sh_frame.n.to_array(), 0.0)
         elif name == "geo_normal":
-            out[name] = jnp.where(v[..., None], si.n, 0.0)
+            out[name] = jnp.where(v[..., None], si.n.to_array(), 0.0)
         elif name == "uv":
-            out[name] = jnp.where(v[..., None], si.uv, 0.0)
+            out[name] = jnp.where(v[..., None], si.uv.to_array(), 0.0)
         elif name == "prim_index":
             out[name] = si.prim_index.astype(jnp.float32)[..., None]
         elif name == "shape_index":
@@ -207,9 +205,9 @@ def sample_aovs(scene, ray: Ray, config: RenderConfig, aovs: Tuple[str, ...]):
             # first spectrum slot of the hit material (denoiser guide)
             _, mdata, _ = bsdf_mod._lane_materials(scene, si)
             from .spectra import eval_spectrum_slot
-            alb = eval_spectrum_slot(mdata[..., 0:8], si.wavelengths, "rgb",
+            alb = eval_spectrum_slot(mdata.slot(0), si.wavelengths, "rgb",
                                      tex=si.tex, uv=si.uv)
-            out[name] = jnp.where(v[..., None], alb, 0.0)
+            out[name] = jnp.where(v[..., None], alb.to_array(), 0.0)
         else:
             raise ValueError(f"unknown aov {name!r}")
     return out
@@ -258,9 +256,9 @@ def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.nda
 
     if config.color_mode == "spectral":
         u_wl, sampler = sampler.next_1d()
-        wl, wl_pdf = sp.sample_hero_wavelengths(u_wl)
+        wl, wl_pdf = sp.sample_hero_wavelengths_t(u_wl)
     else:
-        wl = jnp.zeros((n, 0), jnp.float32)
+        wl = None
         wl_pdf = None
 
     if scene.cam_type == "thinlens":
@@ -275,7 +273,7 @@ def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.nda
         spec, sampler = sample_path(scene, ray, sampler, config)
 
     if config.color_mode == "spectral":
-        rgb = sp.spectrum_to_srgb(spec, wl, wl_pdf)
+        rgb = sp.spectrum_to_srgb_t(spec, wl, wl_pdf)
     else:
         rgb = spec
 

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core import math as m
-from ..core.geometry import Frame, Ray, dot
+from ..core.geometry import Frame, Ray, as_vec3, dot
+from ..core.vec import Vec2, Vec3, vdot, vmax_abs
 
 
 @struct.dataclass
@@ -21,7 +22,7 @@ class PreliminaryIntersection:
     """Output of the traversal kernel (scene_optix.inl's PreliminaryIntersection)."""
     t: jnp.ndarray          # (N,) hit distance, inf = miss
     prim_index: jnp.ndarray  # (N,) int32 index into packed prim arrays, -1 = miss
-    prim_uv: jnp.ndarray    # (N, 2) barycentrics (triangles) / sphere params
+    prim_uv: Vec2           # barycentrics (triangles) / sphere params
 
     @property
     def valid(self):
@@ -32,41 +33,45 @@ class PreliminaryIntersection:
 class SurfaceInteraction:
     """Full surface interaction (include/mitsuba/render/interaction.h).
 
-    wi is in the LOCAL shading frame (mitsuba convention)."""
+    wi is in the LOCAL shading frame (mitsuba convention). Positions/
+    directions are planar Vec3, uv is planar Vec2, wavelengths a planar
+    Spec or None (core/vec.py layout note)."""
     valid: jnp.ndarray       # (N,) bool
     t: jnp.ndarray           # (N,)
-    p: jnp.ndarray           # (N, 3)
-    n: jnp.ndarray           # (N, 3) geometric normal
+    p: Vec3                  # hit position
+    n: Vec3                  # geometric normal
     sh_frame: Frame          # shading frame (n = shading normal)
-    uv: jnp.ndarray          # (N, 2)
-    wi: jnp.ndarray          # (N, 3) incident dir, LOCAL frame, points away from surface
+    uv: Vec2                 # surface parameterization
+    wi: Vec3                 # incident dir, LOCAL frame, points away from surface
     shape: jnp.ndarray       # (N,) int32 shape index, -1 = none
     prim_index: jnp.ndarray  # (N,) int32
-    wavelengths: jnp.ndarray  # (N, C)
+    wavelengths: object      # Spec (spectral mode) or None
     # Texture atlas reference (scene.textures), threaded through so textured
     # spectrum slots can gather at si.uv; None = scene has no textures.
     tex: object = None
 
-    def to_world(self, v):
+    def to_world(self, v) -> Vec3:
         return self.sh_frame.to_world(v)
 
-    def to_local(self, v):
+    def to_local(self, v) -> Vec3:
         return self.sh_frame.to_local(v)
 
     def spawn_ray_d(self, d_world, maxt=None):
         """Offset along the geometric normal (Interaction::spawn_ray)."""
-        offset = self.n * m.mulsign(
-            jnp.float32(m.RAY_EPSILON) * (1.0 + jnp.max(jnp.abs(self.p), axis=-1, keepdims=True)),
-            dot(self.n, d_world, keepdims=True))
-        return Ray.make(self.p + offset, d_world, maxt=maxt, wavelengths=self.wavelengths)
+        d_world = as_vec3(d_world)
+        eps = m.mulsign(
+            jnp.float32(m.RAY_EPSILON) * (1.0 + vmax_abs(self.p)),
+            vdot(self.n, d_world))
+        return Ray.make(self.p + self.n * eps, d_world, maxt=maxt,
+                        wavelengths=self.wavelengths)
 
 
 @struct.dataclass
 class PositionSample:
     """PositionSample3f (records.h)."""
-    p: jnp.ndarray      # (N, 3)
-    n: jnp.ndarray      # (N, 3)
-    uv: jnp.ndarray     # (N, 2)
+    p: Vec3
+    n: Vec3
+    uv: Vec2
     pdf: jnp.ndarray    # (N,) area-measure pdf
     delta: jnp.ndarray  # (N,) bool
 
@@ -75,10 +80,10 @@ class PositionSample:
 class DirectionSample:
     """DirectionSample3f — a position sample seen from a reference point,
     with the pdf converted to solid angle at the reference (records.h)."""
-    p: jnp.ndarray       # (N, 3) sampled position on the emitter
-    n: jnp.ndarray       # (N, 3) normal at sampled position
-    uv: jnp.ndarray      # (N, 2)
-    d: jnp.ndarray       # (N, 3) unit vector from ref to p
+    p: Vec3              # sampled position on the emitter
+    n: Vec3              # normal at sampled position
+    uv: Vec2             # surface parameterization at p
+    d: Vec3              # unit vector from ref to p
     dist: jnp.ndarray    # (N,)
     pdf: jnp.ndarray     # (N,) solid-angle pdf (0 = invalid)
     delta: jnp.ndarray   # (N,) bool (point/directional emitters)

@@ -28,6 +28,7 @@ import numpy as np
 from flax import struct
 
 from ..core.geometry import Frame
+from ..core.vec import Vec3
 
 
 @struct.dataclass
@@ -66,7 +67,6 @@ def bake_from_desc(desc: dict, n_ti=32, n_to=64, n_phi=64) -> np.ndarray:
     (capture-pipeline stand-in; also the test oracle path)."""
     from . import bsdf as bsdf_mod
     from .interaction import SurfaceInteraction
-    from ..core.geometry import Frame
     from ..config import RenderConfig
 
     mats = []
@@ -76,19 +76,19 @@ def bake_from_desc(desc: dict, n_ti=32, n_to=64, n_phi=64) -> np.ndarray:
     cfg = RenderConfig(color_mode="rgb")
 
     def eval_fn(wi, wo):
+        from ..core.vec import Vec2
+        from .spectra import LaneRows
         n = wi.shape[0]
-        z = jnp.zeros((n, 3), jnp.float32)
+        up = Vec3.full((n,), 0.0, 0.0, 1.0)
         si = SurfaceInteraction(
-            valid=jnp.ones(n, bool), t=jnp.ones(n), p=z,
-            n=jnp.broadcast_to(jnp.asarray([0.0, 0, 1]), (n, 3)),
-            sh_frame=Frame.from_n(jnp.broadcast_to(
-                jnp.asarray([0.0, 0, 1]), (n, 3))),
-            uv=jnp.zeros((n, 2)), wi=wi,
+            valid=jnp.ones(n, bool), t=jnp.ones(n), p=Vec3.zeros((n,)),
+            n=up, sh_frame=Frame.from_n(up),
+            uv=Vec2.zeros((n,)), wi=Vec3.from_array(wi),
             shape=jnp.zeros(n, jnp.int32),
             prim_index=jnp.zeros(n, jnp.int32),
-            wavelengths=jnp.zeros((n, 0), jnp.float32))
-        data = jnp.broadcast_to(jnp.asarray(row), (n, bsdf_mod.MAT_W))
-        return cls.eval(data, si, wo, cfg)
+            wavelengths=None)
+        data = LaneRows.broadcast(jnp.asarray(row), n)
+        return cls.eval(data, si, Vec3.from_array(wo), cfg).to_array()
 
     return tabulate_bsdf(eval_fn, n_ti, n_to, n_phi)
 
@@ -137,10 +137,12 @@ def _grid_lookup(md: MeasuredData, tid, wi, wo):
     """Trilinear-ish (nearest theta_i, bilinear theta_o/phi) table read.
     Returns ((N, 3) f*cos, (N,) sampling pdf over (to, phi) cells)."""
     n_ti, n_to, n_phi = _angles(md)
-    theta_i = jnp.arccos(jnp.clip(Frame.cos_theta(wi), 1e-6, 1.0))
-    theta_o = jnp.arccos(jnp.clip(Frame.cos_theta(wo), 0.0, 1.0))
-    phi_i = jnp.arctan2(wi[..., 1], wi[..., 0])
-    phi_o = jnp.arctan2(wo[..., 1], wo[..., 0])
+    wi = wi if isinstance(wi, Vec3) else Vec3.from_array(wi)
+    wo = wo if isinstance(wo, Vec3) else Vec3.from_array(wo)
+    theta_i = jnp.arccos(jnp.clip(wi.z, 1e-6, 1.0))
+    theta_o = jnp.arccos(jnp.clip(wo.z, 0.0, 1.0))
+    phi_i = jnp.arctan2(wi.y, wi.x)
+    phi_o = jnp.arctan2(wo.y, wo.x)
     phi_d = jnp.remainder(phi_o - phi_i, 2 * jnp.pi)
 
     i_ti = jnp.clip((theta_i / (jnp.pi / 2) * n_ti).astype(jnp.int32),
@@ -152,21 +154,30 @@ def _grid_lookup(md: MeasuredData, tid, wi, wo):
     i_ph = jnp.floor(x_ph).astype(jnp.int32)
     f_ph = x_ph - i_ph
 
+    flat_vals = md.values.reshape(-1, 3)
+
     def read(d_to, d_ph):
+        # flat ROW gather + slices (kernels/gather.py: per-column and
+        # multi-dim-index gathers lower to the scalar core)
         ito = jnp.clip(i_to + d_to, 0, n_to - 1)
         iph = jnp.remainder(i_ph + d_ph, n_phi)
-        return md.values[tid, i_ti, ito, iph]
+        r = flat_vals[((tid * n_ti + i_ti) * n_to + ito) * n_phi + iph]
+        return r[..., 0], r[..., 1], r[..., 2]
 
-    val = (read(0, 0) * ((1 - f_to) * (1 - f_ph))[..., None] +
-           read(0, 1) * ((1 - f_to) * f_ph)[..., None] +
-           read(1, 0) * (f_to * (1 - f_ph))[..., None] +
-           read(1, 1) * (f_to * f_ph)[..., None])
+    from ..core.spec import Spec
+    r00, r01 = read(0, 0), read(0, 1)
+    r10, r11 = read(1, 0), read(1, 1)
+    val = Spec(tuple(
+        r00[c] * ((1 - f_to) * (1 - f_ph)) + r01[c] * ((1 - f_to) * f_ph) +
+        r10[c] * (f_to * (1 - f_ph)) + r11[c] * (f_to * f_ph)
+        for c in range(3)))
 
     # sampling pdf of the piecewise-constant importance table
     iph0 = jnp.remainder(jnp.round(x_ph).astype(jnp.int32), n_phi)
     ito0 = jnp.clip(jnp.round(x_to).astype(jnp.int32), 0, n_to - 1)
-    w_cell = md.weights[tid, i_ti, ito0, iph0]
-    total = md.marg_cdf[tid, i_ti, -1]
+    w_cell = md.weights.reshape(-1)[
+        ((tid * n_ti + i_ti) * n_to + ito0) * n_phi + iph0]
+    total = md.marg_cdf.reshape(-1)[(tid * n_ti + i_ti) * n_to + (n_to - 1)]
     pdf_cell = w_cell / jnp.maximum(total, 1e-20)  # prob of the cell
     # (theta_o, phi_d) cell area -> solid angle: dOmega = sin(to) dto dphi
     dto = (jnp.pi / 2) / n_to
@@ -177,15 +188,19 @@ def _grid_lookup(md: MeasuredData, tid, wi, wo):
 
 
 def eval_measured(md: MeasuredData, tid, wi, wo):
-    """f*cos for wi, wo in the local frame (zero below the horizon)."""
+    """f*cos Spec for wi, wo in the local frame (zero below the horizon)."""
+    wi = wi if isinstance(wi, Vec3) else Vec3.from_array(wi)
+    wo = wo if isinstance(wo, Vec3) else Vec3.from_array(wo)
     val, _ = _grid_lookup(md, tid, wi, wo)
-    up = (Frame.cos_theta(wi) > 0) & (Frame.cos_theta(wo) > 0)
-    return jnp.where(up[..., None], val, 0.0)
+    up = (wi.z > 0) & (wo.z > 0)
+    return val.masked(up)
 
 
 def pdf_measured(md: MeasuredData, tid, wi, wo):
+    wi = wi if isinstance(wi, Vec3) else Vec3.from_array(wi)
+    wo = wo if isinstance(wo, Vec3) else Vec3.from_array(wo)
     _, pdf = _grid_lookup(md, tid, wi, wo)
-    up = (Frame.cos_theta(wi) > 0) & (Frame.cos_theta(wo) > 0)
+    up = (wi.z > 0) & (wo.z > 0)
     return jnp.where(up, pdf, 0.0)
 
 
@@ -193,40 +208,58 @@ def sample_measured(md: MeasuredData, tid, wi, u2):
     """Importance-sample (theta_o, phi_d) by 2D CDF inversion per
     theta_i slice (the Marginal2D warp of measured.cpp)."""
     n_ti, n_to, n_phi = _angles(md)
-    theta_i = jnp.arccos(jnp.clip(Frame.cos_theta(wi), 1e-6, 1.0))
+    wi = wi if isinstance(wi, Vec3) else Vec3.from_array(wi)
+    theta_i = jnp.arccos(jnp.clip(wi.z, 1e-6, 1.0))
     i_ti = jnp.clip((theta_i / (jnp.pi / 2) * n_ti).astype(jnp.int32),
                     0, n_ti - 1)
-    marg = md.marg_cdf[tid, i_ti]          # (N, n_to)
-    total = marg[..., -1]
-    t_r = u2[..., 1] * total
-    row = jnp.clip(jnp.sum((marg < t_r[..., None]).astype(jnp.int32), -1),
-                   0, n_to - 1)
+
+    def bisect(flat, base, width, target):
+        """Per-lane lower-bound bisection: first k in [0, width) with
+        flat[base + k] >= target — (N,) gathers, no (N, width) rows."""
+        lo = jnp.zeros_like(base)
+        hi = jnp.full_like(base, width)
+        for _ in range(int(np.ceil(np.log2(max(width, 2)))) + 1):
+            mid = (lo + hi) // 2
+            go_right = flat[base + mid] < target
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        return lo
+
+    flat_marg = md.marg_cdf.reshape(-1)
+    flat_cond = md.cond_cdf.reshape(-1)
+    marg_base = (tid * n_ti + i_ti) * n_to
+    total = flat_marg[marg_base + (n_to - 1)]
+    if isinstance(u2, (tuple, list)):
+        u2a, u2b = u2
+    elif hasattr(u2, "x"):
+        u2a, u2b = u2.x, u2.y
+    else:
+        u2a, u2b = u2[..., 0], u2[..., 1]
+    t_r = u2b * total
+    row = jnp.clip(bisect(flat_marg, marg_base, n_to, t_r), 0, n_to - 1)
     marg_lo = jnp.where(row > 0,
-                        jnp.take_along_axis(marg, jnp.maximum(row - 1, 0)[..., None],
-                                            -1)[..., 0], 0.0)
-    row_sum = jnp.take_along_axis(marg, row[..., None], -1)[..., 0] - marg_lo
+                        flat_marg[marg_base + jnp.maximum(row - 1, 0)], 0.0)
+    row_sum = flat_marg[marg_base + row] - marg_lo
     ur = jnp.clip((t_r - marg_lo) / jnp.maximum(row_sum, 1e-20), 0.0,
                   1.0 - 1e-7)
-    cond = md.cond_cdf[tid, i_ti, row]     # (N, n_phi)
-    t_c = u2[..., 0] * row_sum
-    col = jnp.clip(jnp.sum((cond < t_c[..., None]).astype(jnp.int32), -1),
-                   0, n_phi - 1)
+    cond_base = ((tid * n_ti + i_ti) * n_to + row) * n_phi
+    t_c = u2a * row_sum
+    col = jnp.clip(bisect(flat_cond, cond_base, n_phi, t_c), 0, n_phi - 1)
     cond_lo = jnp.where(col > 0,
-                        jnp.take_along_axis(cond, jnp.maximum(col - 1, 0)[..., None],
-                                            -1)[..., 0], 0.0)
-    cell = jnp.take_along_axis(cond, col[..., None], -1)[..., 0] - cond_lo
+                        flat_cond[cond_base + jnp.maximum(col - 1, 0)], 0.0)
+    cell = flat_cond[cond_base + col] - cond_lo
     uc = jnp.clip((t_c - cond_lo) / jnp.maximum(cell, 1e-20), 0.0, 1.0 - 1e-7)
 
     theta_o = (row + ur) / n_to * (jnp.pi / 2)
     phi_d = (col + uc) / n_phi * (2 * jnp.pi)
-    phi_i = jnp.arctan2(wi[..., 1], wi[..., 0])
+    phi_i = jnp.arctan2(wi.y, wi.x)
     phi_o = phi_i + phi_d
     st, ct = jnp.sin(theta_o), jnp.cos(theta_o)
-    wo = jnp.stack([st * jnp.cos(phi_o), st * jnp.sin(phi_o), ct], -1)
+    wo = Vec3(st * jnp.cos(phi_o), st * jnp.sin(phi_o), ct)
 
     pdf_cell = cell / jnp.maximum(total, 1e-20)
     dto = (jnp.pi / 2) / n_to
     dph = (2 * jnp.pi) / n_phi
     pdf_sa = pdf_cell / (dto * dph * jnp.maximum(st, 1e-6))
-    pdf_sa = jnp.where((total > 0) & (Frame.cos_theta(wi) > 0), pdf_sa, 0.0)
+    pdf_sa = jnp.where((total > 0) & (wi.z > 0), pdf_sa, 0.0)
     return wo, pdf_sa

@@ -41,22 +41,29 @@ class GridVolume:
     bbox_max: jnp.ndarray  # (3,)
 
     def eval(self, p):
-        """Trilinear density lookup at world points p: (..., 3) -> (...)."""
+        """Trilinear density lookup at world points p (Vec3 or (..., 3))."""
+        if not hasattr(p, "x"):
+            from ..core.vec import Vec3
+            p = Vec3.from_array(p)
         D, H, W = self.data.shape
-        res = jnp.asarray([W, H, D], jnp.float32)
-        t = (p - self.bbox_min) / (self.bbox_max - self.bbox_min)
-        inside = jnp.all((t >= 0) & (t <= 1), axis=-1)
-        x = t * (res - 1)  # node-centered grid (grid3d convention)
-        i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
-                      jnp.asarray([W - 2, H - 2, D - 2]))
-        f = x - i0
+        bmn, bmx = self.bbox_min, self.bbox_max
+        tx = (p.x - bmn[0]) / (bmx[0] - bmn[0])
+        ty = (p.y - bmn[1]) / (bmx[1] - bmn[1])
+        tz = (p.z - bmn[2]) / (bmx[2] - bmn[2])
+        inside = ((tx >= 0) & (tx <= 1) & (ty >= 0) & (ty <= 1) &
+                  (tz >= 0) & (tz <= 1))
+        xx = tx * (W - 1)
+        xy = ty * (H - 1)
+        xz = tz * (D - 1)
+        ix = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
+        iy = jnp.clip(jnp.floor(xy).astype(jnp.int32), 0, H - 2)
+        iz = jnp.clip(jnp.floor(xz).astype(jnp.int32), 0, D - 2)
+        fx, fy, fz = xx - ix, xy - iy, xz - iz
         flat = self.data.reshape(-1)
 
         def g(dx, dy, dz):
-            return flat[(i0[..., 2] + dz) * H * W + (i0[..., 1] + dy) * W +
-                        (i0[..., 0] + dx)]
+            return flat[(iz + dz) * H * W + (iy + dy) * W + (ix + dx)]
 
-        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
         v = ((g(0, 0, 0) * (1 - fx) + g(1, 0, 0) * fx) * (1 - fy) +
              (g(0, 1, 0) * (1 - fx) + g(1, 1, 0) * fx) * fy) * (1 - fz) + \
             ((g(0, 0, 1) * (1 - fx) + g(1, 0, 1) * fx) * (1 - fy) +
@@ -121,18 +128,23 @@ def phase_hg_sample(g, wi, u2):
 
     Conventions follow phase_hg.cpp: wi points TOWARD the viewer (like
     si.wi); sampled wo points away along the new propagation direction.
-    Returns (wo_world, pdf)."""
+    wi: planar Vec3 (or (N,3) array); u2: (ua, ub) tuple or (N,2) array.
+    Returns (wo_world Vec3, pdf)."""
     from ..core.geometry import Frame
+    from ..core.vec import Vec3
+    if not hasattr(wi, "x"):
+        wi = Vec3.from_array(wi)
+    ua, ub = (u2 if isinstance(u2, (tuple, list))
+              else (u2[..., 0], u2[..., 1]))
     g = jnp.where(jnp.abs(g) < 1e-4, jnp.full_like(g, 1e-4), g)
-    sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u2[..., 0])
+    sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * ua)
     cos_theta = -(1.0 + g * g - sqr * sqr) / (2.0 * g)
     cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-    phi = 2.0 * jnp.pi * u2[..., 1]
+    phi = 2.0 * jnp.pi * ub
     frame = Frame.from_n(-wi)  # propagation direction
-    wo_local = jnp.stack([sin_theta * jnp.cos(phi),
-                          sin_theta * jnp.sin(phi), cos_theta], axis=-1)
-    wo = frame.to_world(wo_local)
+    wo = frame.to_world(Vec3(sin_theta * jnp.cos(phi),
+                             sin_theta * jnp.sin(phi), cos_theta))
     pdf = phase_hg_eval(g, cos_theta)
     return wo, pdf
 
@@ -141,5 +153,10 @@ def phase_eval(g, wi, wo):
     """Phase value for scattering wi (toward viewer) -> wo.
 
     cos_theta is measured between the propagation direction (-wi) and wo."""
-    cos_theta = jnp.sum(-wi * wo, axis=-1)
+    from ..core.vec import Vec3, vdot
+    if not hasattr(wi, "x"):
+        wi = Vec3.from_array(wi)
+    if not hasattr(wo, "x"):
+        wo = Vec3.from_array(wo)
+    cos_theta = -vdot(wi, wo)
     return phase_hg_eval(g, cos_theta)

@@ -31,7 +31,9 @@ class Sampler:
         f, st = pcg32.next_float32(self.state)
         return f, Sampler(state=st)
 
-    def next_2d(self) -> Tuple[jnp.ndarray, "Sampler"]:
+    def next_2d(self) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], "Sampler"]:
+        """Two uniforms as a PLANAR (u, v) tuple (never an (N, 2) stack —
+        see core/vec.py's layout note)."""
         f1, st = pcg32.next_float32(self.state)
         f2, st = pcg32.next_float32(st)
-        return jnp.stack([f1, f2], axis=-1), Sampler(state=st)
+        return (f1, f2), Sampler(state=st)

@@ -14,26 +14,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import warp
-from ..core.geometry import Ray, normalize
+from ..core.geometry import Ray
+from ..core.vec import Vec2, Vec3, as_vec2, vnormalize
 
 # cam_data layout: [aperture_radius, focus_distance, ortho_scale_x, ortho_scale_y]
 CAM_W = 4
 
 
-def _film_to_cam_xy(scene, uv):
+def _film_to_cam_xy(scene, uv: Vec2):
     """Film uv -> direction components on the z=1 camera plane."""
+    uv = as_vec2(uv)
     tx = jnp.tan(jnp.deg2rad(scene.cam_fov_x) * 0.5)
-    return ((1.0 - 2.0 * uv[..., 0]) * tx,
-            (1.0 - 2.0 * uv[..., 1]) * tx)
+    return ((1.0 - 2.0 * uv.x) * tx,
+            (1.0 - 2.0 * uv.y) * tx)
 
 
 def perspective_ray(scene, uv, wavelengths=None) -> Ray:
-    """uv: (N, 2) film positions in [0,1]^2 -> camera rays (N lanes)."""
+    """uv: planar Vec2 film positions in [0,1]^2 -> camera rays (N lanes)."""
     mat = scene.cam_to_world
     x, y = _film_to_cam_xy(scene, uv)
-    d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-    d_world = normalize(d_cam @ mat[:3, :3].T)
-    o = jnp.broadcast_to(mat[:3, 3], d_world.shape)
+    z = jnp.ones_like(x)
+    d_world = vnormalize(Vec3(
+        mat[0, 0] * x + mat[0, 1] * y + mat[0, 2] * z,
+        mat[1, 0] * x + mat[1, 1] * y + mat[1, 2] * z,
+        mat[2, 0] * x + mat[2, 1] * y + mat[2, 2] * z))
+    o = Vec3(jnp.broadcast_to(mat[0, 3], x.shape),
+             jnp.broadcast_to(mat[1, 3], x.shape),
+             jnp.broadcast_to(mat[2, 3], x.shape))
     return Ray.make(o, d_world, wavelengths=wavelengths)
 
 
@@ -45,13 +52,14 @@ def thinlens_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
     focus = scene.cam_data[1]
     x, y = _film_to_cam_xy(scene, uv)
     # point on the focus plane (camera space)
-    p_focus = jnp.stack([x * focus, y * focus,
-                         jnp.broadcast_to(focus, x.shape)], axis=-1)
-    p_lens2 = warp.square_to_uniform_disk_concentric(u_lens) * aperture
-    o_cam = jnp.concatenate([p_lens2, jnp.zeros_like(p_lens2[..., :1])], -1)
-    d_cam = normalize(p_focus - o_cam)
-    d_world = normalize(d_cam @ mat[:3, :3].T)
-    o_world = o_cam @ mat[:3, :3].T + mat[:3, 3]
+    p_focus = Vec3(x * focus, y * focus, jnp.broadcast_to(focus, x.shape))
+    lx, ly = warp.square_to_uniform_disk_concentric(u_lens)
+    o_cam = Vec3(lx * aperture, ly * aperture, jnp.zeros_like(lx))
+    d_cam = vnormalize(p_focus - o_cam)
+    from ..core.geometry import Transform4
+    t = Transform4.from_matrix(mat)
+    d_world = vnormalize(t.apply_vector(d_cam))
+    o_world = t.apply_point(o_cam)
     return Ray.make(o_world, d_world, wavelengths=wavelengths)
 
 
@@ -59,13 +67,18 @@ def orthographic_ray(scene, uv, wavelengths=None) -> Ray:
     """Orthographic camera (sensors/orthographic.cpp): parallel rays along
     +z; extent set by the to_world scale (cam_data[2:4])."""
     mat = scene.cam_to_world
+    uv = as_vec2(uv)
     sx = scene.cam_data[2]
     sy = scene.cam_data[3]
-    x = (1.0 - 2.0 * uv[..., 0]) * sx
-    y = (1.0 - 2.0 * uv[..., 1]) * sy
-    o_cam = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
-    o_world = o_cam @ mat[:3, :3].T + mat[:3, 3]
-    d_world = jnp.broadcast_to(normalize(mat[:3, 2]), o_world.shape)
+    x = (1.0 - 2.0 * uv.x) * sx
+    y = (1.0 - 2.0 * uv.y) * sy
+    from ..core.geometry import Transform4
+    t = Transform4.from_matrix(mat)
+    o_world = t.apply_point(Vec3(x, y, jnp.zeros_like(x)))
+    fwd = mat[:3, 2] / jnp.linalg.norm(mat[:3, 2])
+    d_world = Vec3(jnp.broadcast_to(fwd[0], x.shape),
+                   jnp.broadcast_to(fwd[1], x.shape),
+                   jnp.broadcast_to(fwd[2], x.shape))
     return Ray.make(o_world, d_world, wavelengths=wavelengths)
 
 
@@ -81,13 +94,15 @@ def sample_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
     raise ValueError(f"unknown sensor type {kind!r}")
 
 
-def film_uv(x, y, jitter, width: int, height: int):
+def film_uv(x, y, jitter, width: int, height: int) -> Vec2:
     """Pixel indices + jitter -> uv with aspect-corrected v.
 
-    Returns (N, 2): u in [0,1], v scaled so square pixels are preserved for
-    non-square films (fov applies to x)."""
-    u = (x + jitter[..., 0]) / width
-    v = (y + jitter[..., 1]) / width * 1.0  # same scale as u (square pixels)
+    Returns planar Vec2: u in [0,1], v scaled so square pixels are preserved
+    for non-square films (fov applies to x)."""
+    jx, jy = (jitter if isinstance(jitter, (tuple, list))
+              else (jitter.x, jitter.y))
+    u = (x + jx) / width
+    v = (y + jy) / width * 1.0  # same scale as u (square pixels)
     # center the v range: film of H rows spans H/W of the u unit
     v = v + 0.5 * (1.0 - height / width)
-    return jnp.stack([u, v], axis=-1)
+    return Vec2(u, v)

@@ -25,13 +25,48 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from ..core import spectrum as sp
+from ..core.spec import Spec, swhere
 
 SLOT_W = 8
 SLOT_REFLECTANCE = 0.0
 SLOT_ILLUMINANT = 1.0
 SLOT_TEX_BASE = 2.0  # kind >= 2: textured; kind = 2 + 2*tex_id + illum
+
+
+@struct.dataclass
+class LaneRows:
+    """Lazy per-lane rows of a packed (M, W) host table.
+
+    Materializing `table[idx]` as an (N, W) array lane-pads W -> 128 on TPU
+    (core/vec.py layout note); this view instead gathers single columns on
+    demand — each a dense (N,) gather from the tiny table."""
+    table: jnp.ndarray  # (M, W)
+    idx: jnp.ndarray    # (N,) int32 per-lane row (or scalar)
+    base: int = struct.field(pytree_node=False, default=0)
+
+    def col(self, i: int):
+        from ..kernels import gather as gth
+        return gth.scalar(self.table[:, self.base + i], self.idx)
+
+    def slot(self, k: int) -> "LaneRows":
+        """View of spectrum slot k (slots are SLOT_W wide)."""
+        return LaneRows(self.table, self.idx, self.base + k * SLOT_W)
+
+    @staticmethod
+    def broadcast(row, n: int) -> "LaneRows":
+        """One (W,) row viewed by n lanes (tests / single-material paths)."""
+        row = jnp.asarray(row)
+        return LaneRows(row[None, :], jnp.zeros(n, jnp.int32))
+
+
+def _colfn(slot):
+    """Adapter: LaneRows or (..., W) array -> column accessor."""
+    if hasattr(slot, "col"):
+        return slot.col
+    return lambda i: slot[..., i]
 
 
 def pack_spectrum_slot(rgb, illuminant: bool = False) -> np.ndarray:
@@ -95,43 +130,49 @@ def pack_color(value, illuminant: bool = False) -> np.ndarray:
     return pack_spectrum_slot(v, illuminant=illuminant)
 
 
-def _const_value(slot, wavelengths, color_mode):
-    rgb = slot[..., 0:3]
+def _const_value(col, wavelengths, color_mode) -> Spec:
+    r, g, b = col(0), col(1), col(2)
     if color_mode == "rgb":
-        return rgb
+        return Spec((r, g, b))
     if color_mode == "mono":
-        return sp.luminance_rgb(rgb)[..., None]
+        return Spec((sp.luminance_t(r, g, b),))
     # spectral: sigmoid polynomial x scale (x d65 for illuminants)
-    coeffs = slot[..., 3:6]
-    refl = sp.srgb_model_eval(coeffs[..., None, :], wavelengths)  # (..., C)
-    return refl * slot[..., 6:7]
+    c2, c1, c0 = col(3), col(4), col(5)
+    scale = col(6)
+    return Spec(tuple(sp.srgb_model_eval_t(c2, c1, c0, w) * scale
+                      for w in wavelengths.ch))
 
 
-def _tex_value(rgb, wavelengths, color_mode):
-    """Per-lane RGB -> slot value in the active color mode. Spectral mode
-    upsamples through the coefficient lattice; RGB > 1 (emissive textures)
-    is folded into a scale factor like rgb2spec does."""
+def _tex_value(rgb: Spec, wavelengths, color_mode) -> Spec:
+    """Per-lane RGB Spec3 -> slot value in the active color mode. Spectral
+    mode upsamples through the coefficient lattice; RGB > 1 (emissive
+    textures) is folded into a scale factor like rgb2spec does."""
     if color_mode == "rgb":
         return rgb
     if color_mode == "mono":
-        return sp.luminance_rgb(rgb)[..., None]
-    scale = jnp.maximum(jnp.max(rgb, axis=-1, keepdims=True) / 0.999, 1.0)
+        return Spec((sp.luminance_t(*rgb.ch),))
+    scale = jnp.maximum(rgb.hmax() / 0.999, 1.0)
     lattice = sp.srgb_model_fetch_lattice()
-    coeffs = sp.srgb_model_fetch_interp(lattice, rgb / scale)
-    refl = sp.srgb_model_eval(coeffs[..., None, :], wavelengths)
-    return refl * scale
+    inv = 1.0 / scale
+    c2, c1, c0 = sp.srgb_model_fetch_interp_t(
+        lattice, rgb.ch[0] * inv, rgb.ch[1] * inv, rgb.ch[2] * inv)
+    return Spec(tuple(sp.srgb_model_eval_t(c2, c1, c0, w) * scale
+                      for w in wavelengths.ch))
 
 
-def eval_spectrum_slot(slot, wavelengths, color_mode: str, tex=None, uv=None):
-    """Device: evaluate a batch of slots.
+def eval_spectrum_slot(slot, wavelengths, color_mode: str, tex=None, uv=None
+                       ) -> Spec:
+    """Device: evaluate a batch of spectrum slots -> planar Spec.
 
-    slot: (..., 8); wavelengths: (..., C) (ignored outside spectral mode);
-    tex: optional TextureAtlas; uv: (..., 2) surface uv (needed iff any slot
-    may be textured). Returns (..., C_out): 1 (mono), 3 (rgb), 4 (spectral).
+    slot: LaneRows view or (..., 8) array; wavelengths: Spec4 (ignored
+    outside spectral mode); tex: optional TextureAtlas; uv: planar Vec2
+    surface uv (needed iff any slot may be textured). Channel count of the
+    result: 1 (mono), 3 (rgb), 4 (spectral).
     """
-    kind = slot[..., 7]
-    is_illum = (kind == SLOT_ILLUMINANT)[..., None]
-    val = _const_value(slot, wavelengths, color_mode)
+    col = _colfn(slot)
+    kind = col(7)
+    is_illum = kind == SLOT_ILLUMINANT
+    val = _const_value(col, wavelengths, color_mode)
 
     if tex is not None and uv is not None:
         from . import texture as texture_mod
@@ -140,9 +181,10 @@ def eval_spectrum_slot(slot, wavelengths, color_mode: str, tex=None, uv=None):
         tid = jnp.maximum((kind_i - 2) // 2, 0)
         rgb_t = texture_mod.eval_rgb(tex, tid, uv)
         val_t = _tex_value(rgb_t, wavelengths, color_mode)
-        val = jnp.where(is_tex[..., None], val_t, val)
-        is_illum = is_illum | (is_tex & ((kind_i - 2) % 2 == 1))[..., None]
+        val = swhere(is_tex, val_t, val)
+        is_illum = is_illum | (is_tex & ((kind_i - 2) % 2 == 1))
 
     if color_mode == "spectral":
-        return jnp.where(is_illum, val * sp.d65_approx(wavelengths), val)
+        d65 = Spec(tuple(sp.d65_approx(w) for w in wavelengths.ch))
+        return swhere(is_illum, val * d65, val)
     return val

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..core.geometry import dot, normalize
+from ..core.vec import Vec3, vdot, vnormalize, vcross, vsqnorm, vwhere
 from . import bsdf as bsdf_mod
 from . import emitters, mueller as mu, sensors
 from .sampler import Sampler
@@ -39,40 +40,43 @@ def _specular_stokes(scene, si, ray_d, config):
     from ..scene import scene as scene_mod
     n = si.sh_frame.n
     wi_world = -ray_d
-    cos_i = dot(n, wi_world)
+    cos_i = vdot(n, wi_world)
     # mirror direction
-    wr = normalize(2.0 * cos_i[..., None] * n - wi_world)
+    wr = vnormalize(n * (2.0 * cos_i) - wi_world)
 
     # incident radiance along wr (emitter hit or environment), unpolarized
     refl_ray = si.spawn_ray_d(wr)
     si_r = scene_mod.ray_intersect(scene, refl_ray)
+    from ..core.spec import swhere
     L_hit = emitters.eval_hit(scene, si_r, config)
     L_env = emitters.eval_env(scene, wr, si.wavelengths, config)
-    L = jnp.where(si_r.valid[..., None], L_hit, L_env)
-    I_in = jnp.mean(L, axis=-1)  # channel-averaged intensity
+    L = swhere(si_r.valid, L_hit, L_env)
+    I_in = L.hmean()  # channel-averaged intensity
 
     # Mueller matrix of the Fresnel reflection in the scattering plane
     mtype, mdata, _ = bsdf_mod._lane_materials(scene, si)
     cos_c = jnp.clip(jnp.abs(cos_i), 1e-4, 1.0)
     # conductor: complex IOR from slots 0/1 (channel-averaged)
-    eta_re = jnp.mean(mdata[..., 0:3], axis=-1)
-    eta_im = jnp.mean(mdata[..., 8:11], axis=-1)
+    eta_re = (mdata.col(0) + mdata.col(1) + mdata.col(2)) * (1.0 / 3.0)
+    eta_im = (mdata.col(8) + mdata.col(9) + mdata.col(10)) * (1.0 / 3.0)
     m_cond = mu.specular_reflection_conductor(cos_c, eta_re, eta_im)
     # dielectric: scalar eta at col 24
-    m_diel = mu.specular_reflection_dielectric(cos_c, mdata[..., 24])
+    m_diel = mu.specular_reflection_dielectric(cos_c, mdata.col(24))
     is_cond = (mtype == bsdf_mod.CONDUCTOR)
     m_f = jnp.where(is_cond[..., None, None], m_cond, m_diel)
 
     # Stokes bases: canonical basis of -wi (toward surface) and wr, rotated
     # into the scattering plane (s = perpendicular to plane of incidence)
-    plane_n = jnp.cross(wi_world, wr)
+    wi_a = (-wi_world).to_array()
+    wr_a = wr.to_array()
+    plane_n = jnp.cross(wi_a, wr_a)
     degenerate = jnp.sum(plane_n * plane_n, axis=-1) < 1e-12
     s_axis = jnp.where(degenerate[..., None],
-                       mu.stokes_basis(-wi_world), normalize(plane_n))
-    b_in = mu.stokes_basis(-wi_world)   # incident beam travels along -wi
-    b_out = mu.stokes_basis(wr)
-    r_in = mu.rotate_stokes_basis(-wi_world, b_in, s_axis)
-    r_out = mu.rotate_stokes_basis(wr, s_axis, b_out)
+                       mu.stokes_basis(wi_a), normalize(plane_n))
+    b_in = mu.stokes_basis(wi_a)   # incident beam travels along -wi
+    b_out = mu.stokes_basis(wr_a)
+    r_in = mu.rotate_stokes_basis(wi_a, b_in, s_axis)
+    r_out = mu.rotate_stokes_basis(wr_a, s_axis, b_out)
     M = r_out @ m_f @ r_in
 
     s_in = mu.unpolarized_intensity(I_in)
@@ -91,11 +95,11 @@ def _diffuse_intensity(scene, si, sampler, config):
     occ = scene_mod.ray_test(scene, shadow)
     wo_local = si.to_local(ds.d)
     f_val = bsdf_mod.eval_(scene, si, wo_local, config)
-    contrib = e_val * f_val / jnp.maximum(ds.pdf, 1e-20)[..., None]
+    contrib = e_val * f_val / jnp.maximum(ds.pdf, 1e-20)
     ok = si.valid & (ds.pdf > 0) & ~occ
-    I = jnp.mean(jnp.where(ok[..., None], contrib, 0.0), axis=-1)
+    I = contrib.masked(ok).hmean()
     # plus directly visible emission
-    I = I + jnp.mean(emitters.eval_hit(scene, si, config), axis=-1)
+    I = I + emitters.eval_hit(scene, si, config).hmean()
     return I, sampler
 
 
@@ -120,8 +124,7 @@ def _stokes_pass(scene, config, seed):
 
     s_spec = _specular_stokes(scene, si, ray.d, config)
     I_diff, sampler = _diffuse_intensity(scene, si, sampler, config)
-    I_env = jnp.mean(emitters.eval_env(scene, ray.d, ray.wavelengths, config),
-                     axis=-1)
+    I_env = emitters.eval_env(scene, ray.d, ray.wavelengths, config).hmean()
     s_diff = mu.unpolarized_intensity(jnp.where(si.valid, I_diff, I_env))
 
     s = jnp.where(is_delta[..., None], s_spec, s_diff)

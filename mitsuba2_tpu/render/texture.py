@@ -144,30 +144,38 @@ def _wrap_coord(i, n, wrap):
                      jnp.where(wrap == WRAP_CLAMP, clp, mir))
 
 
-def eval_rgb(atlas: TextureAtlas, tid, uv) -> jnp.ndarray:
-    """Batched texture lookup: (N,) texture ids + (N, 2) uv -> (N, 3) RGB.
+def eval_rgb(atlas: TextureAtlas, tid, uv):
+    """Batched texture lookup: (N,) texture ids + planar Vec2 uv -> Spec RGB.
 
     Mirrors bitmap.cpp's eval: uv transform, wrap, bilinear/nearest. v runs
     top-down (row 0 = v just above 0), matching the reference's image
-    orientation convention.
+    orientation convention. Fully planar: per-channel (N,) gathers keep the
+    TPU lanes dense (core/vec.py layout note).
     """
+    from ..core.spec import Spec
+    from ..core.vec import as_vec2
+    from ..kernels import gather as gth
+    uv = as_vec2(uv)
     T, TH, TW, _ = atlas.data.shape
     tid = jnp.clip(tid, 0, T - 1)
-    info = atlas.info[tid]
-    h = info[..., 0].astype(jnp.int32)
-    w = info[..., 1].astype(jnp.int32)
-    wrap = info[..., 2].astype(jnp.int32)
-    filt = info[..., 3].astype(jnp.int32)
-    uvt = atlas.uvt[tid]
-    u = uvt[..., 0] * uv[..., 0] + uvt[..., 1] * uv[..., 1] + uvt[..., 2]
-    v = uvt[..., 3] * uv[..., 0] + uvt[..., 4] * uv[..., 1] + uvt[..., 5]
+    # per-texture metadata: tiny tables -> select-chains (kernels/gather.py)
+    h = gth.scalar(atlas.info[:, 0], tid).astype(jnp.int32)
+    w = gth.scalar(atlas.info[:, 1], tid).astype(jnp.int32)
+    wrap = gth.scalar(atlas.info[:, 2], tid).astype(jnp.int32)
+    filt = gth.scalar(atlas.info[:, 3], tid).astype(jnp.int32)
+    uvt = [gth.scalar(atlas.uvt[:, i], tid) for i in range(6)]
+    u = uvt[0] * uv.x + uvt[1] * uv.y + uvt[2]
+    v = uvt[3] * uv.x + uvt[4] * uv.y + uvt[5]
 
     flat = atlas.data.reshape(T * TH * TW, 3)
 
     def fetch(yi, xi):
+        # ROW gather (fast vectorized path) + slices; a per-column
+        # flat[idx, c] gather lowers to the scalar core (kernels/gather.py)
         yi = _wrap_coord(yi, h, wrap)
         xi = _wrap_coord(xi, w, wrap)
-        return flat[(tid * TH + yi) * TW + xi]
+        r = flat[(tid * TH + yi) * TW + xi]
+        return r[..., 0], r[..., 1], r[..., 2]
 
     # nearest
     xn = jnp.floor(u * w).astype(jnp.int32)
@@ -179,13 +187,16 @@ def eval_rgb(atlas: TextureAtlas, tid, uv) -> jnp.ndarray:
     y = v * h - 0.5
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    fx = x - x0
+    fy = y - y0
     c00 = fetch(y0, x0)
     c01 = fetch(y0, x0 + 1)
     c10 = fetch(y0 + 1, x0)
     c11 = fetch(y0 + 1, x0 + 1)
-    bil = ((c00 * (1 - fx) + c01 * fx) * (1 - fy) +
-           (c10 * (1 - fx) + c11 * fx) * fy)
-
-    return jnp.where((filt == FILTER_NEAREST)[..., None], near, bil)
+    is_near = filt == FILTER_NEAREST
+    out = []
+    for c in range(3):
+        bil = ((c00[c] * (1 - fx) + c01[c] * fx) * (1 - fy) +
+               (c10[c] * (1 - fx) + c11[c] * fx) * fy)
+        out.append(jnp.where(is_near, near[c], bil))
+    return Spec(tuple(out))

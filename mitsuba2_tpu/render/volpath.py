@@ -17,8 +17,9 @@ integrators.py. Differences from the surface path tracer:
 Wavefront notes: every branch is masked-evaluate-all; loop bounds are
 static (max_depth bounces, _MAX_NULL null crossings per shadow ray,
 _DELTA_STEPS delta-tracking trials), mirroring SURVEY.md §7.3's
-static-shape discipline. Spectral sigma_t uses the RGB channels in rgb
-mode and their mean in mono/spectral modes (gray media).
+static-shape discipline. All colors are planar Specs (core/spec.py).
+Spectral sigma_t uses the RGB channels in rgb mode and their mean in
+mono/spectral modes (gray media).
 """
 from __future__ import annotations
 
@@ -29,6 +30,9 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..core.geometry import Ray, dot
+from ..kernels import gather as gth
+from ..core.spec import Spec, swhere
+from ..core.vec import Vec3, vdot, vwhere
 from . import bsdf as bsdf_mod
 from . import emitters, media as media_mod, sensors
 from .integrators import mis_weight
@@ -39,27 +43,27 @@ _DELTA_STEPS = 64   # delta-tracking trials per free-flight sample
 
 
 def _medium_coeffs(scene, med_idx, config):
-    """Per-lane (sigma_t (N,C), albedo (N,C), g (N,), majorant (N,))."""
+    """Per-lane (sigma_t Spec, albedo Spec, g (N,), scale (N,))."""
     idx = jnp.maximum(med_idx, 0)
-    row = scene.med_data[idx]
-    sig = row[..., 0:3]
-    alb = row[..., 3:6]
-    if config.n_channels != 3:
-        sig = jnp.mean(sig, axis=-1, keepdims=True) * \
-            jnp.ones((1, config.n_channels))
-        alb = jnp.mean(alb, axis=-1, keepdims=True) * \
-            jnp.ones((1, config.n_channels))
-    in_med = (med_idx >= 0)[..., None]
-    sig = jnp.where(in_med, sig, 0.0)
-    alb = jnp.where(in_med, alb, 0.0)
-    return sig, alb, row[..., 6], row[..., 7]
+    tbl = scene.med_data
+    c = [gth.scalar(tbl[:, i], idx) for i in range(8)]
+    if config.n_channels == 3:
+        sig = Spec((c[0], c[1], c[2]))
+        alb = Spec((c[3], c[4], c[5]))
+    else:
+        sbar = (c[0] + c[1] + c[2]) * (1.0 / 3.0)
+        abar = (c[3] + c[4] + c[5]) * (1.0 / 3.0)
+        sig = Spec.splat(sbar, config.n_channels)
+        alb = Spec.splat(abar, config.n_channels)
+    in_med = med_idx >= 0
+    return sig.masked(in_med), alb.masked(in_med), c[6], c[7]
 
 
 def _density(scene, med_idx, p):
     """Heterogeneous density multiplier at p (1 for homogeneous lanes)."""
     if scene.medium_grid is None:
-        return jnp.ones(p.shape[:-1], jnp.float32)
-    hetero = scene.med_type[jnp.maximum(med_idx, 0)] == \
+        return jnp.ones(jnp.shape(p.z), jnp.float32)
+    hetero = gth.scalar(scene.med_type, jnp.maximum(med_idx, 0)) == \
         media_mod.MEDIUM_HETEROGENEOUS
     d = scene.medium_grid.eval(p)
     return jnp.where(hetero & (med_idx >= 0), d, 1.0)
@@ -68,7 +72,7 @@ def _density(scene, med_idx, p):
 def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     """Sample a collision distance along `ray`, capped at t_surf.
 
-    Returns (t_col (N,), is_medium_event (N,), weight (N,C), sampler).
+    Returns (t_col (N,), is_medium_event (N,), weight Spec, sampler).
     Homogeneous: analytic exponential sampling with the channel-mean rate;
     the returned weight includes transmittance / pdf for both outcomes.
     Heterogeneous: delta tracking against the grid majorant (weight 1).
@@ -78,24 +82,25 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     C = config.n_channels
 
     if scene.medium_grid is None:
-        sig_bar = jnp.mean(sig, axis=-1) * scale
+        sig_bar = sig.hmean() * scale
         t_s = -jnp.log(jnp.maximum(1.0 - u, 1e-38)) / jnp.maximum(sig_bar, 1e-20)
         med_event = in_med & (t_s < t_surf) & (sig_bar > 0)
         t_col = jnp.where(med_event, t_s, t_surf)
-        sig_rgb = sig * scale[..., None]
-        tr = jnp.exp(-sig_rgb * jnp.minimum(t_col, 1e20)[..., None])
+        sig_rgb = sig * scale
+        t_cl = jnp.minimum(t_col, 1e20)
+        tr = (sig_rgb * (-t_cl)).map(jnp.exp)
         pdf_med = sig_bar * jnp.exp(-sig_bar * t_s)
         pdf_surf = jnp.exp(-sig_bar * jnp.minimum(t_surf, 1e20))
-        w_med = tr * sig_rgb / jnp.maximum(pdf_med, 1e-30)[..., None]
-        w_surf = tr / jnp.maximum(pdf_surf, 1e-30)[..., None]
-        w = jnp.where(med_event[..., None], w_med, w_surf)
-        w = jnp.where(in_med[..., None], w, 1.0)
+        w_med = tr * sig_rgb / jnp.maximum(pdf_med, 1e-30)
+        w_surf = tr / jnp.maximum(pdf_surf, 1e-30)
+        w = swhere(med_event, w_med, w_surf)
+        w = swhere(in_med, w, Spec.ones((), C))
         return t_col, med_event, w, sampler
 
     # Heterogeneous: delta tracking with the global majorant (unit weight
     # estimator; bias only if _DELTA_STEPS is exhausted, which the majorant
     # bound makes vanishingly rare for reasonable optical depths)
-    sig_bar = jnp.mean(sig, axis=-1) * scale
+    sig_bar = sig.hmean() * scale
     maj = sig_bar * jnp.maximum(jnp.max(scene.medium_grid.data), 1e-20)
     maj = jnp.maximum(maj, 1e-20)
 
@@ -105,7 +110,7 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
         u2, st = _next1(st)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-38)) / maj
         past = t_new >= t_surf
-        p = ray.o + ray.d * t_new[..., None]
+        p = ray.o + ray.d * t_new
         dens = _density(scene, med_idx, p)
         real = u2 < (sig_bar * dens) / maj
         new_done = done | past | real
@@ -121,7 +126,7 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
         (zero, done0, jnp.zeros_like(done0), st0))
     med_event = collided & in_med
     t_col = jnp.where(med_event, t, t_surf)
-    return t_col, med_event, jnp.ones(t_surf.shape + (C,), jnp.float32), sampler
+    return t_col, med_event, Spec.ones(t_surf.shape, C), sampler
 
 
 def _next1(sampler):
@@ -133,8 +138,8 @@ def _transition(scene, si, d_world, cur_med):
     or refraction): entering -> the shape's interior medium, exiting ->
     vacuum (nested media collapse to the outermost, volpath.cpp behavior
     without a medium stack)."""
-    entering = dot(d_world, si.n) < 0
-    interior = scene.shape_interior[jnp.maximum(si.shape, 0)]
+    entering = vdot(d_world, si.n) < 0
+    interior = gth.scalar(scene.shape_interior, jnp.maximum(si.shape, 0))
     new_med = jnp.where(entering, interior, -1)
     return jnp.where(si.valid & (si.shape >= 0), new_med, cur_med)
 
@@ -143,11 +148,11 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config):
     """Transmittance from p along d up to dist, passing through up to
     _MAX_NULL null boundaries (Scene::eval_transmittance in volpath.cpp).
 
-    Returns ((N, C) transmittance, sampler)."""
+    Returns (transmittance Spec, sampler)."""
     from ..scene import scene as scene_mod
-    N = p.shape[0]
+    N = jnp.shape(p.z)[0]
     C = config.n_channels
-    tr = jnp.ones((N, C), jnp.float32)
+    tr = Spec.ones((N,), C)
     cur = med_idx
     o = p
     remaining = dist
@@ -160,25 +165,23 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config):
         seg = jnp.where(si.valid, si.t, remaining)
         # medium attenuation over this segment
         sig, _, _, scale = _medium_coeffs(scene, cur, config)
+        seg_cl = jnp.minimum(seg, 1e20)
         if scene.medium_grid is None:
-            seg_tr = jnp.exp(-sig * scale[..., None] *
-                             jnp.minimum(seg, 1e20)[..., None])
+            seg_tr = (sig * (-scale * seg_cl)).map(jnp.exp)
         else:
             # single-sample ratio estimate: density at segment midpoint
-            mid = o + d * (0.5 * jnp.minimum(seg, 1e20))[..., None]
+            mid = o + d * (0.5 * seg_cl)
             dens = _density(scene, cur, mid)
-            seg_tr = jnp.exp(-sig * (scale * dens)[..., None] *
-                             jnp.minimum(seg, 1e20)[..., None])
-        tr = jnp.where(active[..., None], tr * seg_tr, tr)
+            seg_tr = (sig * (-(scale * dens) * seg_cl)).map(jnp.exp)
+        tr = swhere(active, tr * seg_tr, tr)
 
         flags = bsdf_mod.lane_flags(scene, si)
         is_null = si.valid & ((flags & bsdf_mod.F_NULL) != 0)
         blocked = active & si.valid & ~is_null
-        tr = jnp.where(blocked[..., None], 0.0, tr)
+        tr = tr.masked(~blocked)
         cur = jnp.where(active & is_null,
                         _transition(scene, si, d, cur), cur)
-        o = jnp.where((active & is_null)[..., None],
-                      si.p + d * eps, o)
+        o = vwhere(active & is_null, si.p + d * eps, o)
         remaining = jnp.where(active & is_null,
                               remaining - si.t - eps, remaining)
         active = active & is_null & (remaining > 0)
@@ -186,14 +189,14 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config):
 
 
 def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
-                    ) -> Tuple[jnp.ndarray, Sampler]:
+                    ) -> Tuple[Spec, Sampler]:
     """volpath.cpp's transport loop over the wavefront."""
     from ..scene import scene as scene_mod
 
-    N = ray.o.shape[0]
+    N = jnp.shape(ray.o.z)[0]
     C = config.n_channels
-    throughput = jnp.ones((N, C), jnp.float32)
-    result = jnp.zeros((N, C), jnp.float32)
+    throughput = Spec.ones((N,), C)
+    result = Spec.zeros((N,), C)
     med = jnp.full((N,), -1, jnp.int32)  # camera starts in vacuum
     active = jnp.ones(N, bool)
     # solid-angle pdf of the last directional sample (for hit-emitter MIS)
@@ -208,8 +211,8 @@ def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
         u_ff, sampler = sampler.next_1d()
         t_col, med_event, w_ff, sampler = _sample_free_flight(
             scene, med, ray, t_surf, u_ff, sampler, config)
-        throughput = throughput * jnp.where(active[..., None], w_ff, 1.0)
-        p_med = ray.o + ray.d * t_col[..., None]
+        throughput = throughput * swhere(active, w_ff, Spec.ones((), C))
+        p_med = ray.o + ray.d * t_col
 
         # --- emitter hit (surface lanes that reached the surface) ---------
         surf_event = active & ~med_event
@@ -219,10 +222,9 @@ def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
         w_mis = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, em_pdf))
         L_hit = emitters.eval_hit(scene, si, config)
         L_env = emitters.eval_env(scene, ray.d, ray.wavelengths, config)
-        L = jnp.where(si.valid[..., None], L_hit, L_env)
+        L = swhere(si.valid, L_hit, L_env)
         if not config.hide_emitters or depth > 0:
-            result = result + jnp.where(surf_event[..., None],
-                                        throughput * L * w_mis[..., None], 0.0)
+            result = result + (throughput * L * w_mis).masked(surf_event)
         active = active & (med_event | si.valid)
 
         if depth == config.max_depth - 1:
@@ -244,9 +246,8 @@ def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
         ph_val = media_mod.phase_eval(g_hg, wi_med, ds.d)
         w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, ph_val))
         contrib = throughput * alb * e_val * tr_sh * \
-            (ph_val * w_nee / jnp.maximum(ds.pdf, 1e-20))[..., None]
-        result = result + jnp.where((m_act & (ds.pdf > 0))[..., None],
-                                    contrib, 0.0)
+            (ph_val * w_nee / jnp.maximum(ds.pdf, 1e-20))
+        result = result + contrib.masked(m_act & (ds.pdf > 0))
         # phase sampling for the continuation ray
         u2_ph, sampler = sampler.next_2d()
         wo_med, ph_pdf = media_mod.phase_hg_sample(g_hg, wi_med, u2_ph)
@@ -264,16 +265,15 @@ def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
                                                   si.wavelengths, u_s, u2_s,
                                                   config)
         tr_s, sampler = eval_transmittance(
-            scene, si.p + si.n * jnp.sign(dot(si.n, ds_s.d))[..., None] * 1e-4,
+            scene, si.p + si.n * (jnp.sign(vdot(si.n, ds_s.d)) * 1e-4),
             ds_s.d, ds_s.dist * (1 - 1e-3), med, sampler, config)
         wo_local = si.to_local(ds_s.d)
         f_val = bsdf_mod.eval_(scene, si, wo_local, config)
         f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
         w_nee_s = jnp.where(ds_s.delta, 1.0, mis_weight(ds_s.pdf, f_pdf))
         contrib_s = throughput * e_val_s * f_val * tr_s * \
-            (w_nee_s / jnp.maximum(ds_s.pdf, 1e-20))[..., None]
-        result = result + jnp.where(
-            (s_act & is_smooth & (ds_s.pdf > 0))[..., None], contrib_s, 0.0)
+            (w_nee_s / jnp.maximum(ds_s.pdf, 1e-20))
+        result = result + contrib_s.masked(s_act & is_smooth & (ds_s.pdf > 0))
 
         u1_b, sampler = sampler.next_1d()
         u2_b, sampler = sampler.next_2d()
@@ -282,13 +282,11 @@ def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
         delta_s = (bs.sampled_flags & bsdf_mod.F_DELTA) != 0
 
         # --- merge branches into the continuation wavefront ----------------
-        new_d = jnp.where(med_event[..., None], wo_med, wo_surf)
-        new_o = jnp.where(med_event[..., None], p_med,
-                          si.p + si.n * jnp.sign(dot(si.n, wo_surf)
-                                                 )[..., None] * 1e-4)
-        throughput = jnp.where(m_act[..., None], thr_med,
-                               jnp.where(s_act[..., None],
-                                         throughput * b_weight, throughput))
+        new_d = vwhere(med_event, wo_med, wo_surf)
+        new_o = vwhere(med_event, p_med,
+                       si.p + si.n * (jnp.sign(vdot(si.n, wo_surf)) * 1e-4))
+        throughput = swhere(m_act, thr_med,
+                            swhere(s_act, throughput * b_weight, throughput))
         # null crossings switch the medium; refraction through a real
         # dielectric boundary does too (eta != 1)
         crossing = s_act & (is_null |
@@ -299,15 +297,14 @@ def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
         prev_pdf = jnp.where(med_event, ph_pdf, bs.pdf)
         prev_delta = jnp.where(med_event, False, delta_s | is_null)
         active = active & (med_event | (s_act & (bs.pdf > 0)))
-        alive_val = jnp.any(throughput > 0, axis=-1)
-        active = active & alive_val
+        active = active & throughput.any_positive()
 
         # Russian roulette
         if depth + 2 >= config.rr_depth and depth + 2 < config.max_depth:
-            q = jnp.minimum(jnp.max(throughput, axis=-1), 0.95)
+            q = jnp.minimum(throughput.hmax(), 0.95)
             u_rr, sampler = sampler.next_1d()
             rr_alive = u_rr < q
-            throughput = throughput / jnp.maximum(q, 1e-8)[..., None]
+            throughput = throughput / jnp.maximum(q, 1e-8)
             active = active & rr_alive
 
         ray = Ray.make(new_o, new_d,

@@ -26,6 +26,7 @@ from flax import struct
 
 from ..core import math as m
 from ..core.geometry import Frame, Ray, normalize, dot
+from ..core.vec import Vec2, Vec3
 from ..render import bsdf as bsdf_mod
 from ..render import emitters as emitters_mod
 from ..render.interaction import PreliminaryIntersection, SurfaceInteraction
@@ -395,18 +396,19 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
     outputs are stacked once at the end."""
     idx = jnp.maximum(pi.prim_index, 0)
     valid = pi.valid & (pi.prim_index >= 0)
-    ptype = scene.prim_type[idx]
-    u = pi.prim_uv[..., 0]
-    v = pi.prim_uv[..., 1]
+    from ..kernels import gather as _gth
+    ptype = _gth.scalar(scene.prim_type, idx)
+    u = pi.prim_uv.x
+    v = pi.prim_uv.y
     w = 1.0 - u - v
 
+    from ..kernels import gather as gth
+
     def g3(table):
-        t = table[idx]
-        return t[..., 0], t[..., 1], t[..., 2]
+        return gth.rows3(table, idx)
 
     def g2(table):
-        t = table[idx]
-        return t[..., 0], t[..., 1]
+        return gth.rows2(table, idx)
 
     p0x, p0y, p0z = g3(scene.prim_p0)
     e1x, e1y, e1z = g3(scene.prim_e1)
@@ -438,9 +440,9 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
     if scene.has_spheres:
         # Sphere (center p0, radius e1.x)
         r_sph = jnp.maximum(e1x, 1e-20)
-        sx, sy, sz = norm3(ray.o[..., 0] + ray.d[..., 0] * pi.t - p0x,
-                           ray.o[..., 1] + ray.d[..., 1] * pi.t - p0y,
-                           ray.o[..., 2] + ray.d[..., 2] * pi.t - p0z)
+        sx, sy, sz = norm3(ray.o.x + ray.d.x * pi.t - p0x,
+                           ray.o.y + ray.d.y * pi.t - p0y,
+                           ray.o.z + ray.d.z * pi.t - p0z)
         psx = p0x + sx * r_sph  # re-projected for precision (sphere.cpp)
         psy = p0y + sy * r_sph
         psz = p0z + sz * r_sph
@@ -461,10 +463,10 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
         uvx = jnp.where(is_tri, uvx, phi * (0.5 / jnp.pi))
         uvy = jnp.where(is_tri, uvy, theta / jnp.pi)
 
-    p = jnp.stack([ptx, pty, ptz], axis=-1)
-    ng = jnp.stack([ngx, ngy, ngz], axis=-1)
-    ns = jnp.stack([nsx, nsy, nsz], axis=-1)
-    uv = jnp.stack([uvx, uvy], axis=-1)
+    p = Vec3(ptx, pty, ptz)
+    ng = Vec3(ngx, ngy, ngz)
+    ns = Vec3(nsx, nsy, nsz)
+    uv = Vec2(uvx, uvy)
 
     sh_frame = Frame.from_n(ns)
     wi_world = -ray.d
@@ -473,7 +475,7 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
         t=jnp.where(valid, pi.t, jnp.inf),
         p=p, n=ng, sh_frame=sh_frame, uv=uv,
         wi=sh_frame.to_local(wi_world),
-        shape=jnp.where(valid, scene.prim_shape[idx], -1),
+        shape=jnp.where(valid, _gth.scalar(scene.prim_shape, idx), -1),
         prim_index=jnp.where(valid, idx, -1),
         wavelengths=ray.wavelengths,
         tex=scene.textures)
@@ -518,8 +520,7 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
     else:
         t, prim, u, v = traverse_jnp.ray_intersect_preliminary(
             scene, ray.o, ray.d, ray.maxt)
-    pi = PreliminaryIntersection(t=t, prim_index=prim,
-                                 prim_uv=jnp.stack([u, v], axis=-1))
+    pi = PreliminaryIntersection(t=t, prim_index=prim, prim_uv=Vec2(u, v))
     return compute_surface_interaction(scene, ray, pi)
 
 

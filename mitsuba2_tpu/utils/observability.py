@@ -86,16 +86,16 @@ def _pass_with_stats(scene, config, seed):
     with jax.named_scope("ray_gen"):
         ray = sensors.sample_ray(scene, uv, None, None)
 
+    from ..core.spec import Spec
     si = scene_mod.ray_intersect(scene, ray)
     active = si.valid
-    throughput = jnp.ones((n, config.n_channels), jnp.float32)
-    result = jnp.zeros((n, config.n_channels), jnp.float32)
+    throughput = Spec.ones((n,), config.n_channels)
+    result = Spec.zeros((n,), config.n_channels)
     from ..render import emitters
     if not config.hide_emitters:
         result = result + emitters.eval_hit(scene, si, config)
-        result = result + jnp.where(si.valid[..., None], 0.0,
-                                    emitters.eval_env(scene, ray.d,
-                                                      ray.wavelengths, config))
+        result = result + emitters.eval_env(scene, ray.d, ray.wavelengths,
+                                            config).masked(~si.valid)
     occupancy = [jnp.mean(active.astype(jnp.float32))]
     orig = jnp.arange(n, dtype=jnp.int32)
     carry = (si.replace(tex=None), active, throughput, result, sampler, orig)

@@ -7,23 +7,25 @@ import pytest
 import mitsuba2_tpu as mi
 from mitsuba2_tpu import chi2
 from mitsuba2_tpu.core.geometry import Frame, sph_dir
+from mitsuba2_tpu.core.vec import Vec3
 from mitsuba2_tpu.render import bsdf as B
 from mitsuba2_tpu.render import fresnel as fr
+from mitsuba2_tpu.render.spectra import LaneRows
+from mitsuba2_tpu.core.vec import Vec2
 
 CFG = mi.RenderConfig(color_mode="rgb")
 
 
 def make_si(wi, n):
-    wi = jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (n, 3))
+    wi = Vec3.from_array(jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (n, 3)))
     from mitsuba2_tpu.render.interaction import SurfaceInteraction
     from mitsuba2_tpu.core.geometry import Frame as F
-    zeros3 = jnp.zeros((n, 3), jnp.float32)
-    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    nrm = Vec3.full((n,), 0.0, 0.0, 1.0)
     return SurfaceInteraction(
-        valid=jnp.ones(n, bool), t=jnp.ones(n), p=zeros3, n=nrm,
-        sh_frame=F.from_n(nrm), uv=jnp.zeros((n, 2)), wi=wi,
+        valid=jnp.ones(n, bool), t=jnp.ones(n), p=Vec3.zeros((n,)), n=nrm,
+        sh_frame=F.from_n(nrm), uv=Vec2.zeros((n,)), wi=wi,
         shape=jnp.zeros(n, jnp.int32), prim_index=jnp.zeros(n, jnp.int32),
-        wavelengths=jnp.zeros((n, 0)))
+        wavelengths=None)
 
 
 def build_row(props):
@@ -38,16 +40,17 @@ def bsdf_chi2(cls, props, wi, sample_count=400_000, res=16, ires=16):
     def sample_fn(u):
         n = u.shape[0]
         si = make_si(wi, n)
-        data = jnp.broadcast_to(row, (n, B.MAT_W))
-        bs, w = cls.sample(data, si, u[:, 0], u[:, 1:3], CFG)
-        ok = (bs.pdf > 0) & jnp.any(w > 0, axis=-1)
-        return jnp.where(ok[..., None], bs.wo, 0.0)
+        data = LaneRows.broadcast(row, n)
+        bs, w = cls.sample(data, si, u[:, 0], (u[:, 1], u[:, 2]), CFG)
+        ok = (bs.pdf > 0) & w.any_positive()
+        from mitsuba2_tpu.core.vec import vwhere
+        return vwhere(ok, bs.wo, Vec3.zeros(jnp.shape(ok)))
 
     def pdf_fn(d):
         n = d.reshape(-1, 3).shape[0]
         si = make_si(wi, n)
-        data = jnp.broadcast_to(row, (n, B.MAT_W))
-        out = cls.pdf(data, si, d.reshape(-1, 3), CFG)
+        data = LaneRows.broadcast(row, n)
+        out = cls.pdf(data, si, Vec3.from_array(d.reshape(-1, 3)), CFG)
         return out.reshape(d.shape[:-1])
 
     t = chi2.ChiSquareTest(chi2.SphericalDomain(), sample_fn, pdf_fn,
@@ -116,13 +119,14 @@ def test_chi2_blend():
     def sample_fn(u):
         n = u.shape[0]
         si = make_si(WI_30, n)
-        bs, w = B.sample(sc, si, u[:, 0], u[:, 1:3], CFG)
-        ok = (bs.pdf > 0) & jnp.any(w > 0, axis=-1)
-        return jnp.where(ok[..., None], bs.wo, 0.0)
+        bs, w = B.sample(sc, si, u[:, 0], (u[:, 1], u[:, 2]), CFG)
+        ok = (bs.pdf > 0) & w.any_positive()
+        from mitsuba2_tpu.core.vec import vwhere
+        return vwhere(ok, bs.wo, Vec3.zeros(jnp.shape(ok)))
 
     def pdf_fn(d):
-        flat = d.reshape(-1, 3)
-        si = make_si(WI_30, flat.shape[0])
+        flat = Vec3.from_array(d.reshape(-1, 3))
+        si = make_si(WI_30, d.reshape(-1, 3).shape[0])
         return B.pdf(sc, si, flat, CFG).reshape(d.shape[:-1])
 
     t = chi2.ChiSquareTest(chi2.SphericalDomain(), sample_fn, pdf_fn,
@@ -153,12 +157,13 @@ def test_snell_refraction_direction():
     # 45 deg into eta=1.5: sin_t = sin(45)/1.5
     ci = np.cos(np.deg2rad(45.0))
     F, cos_t, eta_it, eta_ti = fr.fresnel(jnp.asarray([ci], jnp.float32), 1.5)
-    wi = jnp.asarray([[np.sin(np.deg2rad(45)), 0.0, ci]], jnp.float32)
-    wo = fr.refract(wi, cos_t, eta_ti)
+    wi = Vec3.from_array(jnp.asarray([[np.sin(np.deg2rad(45)), 0.0, ci]],
+                                     jnp.float32))
+    wo = np.asarray(fr.refract(wi, cos_t, eta_ti).to_array())
     sin_t = np.sin(np.deg2rad(45)) / 1.5
-    np.testing.assert_allclose(np.asarray(wo)[0],
+    np.testing.assert_allclose(wo[0],
                                [-sin_t, 0.0, -np.sqrt(1 - sin_t ** 2)], atol=1e-5)
-    np.testing.assert_allclose(np.linalg.norm(np.asarray(wo)[0]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(wo[0]), 1.0, atol=1e-5)
 
 
 def test_diffuse_reciprocity():
@@ -166,19 +171,22 @@ def test_diffuse_reciprocity():
     n = 1
     si_a = make_si(WI_30, n)
     wo = jnp.asarray([WI_60], jnp.float32)
-    f_ab = np.asarray(B.Diffuse.eval(row[None], si_a, wo, CFG)) / WI_60[2]
+    f_ab = np.asarray(B.Diffuse.eval(LaneRows.broadcast(row, 1), si_a, Vec3.from_array(wo), CFG).to_array()) / WI_60[2]
     si_b = make_si(WI_60, n)
-    f_ba = np.asarray(B.Diffuse.eval(row[None], si_b,
-                                     jnp.asarray([WI_30], jnp.float32), CFG)) / WI_30[2]
+    f_ba = np.asarray(B.Diffuse.eval(
+        LaneRows.broadcast(row, 1), si_b,
+        Vec3.from_array(jnp.asarray([WI_30], jnp.float32)), CFG).to_array()) / WI_30[2]
     np.testing.assert_allclose(f_ab, f_ba, rtol=1e-5)
 
 
 def test_roughconductor_reciprocity():
     row = build_row({"type": "roughconductor", "alpha": 0.3, "material": "Au"})
     f_ab = np.asarray(B.RoughConductor.eval(
-        row[None], make_si(WI_30, 1), jnp.asarray([WI_60], jnp.float32), CFG)) / WI_60[2]
+        LaneRows.broadcast(row, 1), make_si(WI_30, 1),
+        Vec3.from_array(jnp.asarray([WI_60], jnp.float32)), CFG).to_array()) / WI_60[2]
     f_ba = np.asarray(B.RoughConductor.eval(
-        row[None], make_si(WI_60, 1), jnp.asarray([WI_30], jnp.float32), CFG)) / WI_30[2]
+        LaneRows.broadcast(row, 1), make_si(WI_60, 1),
+        Vec3.from_array(jnp.asarray([WI_30], jnp.float32)), CFG).to_array()) / WI_30[2]
     np.testing.assert_allclose(f_ab, f_ba, rtol=1e-4)
 
 
@@ -197,8 +205,9 @@ def test_twosided_diffuse_from_behind():
     # hit from behind: wi.z < 0 must behave like the front
     wi_back = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
     si = make_si(wi_back, 1)
-    wo_back = jnp.asarray([[0.5, 0.0, -np.sqrt(0.75)]], jnp.float32)
-    val = np.asarray(B.eval_(sc, si, wo_back, CFG))
+    wo_back = Vec3.from_array(jnp.asarray([[0.5, 0.0, -np.sqrt(0.75)]],
+                                          jnp.float32))
+    val = np.asarray(B.eval_(sc, si, wo_back, CFG).to_array())
     assert val.min() > 0, "twosided diffuse black from behind"
     # one-sided diffuse is black from behind
     mats2 = []
@@ -208,7 +217,7 @@ def test_twosided_diffuse_from_behind():
     sc2.mat_flags = jnp.asarray([mats2[idx2][1]], jnp.int32)
     sc2.mat_data = jnp.asarray(mats2[idx2][2])[None]
     sc2.mat_families = (B.DIFFUSE,)
-    val2 = np.asarray(B.eval_(sc2, si, wo_back, CFG))
+    val2 = np.asarray(B.eval_(sc2, si, wo_back, CFG).to_array())
     assert val2.max() == 0
 
 
@@ -221,11 +230,12 @@ def test_dielectric_energy_split():
     rng = np.random.default_rng(0)
     u1 = jnp.asarray(rng.random(n, np.float64).astype(np.float32))
     u2 = jnp.asarray(rng.random((n, 2), np.float64).astype(np.float32))
-    bs, w = B.Dielectric.sample(jnp.broadcast_to(row, (n, B.MAT_W)), si, u1, u2, CFG)
+    bs, w = B.Dielectric.sample(LaneRows.broadcast(row, n), si, u1,
+                                (u2[:, 0], u2[:, 1]), CFG)
     refl = np.asarray((bs.sampled_flags & B.F_DELTA_R) != 0)
     np.testing.assert_allclose(refl.mean(), 0.04, atol=2e-3)
     # transmitted rays continue straight at normal incidence
-    wo_t = np.asarray(bs.wo)[~refl]
+    wo_t = np.asarray(bs.wo.to_array())[~refl]
     np.testing.assert_allclose(wo_t[:, 2], -1.0, atol=1e-5)
     # eta bookkeeping
     eta_t = np.asarray(bs.eta)[~refl]

@@ -59,7 +59,7 @@ def test_marginal2d_sample_pdf_consistent():
     pdf2 = M.eval_pdf(pos)
     np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2), rtol=2e-3)
     # Histogram should match the density
-    pos = np.asarray(pos)
+    pos = np.asarray(pos.to_array())
     h, _, _ = np.histogram2d(pos[:, 1], pos[:, 0], bins=(16, 32),
                              range=[[0, 1], [0, 1]])
     h = h / h.sum()

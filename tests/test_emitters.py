@@ -40,7 +40,8 @@ def test_envmap_sample_pdf_consistency():
     # round-trip dir <-> uv
     d = em._envmap_uv_to_dir(env, uv)
     uv2 = em._envmap_dir_to_uv(env, d)
-    np.testing.assert_allclose(np.asarray(uv), np.asarray(uv2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(uv.to_array()),
+                               np.asarray(uv2.to_array()), atol=2e-3)
 
 
 def test_envmap_importance_proportional_to_luminance():
@@ -50,7 +51,7 @@ def test_envmap_importance_proportional_to_luminance():
     rng = np.random.default_rng(1)
     u2 = jnp.asarray(rng.uniform(size=(400_000, 2)), jnp.float32)
     uv, _ = env.distr.sample(u2)
-    uv = np.asarray(uv)
+    uv = np.asarray(uv.to_array())
     H, W = img.shape[:2]
     counts, _, _ = np.histogram2d(uv[:, 1], uv[:, 0], bins=[H, W],
                                   range=[[0, 1], [0, 1]])

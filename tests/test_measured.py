@@ -25,23 +25,28 @@ def test_bake_and_eval_matches_analytic():
     wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
     wi, wo = jnp.asarray(wi, jnp.float32), jnp.asarray(wo, jnp.float32)
     tid = jnp.zeros(n, jnp.int32)
-    got = np.asarray(ms.eval_measured(md, tid, wi, wo))
+    got = np.asarray(ms.eval_measured(md, tid, wi, wo).to_array())
 
     from mitsuba2_tpu.render import bsdf as B
     mats = []
     B.build_material(ROUGH_GOLD, mats)
-    row = jnp.broadcast_to(jnp.asarray(mats[0][2]), (n, B.MAT_W))
+    from mitsuba2_tpu.render.spectra import LaneRows
+    row = LaneRows.broadcast(jnp.asarray(mats[0][2]), n)
     from mitsuba2_tpu.render.interaction import SurfaceInteraction
     from mitsuba2_tpu.core.geometry import Frame
+    from mitsuba2_tpu.core.vec import Vec3
+    up = Vec3.full((n,), 0.0, 0.0, 1.0)
     si = SurfaceInteraction(
-        valid=jnp.ones(n, bool), t=jnp.ones(n), p=jnp.zeros((n, 3)),
-        n=jnp.broadcast_to(jnp.asarray([0., 0, 1]), (n, 3)),
-        sh_frame=Frame.from_n(jnp.broadcast_to(jnp.asarray([0., 0, 1]), (n, 3))),
-        uv=jnp.zeros((n, 2)), wi=wi, shape=jnp.zeros(n, jnp.int32),
+        valid=jnp.ones(n, bool), t=jnp.ones(n), p=Vec3.zeros((n,)),
+        n=up, sh_frame=Frame.from_n(up),
+        uv=__import__('mitsuba2_tpu.core.vec', fromlist=['Vec2']).Vec2.zeros((n,)),
+        wi=Vec3.from_array(wi),
+        shape=jnp.zeros(n, jnp.int32),
         prim_index=jnp.zeros(n, jnp.int32),
-        wavelengths=jnp.zeros((n, 0), jnp.float32))
-    ref = np.asarray(B.RoughConductor.eval(row, si, wo,
-                                           mi.RenderConfig(color_mode="rgb")))
+        wavelengths=None)
+    ref = np.asarray(B.RoughConductor.eval(
+        row, si, Vec3.from_array(wo),
+        mi.RenderConfig(color_mode="rgb")).to_array())
     # tabulation: agree within interpolation error on non-grazing angles
     mask = ref.max(-1) > 0.01
     rel = np.abs(got - ref)[mask] / np.maximum(ref[mask], 0.01)
@@ -65,7 +70,7 @@ def test_sample_pdf_consistency():
     rel = np.abs(a - b) / np.maximum(b, 1e-6)
     assert (rel < 1e-3).mean() > 0.99  # cell-boundary lanes excepted
     # energy: MC estimate of the hemispherical reflectance stays in [0, 1.2]
-    val = np.asarray(ms.eval_measured(md, tid, wi, wo))
+    val = np.asarray(ms.eval_measured(md, tid, wi, wo).to_array())
     est = (val / np.maximum(a, 1e-9)[:, None]).mean(0)
     assert (est > 0.01).all() and (est < 1.2).all()
 

@@ -56,8 +56,9 @@ def test_slot_update_consistent_in_spectral_mode():
     row = s2.mat_data[int(s2.shape_mat[0])]
     # quadrature over the visible range: slot -> RGB round trip
     wl = jnp.linspace(sp.WAVELENGTH_MIN, sp.WAVELENGTH_MAX, 128)
+    from mitsuba2_tpu.core.spec import Spec
     refl = np.asarray(eval_spectrum_slot(
-        jnp.broadcast_to(row[0:8], (128, 8)), wl[:, None], "spectral")[:, 0])
+        jnp.broadcast_to(row[0:8], (128, 8)), Spec((wl,)), "spectral").ch[0])
     rgb = sp._spectrum_to_rgb_host(np.interp(sp._FIT_WL, np.asarray(wl), refl))
     np.testing.assert_allclose(rgb, np.asarray(target), atol=0.03)
 

@@ -26,11 +26,11 @@ def test_bilinear_matches_numpy():
     # sample exactly at texel centers -> exact texel values
     ys, xs = np.meshgrid(np.arange(7), np.arange(5), indexing="ij")
     uv = np.stack([(xs.ravel() + 0.5) / 5, (ys.ravel() + 0.5) / 7], -1)
-    out = T.eval_rgb(atlas, jnp.zeros(35, jnp.int32), jnp.asarray(uv, jnp.float32))
+    out = T.eval_rgb(atlas, jnp.zeros(35, jnp.int32), jnp.asarray(uv, jnp.float32)).to_array()
     np.testing.assert_allclose(np.asarray(out), img.reshape(-1, 3), rtol=1e-5)
     # halfway between two horizontal texel centers -> mean of the two
     uv2 = jnp.asarray([[(1.0) / 5, 0.5 / 7]], jnp.float32)
-    out2 = T.eval_rgb(atlas, jnp.zeros(1, jnp.int32), uv2)
+    out2 = T.eval_rgb(atlas, jnp.zeros(1, jnp.int32), uv2).to_array()
     np.testing.assert_allclose(np.asarray(out2)[0], (img[0, 0] + img[0, 1]) / 2,
                                rtol=1e-5)
 
@@ -41,13 +41,13 @@ def test_wrap_modes():
     uv_out = jnp.asarray([[1.125, 0.5]], jnp.float32)  # past the right edge
     tid = jnp.zeros(1, jnp.int32)
     # repeat: u=1.125 == u=0.125 -> texel 0
-    rep = T.eval_rgb(make_atlas(img, "repeat", "nearest"), tid, uv_out)
+    rep = T.eval_rgb(make_atlas(img, "repeat", "nearest"), tid, uv_out).to_array()
     assert np.asarray(rep)[0, 0] == 0.0
     # clamp: -> last texel (3)
-    clp = T.eval_rgb(make_atlas(img, "clamp", "nearest"), tid, uv_out)
+    clp = T.eval_rgb(make_atlas(img, "clamp", "nearest"), tid, uv_out).to_array()
     assert np.asarray(clp)[0, 0] == 3.0
     # mirror: u=1.125 reflects to 0.875 -> texel 3
-    mir = T.eval_rgb(make_atlas(img, "mirror", "nearest"), tid, uv_out)
+    mir = T.eval_rgb(make_atlas(img, "mirror", "nearest"), tid, uv_out).to_array()
     assert np.asarray(mir)[0, 0] == 3.0
 
 
@@ -58,7 +58,7 @@ def test_checkerboard_quadrants():
     tid = jnp.zeros(4, jnp.int32)
     uv = jnp.asarray([[0.25, 0.25], [0.75, 0.25], [0.25, 0.75], [0.75, 0.75]],
                      jnp.float32)
-    out = np.asarray(T.eval_rgb(atlas, tid, uv))
+    out = np.asarray(T.eval_rgb(atlas, tid, uv).to_array())
     np.testing.assert_allclose(out[0], [1, 0, 0])  # (lo, lo) -> color0
     np.testing.assert_allclose(out[3], [1, 0, 0])  # (hi, hi) -> color0
     np.testing.assert_allclose(out[1], [0, 1, 0])

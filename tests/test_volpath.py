@@ -31,7 +31,7 @@ def test_hg_sample_matches_pdf():
     u2 = jnp.asarray(rng.uniform(size=(200_000, 2)), jnp.float32)
     wo, pdf = media.phase_hg_sample(jnp.full(200_000, 0.5), wi, u2)
     # propagation dir is -wi = -z; cos_theta measured against it
-    ct = np.asarray(-wo[:, 2])
+    ct = np.asarray(-wo.z)
     hist, edges = np.histogram(ct, bins=64, range=(-1, 1), density=True)
     centers = 0.5 * (edges[1:] + edges[:-1])
     expect = 2 * np.pi * np.asarray(

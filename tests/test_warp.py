@@ -88,7 +88,8 @@ def test_concentric_disk_inverse_roundtrip():
     u = rng.random((10_000, 2)).astype(np.float32)
     p = warp.square_to_uniform_disk_concentric(jnp.asarray(u))
     u2 = warp.uniform_disk_to_square_concentric(p)
-    np.testing.assert_allclose(np.asarray(u2), u, atol=2e-5)
+    np.testing.assert_allclose(np.stack([np.asarray(c) for c in u2], -1),
+                               u, atol=2e-5)
 
 
 def test_cosine_hemisphere_inverse_roundtrip():
@@ -96,7 +97,8 @@ def test_cosine_hemisphere_inverse_roundtrip():
     u = rng.random((10_000, 2)).astype(np.float32)
     d = warp.square_to_cosine_hemisphere(jnp.asarray(u))
     u2 = warp.cosine_hemisphere_to_square(d)
-    np.testing.assert_allclose(np.asarray(u2), u, atol=2e-5)
+    np.testing.assert_allclose(np.stack([np.asarray(c) for c in u2], -1),
+                               u, atol=2e-5)
 
 
 def test_interval_to_tent():
