@@ -1,39 +1,35 @@
-"""Small-table per-lane gathers tuned for TPU.
+"""Per-lane table gathers tuned for TPU.
 
 MEASURED (Cornell bench, 1M lanes, axon TPU runtime):
-- per-COLUMN gathers `table[idx, c]` are catastrophic: XLA lowers each to a
-  scalar-core gather staged through SMEM (~13 ms per gather of 1M lanes) —
-  the full render pass dropped 35 -> 4.9 Mrays/s when every vec3 table read
+- 2-D per-column gathers `table[idx, c]` and multi-dim-index gathers
+  (`t[a, b, c]`) lower to a scalar-core path costing ~13 ms per op — the
+  full render pass dropped 35 -> 4.9 Mrays/s when every vec3 table read
   was expressed that way.
-- per-ROW gathers `table[idx]` lower to a vectorized VMEM loop and are fine
-  even though the (N, W) result is lane-padded.
-- for SMALL tables an unrolled select-chain (compare against each row id,
-  elementwise select) fuses into the consumer and avoids the gather + the
-  padded intermediate entirely.
+- 1-D gathers `col[idx]` (gather from a rank-1 operand) use the fast
+  vectorized path: extracting the column statically first and gathering
+  the rank-1 array measured FASTER than both row gathers and unrolled
+  select-chains (65.7 vs 61.3 vs 38.4 Mrays/s), at O(1) HLO nodes.
+- row gathers `table[idx]` are also vectorized; preferred for LARGE tables
+  where per-column extraction would copy the whole table per call.
 
-`rows()` picks the strategy by table height.
+Microbenchmarks of isolated gathers do NOT reproduce the 2-D pathology —
+only full-pass traces show it (benchmarks/profile_trace.py).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-SELECT_MAX = 48  # unroll select-chains up to this many table rows
+COLUMN_MAX = 4096  # up to this many rows, extract columns + 1-D gather
 
 
 def rows(table, idx, cols):
     """Gather `cols` (tuple of column ids) of `table` rows at per-lane
     `idx`. Returns a tuple of (N,) arrays, one per requested column."""
-    M = table.shape[0]
-    if M <= SELECT_MAX:
-        outs = []
-        for c in cols:
-            col = table[:, c] if table.ndim == 2 else table
-            out = jnp.broadcast_to(col[0], jnp.shape(idx)).astype(col.dtype)
-            for k in range(1, M):
-                out = jnp.where(idx == k, col[k], out)
-            outs.append(out)
-        return tuple(outs)
-    r = table[idx]  # vectorized row gather (lane-padded but fast)
+    if table.ndim == 1:
+        return tuple(table[idx] for _ in cols)
+    if table.shape[0] <= COLUMN_MAX:
+        return tuple(table[:, c][idx] for c in cols)
+    r = table[idx]  # row gather: avoids copying a huge table per column
     return tuple(r[..., c] for c in cols)
 
 
@@ -47,11 +43,5 @@ def rows2(table, idx):
 
 
 def scalar(table, idx):
-    """(M,) table -> (N,) values."""
-    M = table.shape[0]
-    if M <= SELECT_MAX:
-        out = jnp.broadcast_to(table[0], jnp.shape(idx)).astype(table.dtype)
-        for k in range(1, M):
-            out = jnp.where(idx == k, table[k], out)
-        return out
+    """(M,) table -> (N,) values (1-D fast path)."""
     return table[idx]

@@ -40,11 +40,14 @@ def mis_weight(pdf_a, pdf_b):
     return jnp.where(pdf_a > 0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-38), 0.0)
 
 
-def _path_bounce(scene, config: RenderConfig, depth: int, carry):
+def _path_bounce(scene, config: RenderConfig, depth, carry):
     """One bounce of path.cpp's loop: NEE (+MIS) from the current vertex,
     BSDF sampling, emitter hit along the new ray (+MIS), Russian roulette.
 
-    carry = (si, active, throughput, result, sampler); `depth` is static.
+    carry = (si, active, throughput, result, sampler, orig); `depth` may be
+    a static int (unrolled callers, e.g. utils/observability.py) or a traced
+    scalar (the lax.scan loop in sample_path — ONE compiled bounce body
+    instead of max_depth copies, which cuts XLA compile time ~depth-fold).
     Factored out so the adjoint integrator can wrap each bounce in
     jax.checkpoint (recompute-in-backward = the radiative-backprop memory
     discipline; diff/adjoint.py).
@@ -111,10 +114,17 @@ def _path_bounce(scene, config: RenderConfig, depth: int, carry):
     result = result + (throughput * L * w_bsdf).masked(active)
 
     # ----------------------------------------------------------------------
-    # Russian roulette (path.cpp: after rr_depth, q capped at 0.95)
+    # Russian roulette (path.cpp: after rr_depth, q capped at 0.95).
+    # Statically elided when RR can never trigger (rr_depth >= max_depth) so
+    # those configs' sample streams are unchanged; otherwise the draw happens
+    # EVERY bounce (uniform dimension layout for the scan body) and the kill
+    # is masked by the depth test (q = 1 before rr_depth).
     # ----------------------------------------------------------------------
-    if depth + 1 >= config.rr_depth and depth + 1 < config.max_depth:
-        q = jnp.minimum(throughput.hmax() * bs.eta * bs.eta, 0.95)
+    if config.rr_depth < config.max_depth:
+        do_rr = (depth + 1 >= config.rr_depth) & (depth + 1 < config.max_depth)
+        q = jnp.where(do_rr,
+                      jnp.minimum(throughput.hmax() * bs.eta * bs.eta, 0.95),
+                      1.0)
         u_rr, sampler = sampler.next_1d()
         rr_alive = u_rr < q
         throughput = throughput / jnp.maximum(q, 1e-8)
@@ -153,8 +163,18 @@ def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
 
     orig = jnp.arange(N, dtype=jnp.int32)
     carry = (si.replace(tex=None), active, throughput, result, sampler, orig)
-    for depth in range(1, config.max_depth):
-        step = partial(_path_bounce, scene, config, depth)
+    n_bounces = config.max_depth - 1
+    if n_bounces >= 2:
+        # lax.scan: one compiled bounce body for all depths (the reference
+        # unrolls in C++; under XLA unrolling multiplies compile time)
+        def body(c, depth):
+            return _path_bounce(scene, config, depth, c), None
+
+        if config.remat:
+            body = jax.checkpoint(body)
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(1, config.max_depth))
+    elif n_bounces == 1:
+        step = partial(_path_bounce, scene, config, 1)
         if config.remat:
             step = jax.checkpoint(step)
         carry = step(carry)

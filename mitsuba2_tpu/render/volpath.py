@@ -188,127 +188,165 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config):
     return tr, sampler
 
 
+def _vol_flight(scene, config, depth, carry):
+    """Shared head of each volpath iteration: intersect, free flight,
+    MIS-weighted emitter hit. `depth` may be static or traced."""
+    from ..scene import scene as scene_mod
+    (ray, sampler, throughput, result, med, active,
+     prev_pdf, prev_delta) = carry
+    C = config.n_channels
+
+    si = scene_mod.ray_intersect(scene, ray)
+    t_surf = jnp.where(si.valid, si.t, jnp.float32(1e20))
+
+    # --- free flight --------------------------------------------------
+    u_ff, sampler = sampler.next_1d()
+    t_col, med_event, w_ff, sampler = _sample_free_flight(
+        scene, med, ray, t_surf, u_ff, sampler, config)
+    throughput = throughput * swhere(active, w_ff, Spec.ones((), C))
+    p_med = ray.o + ray.d * t_col
+
+    # --- emitter hit (surface lanes that reached the surface) ---------
+    surf_event = active & ~med_event
+    em_pdf_hit = emitters.pdf_direction_hit(scene, ray.o, si, config)
+    em_pdf_env = emitters.pdf_direction_env(scene, config, ray.d)
+    em_pdf = jnp.where(si.valid, em_pdf_hit, em_pdf_env)
+    w_mis = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, em_pdf))
+    L_hit = emitters.eval_hit(scene, si, config)
+    L_env = emitters.eval_env(scene, ray.d, ray.wavelengths, config)
+    L = swhere(si.valid, L_hit, L_env)
+    gate = surf_event if not config.hide_emitters else (surf_event & (depth > 0))
+    result = result + (throughput * L * w_mis).masked(gate)
+    active = active & (med_event | si.valid)
+    return (si, t_col, med_event, p_med, sampler, throughput, result, active)
+
+
+def _vol_bounce(scene, config, depth, carry):
+    """One full volpath iteration: flight head + medium/surface scattering.
+
+    carry = (ray, sampler, throughput, result, med, active, prev_pdf,
+    prev_delta); `depth` may be static or traced (lax.scan)."""
+    (ray, _, _, _, med, _, prev_pdf, prev_delta) = carry
+    (si, t_col, med_event, p_med, sampler, throughput, result,
+     active) = _vol_flight(scene, config, depth, carry)
+
+    sig, alb, g_hg, _ = _medium_coeffs(scene, med, config)
+
+    # =========== medium interaction branch ===========================
+    m_act = active & med_event
+    wi_med = -ray.d
+    # NEE from the medium point
+    u_nee, sampler = sampler.next_1d()
+    u2_nee, sampler = sampler.next_2d()
+    ds, e_val = emitters.sample_direction(scene, p_med, ray.wavelengths,
+                                          u_nee, u2_nee, config)
+    tr_sh, sampler = eval_transmittance(
+        scene, p_med + ds.d * 1e-4, ds.d, ds.dist * (1 - 1e-3), med,
+        sampler, config)
+    ph_val = media_mod.phase_eval(g_hg, wi_med, ds.d)
+    w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, ph_val))
+    contrib = throughput * alb * e_val * tr_sh * \
+        (ph_val * w_nee / jnp.maximum(ds.pdf, 1e-20))
+    result = result + contrib.masked(m_act & (ds.pdf > 0))
+    # phase sampling for the continuation ray
+    u2_ph, sampler = sampler.next_2d()
+    wo_med, ph_pdf = media_mod.phase_hg_sample(g_hg, wi_med, u2_ph)
+    thr_med = throughput * alb  # value/pdf = 1 for HG sampling
+
+    # =========== surface interaction branch ==========================
+    s_act = active & ~med_event & si.valid
+    flags = bsdf_mod.lane_flags(scene, si)
+    is_null = (flags & bsdf_mod.F_NULL) != 0
+    is_smooth = (flags & bsdf_mod.F_SMOOTH) != 0
+
+    u_s, sampler = sampler.next_1d()
+    u2_s, sampler = sampler.next_2d()
+    ds_s, e_val_s = emitters.sample_direction(scene, si.p,
+                                              si.wavelengths, u_s, u2_s,
+                                              config)
+    tr_s, sampler = eval_transmittance(
+        scene, si.p + si.n * (jnp.sign(vdot(si.n, ds_s.d)) * 1e-4),
+        ds_s.d, ds_s.dist * (1 - 1e-3), med, sampler, config)
+    wo_local = si.to_local(ds_s.d)
+    f_val = bsdf_mod.eval_(scene, si, wo_local, config)
+    f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
+    w_nee_s = jnp.where(ds_s.delta, 1.0, mis_weight(ds_s.pdf, f_pdf))
+    contrib_s = throughput * e_val_s * f_val * tr_s * \
+        (w_nee_s / jnp.maximum(ds_s.pdf, 1e-20))
+    result = result + contrib_s.masked(s_act & is_smooth & (ds_s.pdf > 0))
+
+    u1_b, sampler = sampler.next_1d()
+    u2_b, sampler = sampler.next_2d()
+    bs, b_weight = bsdf_mod.sample(scene, si, u1_b, u2_b, config)
+    wo_surf = si.to_world(bs.wo)
+    delta_s = (bs.sampled_flags & bsdf_mod.F_DELTA) != 0
+
+    # --- merge branches into the continuation wavefront ----------------
+    new_d = vwhere(med_event, wo_med, wo_surf)
+    new_o = vwhere(med_event, p_med,
+                   si.p + si.n * (jnp.sign(vdot(si.n, wo_surf)) * 1e-4))
+    throughput = swhere(m_act, thr_med,
+                        swhere(s_act, throughput * b_weight, throughput))
+    # null crossings switch the medium; refraction through a real
+    # dielectric boundary does too (eta != 1)
+    crossing = s_act & (is_null |
+                        ((bs.sampled_flags & bsdf_mod.F_DELTA_T) != 0) |
+                        ((bs.sampled_flags & bsdf_mod.F_GLOSSY_T) != 0))
+    med = jnp.where(crossing, _transition(scene, si, wo_surf, med), med)
+
+    prev_pdf = jnp.where(med_event, ph_pdf, bs.pdf)
+    prev_delta = jnp.where(med_event, False, delta_s | is_null)
+    active = active & (med_event | (s_act & (bs.pdf > 0)))
+    active = active & throughput.any_positive()
+
+    # Russian roulette (statically elided when it can never trigger; see
+    # integrators._path_bounce for the stream-layout rationale)
+    if config.rr_depth < config.max_depth:
+        do_rr = (depth + 2 >= config.rr_depth) & (depth + 2 < config.max_depth)
+        q = jnp.where(do_rr, jnp.minimum(throughput.hmax(), 0.95), 1.0)
+        u_rr, sampler = sampler.next_1d()
+        rr_alive = u_rr < q
+        throughput = throughput / jnp.maximum(q, 1e-8)
+        active = active & rr_alive
+
+    ray = Ray.make(new_o, new_d,
+                   maxt=jnp.where(active, jnp.inf, 0.0),
+                   wavelengths=ray.wavelengths)
+    return (ray, sampler, throughput, result, med, active,
+            prev_pdf, prev_delta)
+
+
 def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
                     ) -> Tuple[Spec, Sampler]:
-    """volpath.cpp's transport loop over the wavefront."""
-    from ..scene import scene as scene_mod
-
+    """volpath.cpp's transport loop over the wavefront: max_depth-1 full
+    iterations (lax.scan — one compiled body) + a trailing flight-only
+    iteration that collects the final emitter hit."""
     N = jnp.shape(ray.o.z)[0]
     C = config.n_channels
-    throughput = Spec.ones((N,), C)
-    result = Spec.zeros((N,), C)
-    med = jnp.full((N,), -1, jnp.int32)  # camera starts in vacuum
-    active = jnp.ones(N, bool)
-    # solid-angle pdf of the last directional sample (for hit-emitter MIS)
-    prev_pdf = jnp.zeros(N, jnp.float32)
-    prev_delta = jnp.ones(N, bool)  # depth-1 emitter hits are unweighted
+    carry = (ray, sampler,
+             Spec.ones((N,), C), Spec.zeros((N,), C),
+             jnp.full((N,), -1, jnp.int32),  # camera starts in vacuum
+             jnp.ones(N, bool),
+             jnp.zeros(N, jnp.float32),      # last directional pdf (MIS)
+             jnp.ones(N, bool))              # depth-1 emitter hits unweighted
 
-    for depth in range(config.max_depth):
-        si = scene_mod.ray_intersect(scene, ray)
-        t_surf = jnp.where(si.valid, si.t, jnp.float32(1e20))
+    n_full = config.max_depth - 1
+    if n_full >= 2:
+        def body(c, depth):
+            return _vol_bounce(scene, config, depth, c), None
 
-        # --- free flight --------------------------------------------------
-        u_ff, sampler = sampler.next_1d()
-        t_col, med_event, w_ff, sampler = _sample_free_flight(
-            scene, med, ray, t_surf, u_ff, sampler, config)
-        throughput = throughput * swhere(active, w_ff, Spec.ones((), C))
-        p_med = ray.o + ray.d * t_col
+        if config.remat:
+            body = jax.checkpoint(body)
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(n_full))
+    elif n_full == 1:
+        def step(c):
+            return _vol_bounce(scene, config, 0, c)
 
-        # --- emitter hit (surface lanes that reached the surface) ---------
-        surf_event = active & ~med_event
-        em_pdf_hit = emitters.pdf_direction_hit(scene, ray.o, si, config)
-        em_pdf_env = emitters.pdf_direction_env(scene, config, ray.d)
-        em_pdf = jnp.where(si.valid, em_pdf_hit, em_pdf_env)
-        w_mis = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, em_pdf))
-        L_hit = emitters.eval_hit(scene, si, config)
-        L_env = emitters.eval_env(scene, ray.d, ray.wavelengths, config)
-        L = swhere(si.valid, L_hit, L_env)
-        if not config.hide_emitters or depth > 0:
-            result = result + (throughput * L * w_mis).masked(surf_event)
-        active = active & (med_event | si.valid)
+        if config.remat:
+            step = jax.checkpoint(step)
+        carry = step(carry)
 
-        if depth == config.max_depth - 1:
-            break
-
-        sig, alb, g_hg, _ = _medium_coeffs(scene, med, config)
-
-        # =========== medium interaction branch ===========================
-        m_act = active & med_event
-        wi_med = -ray.d
-        # NEE from the medium point
-        u_nee, sampler = sampler.next_1d()
-        u2_nee, sampler = sampler.next_2d()
-        ds, e_val = emitters.sample_direction(scene, p_med, ray.wavelengths,
-                                              u_nee, u2_nee, config)
-        tr_sh, sampler = eval_transmittance(
-            scene, p_med + ds.d * 1e-4, ds.d, ds.dist * (1 - 1e-3), med,
-            sampler, config)
-        ph_val = media_mod.phase_eval(g_hg, wi_med, ds.d)
-        w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, ph_val))
-        contrib = throughput * alb * e_val * tr_sh * \
-            (ph_val * w_nee / jnp.maximum(ds.pdf, 1e-20))
-        result = result + contrib.masked(m_act & (ds.pdf > 0))
-        # phase sampling for the continuation ray
-        u2_ph, sampler = sampler.next_2d()
-        wo_med, ph_pdf = media_mod.phase_hg_sample(g_hg, wi_med, u2_ph)
-        thr_med = throughput * alb  # value/pdf = 1 for HG sampling
-
-        # =========== surface interaction branch ==========================
-        s_act = active & ~med_event & si.valid
-        flags = bsdf_mod.lane_flags(scene, si)
-        is_null = (flags & bsdf_mod.F_NULL) != 0
-        is_smooth = (flags & bsdf_mod.F_SMOOTH) != 0
-
-        u_s, sampler = sampler.next_1d()
-        u2_s, sampler = sampler.next_2d()
-        ds_s, e_val_s = emitters.sample_direction(scene, si.p,
-                                                  si.wavelengths, u_s, u2_s,
-                                                  config)
-        tr_s, sampler = eval_transmittance(
-            scene, si.p + si.n * (jnp.sign(vdot(si.n, ds_s.d)) * 1e-4),
-            ds_s.d, ds_s.dist * (1 - 1e-3), med, sampler, config)
-        wo_local = si.to_local(ds_s.d)
-        f_val = bsdf_mod.eval_(scene, si, wo_local, config)
-        f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
-        w_nee_s = jnp.where(ds_s.delta, 1.0, mis_weight(ds_s.pdf, f_pdf))
-        contrib_s = throughput * e_val_s * f_val * tr_s * \
-            (w_nee_s / jnp.maximum(ds_s.pdf, 1e-20))
-        result = result + contrib_s.masked(s_act & is_smooth & (ds_s.pdf > 0))
-
-        u1_b, sampler = sampler.next_1d()
-        u2_b, sampler = sampler.next_2d()
-        bs, b_weight = bsdf_mod.sample(scene, si, u1_b, u2_b, config)
-        wo_surf = si.to_world(bs.wo)
-        delta_s = (bs.sampled_flags & bsdf_mod.F_DELTA) != 0
-
-        # --- merge branches into the continuation wavefront ----------------
-        new_d = vwhere(med_event, wo_med, wo_surf)
-        new_o = vwhere(med_event, p_med,
-                       si.p + si.n * (jnp.sign(vdot(si.n, wo_surf)) * 1e-4))
-        throughput = swhere(m_act, thr_med,
-                            swhere(s_act, throughput * b_weight, throughput))
-        # null crossings switch the medium; refraction through a real
-        # dielectric boundary does too (eta != 1)
-        crossing = s_act & (is_null |
-                            ((bs.sampled_flags & bsdf_mod.F_DELTA_T) != 0) |
-                            ((bs.sampled_flags & bsdf_mod.F_GLOSSY_T) != 0))
-        med = jnp.where(crossing, _transition(scene, si, wo_surf, med), med)
-
-        prev_pdf = jnp.where(med_event, ph_pdf, bs.pdf)
-        prev_delta = jnp.where(med_event, False, delta_s | is_null)
-        active = active & (med_event | (s_act & (bs.pdf > 0)))
-        active = active & throughput.any_positive()
-
-        # Russian roulette
-        if depth + 2 >= config.rr_depth and depth + 2 < config.max_depth:
-            q = jnp.minimum(throughput.hmax(), 0.95)
-            u_rr, sampler = sampler.next_1d()
-            rr_alive = u_rr < q
-            throughput = throughput / jnp.maximum(q, 1e-8)
-            active = active & rr_alive
-
-        ray = Ray.make(new_o, new_d,
-                       maxt=jnp.where(active, jnp.inf, 0.0),
-                       wavelengths=ray.wavelengths)
-
+    # trailing iteration: intersect + free flight + emitter hit only
+    (_si, _t, _me, _pm, sampler, _thr, result, _act) = \
+        _vol_flight(scene, config, config.max_depth - 1, carry)
     return result, sampler

@@ -20,4 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (every test
+# retraces render passes); caching XLA executables across runs/processes
+# cuts repeat wall time dramatically.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-mitsuba2")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
