@@ -18,7 +18,7 @@ def main():
     import jax.numpy as jnp
 
     import mitsuba2_tpu as mi
-    from mitsuba2_tpu.render.integrators import _render_pass_jit
+    from mitsuba2_tpu.render.integrators import _render_all_passes_jit
     from mitsuba2_tpu.scene.presets import cornell_box
 
     scene = cornell_box()
@@ -29,19 +29,20 @@ def main():
     rays_per_pass = n_lanes * (1 + 2 * (config.max_depth - 1))
     n_passes = config.spp // config.spp_per_pass
 
-    # warmup / compile
-    img, w = _render_pass_jit(scene, config, jnp.uint32(0))
+    # warmup / compile (the whole spp-64 render is ONE dispatch: pass loop
+    # is a lax.scan inside the program, so tunnel round-trips don't count
+    # against device throughput)
+    img, w = _render_all_passes_jit(scene, config, 0, n_passes)
     jax.block_until_ready((img, w))
 
+    reps = 3
     t0 = time.perf_counter()
-    acc = None
-    for p in range(n_passes):
-        img, w = _render_pass_jit(scene, config, jnp.uint32(p + 1))
-        acc = img if acc is None else acc + img
-    jax.block_until_ready(acc)
+    for r in range(reps):
+        img, w = _render_all_passes_jit(scene, config, r + 1, n_passes)
+    jax.block_until_ready((img, w))
     t1 = time.perf_counter()
 
-    total_rays = rays_per_pass * n_passes
+    total_rays = rays_per_pass * n_passes * reps
     mrays = total_rays / (t1 - t0) / 1e6
     print(json.dumps({
         "metric": "cornell_box_fwd_mrays_per_s",

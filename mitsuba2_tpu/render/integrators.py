@@ -308,21 +308,43 @@ def _render_pass_jit(scene, config, seed):
     return render_pass(scene, config, seed)
 
 
+@partial(jax.jit, static_argnames=("config", "n_passes"))
+def _render_all_passes_jit(scene, config, seed, n_passes):
+    """All spp passes in ONE dispatch: lax.scan over pass seeds.
+
+    The reference launches one wavefront per pass from the host; on a
+    remote/tunneled TPU runtime each dispatch pays round-trip latency that
+    can dwarf the 17 ms of device work per pass, so the whole render is a
+    single compiled program. Memory matches the host loop: one wavefront
+    live at a time."""
+    seed = jnp.uint32(seed)
+    seeds = (seed * jnp.uint32(0x9E3779B1) +
+             jnp.arange(n_passes, dtype=jnp.uint32))
+
+    def body(acc, s):
+        img_p, w_p = render_pass(scene, config, s)
+        return (acc[0] + img_p, acc[1] + w_p), None
+
+    H, W = config.height, config.width
+    img0 = jnp.zeros((H, W, config.n_image_channels), jnp.float32)
+    w0 = jnp.zeros((H, W) if config.rfilter != "box" else (), jnp.float32)
+    (image, wsum), _ = jax.lax.scan(body, (img0, w0), seeds)
+    return image, wsum
+
+
 def render(scene, config: RenderConfig, seed: int = None) -> jnp.ndarray:
-    """SamplingIntegrator::render — chunk spp into jitted passes."""
+    """SamplingIntegrator::render — chunk spp into passes (one dispatch)."""
     if seed is None:
         seed = config.seed
     sppc = min(config.spp_per_pass, config.spp)
     config = config.replace(spp_per_pass=sppc)
     n_passes = (config.spp + sppc - 1) // sppc
-    image = None
-    wsum = None
-    for p in range(n_passes):
-        # pass-decorrelated seeding: lane streams reseeded per pass
-        img_p, w_p = _render_pass_jit(
-            scene, config, jnp.uint32((seed * 0x9E3779B1 + p) & 0xFFFFFFFF))
-        image = img_p if image is None else image + img_p
-        wsum = w_p if wsum is None else wsum + w_p
+    if n_passes == 1:
+        image, wsum = _render_pass_jit(
+            scene, config, jnp.uint32((seed * 0x9E3779B1) & 0xFFFFFFFF))
+    else:
+        image, wsum = _render_all_passes_jit(scene, config,
+                                             (seed & 0xFFFFFFFF), n_passes)
     return film_mod.develop(image, wsum)
 
 
