@@ -272,3 +272,99 @@ def _searchsorted_rows(cdf_rows, targets):
 
     cdf_rows: (..., w) ascending; targets: (...,). Returns int32 (...,)."""
     return jnp.sum((cdf_rows < targets[..., None]).astype(jnp.int32), axis=-1)
+
+
+@struct.dataclass
+class Hierarchical2D:
+    """Hierarchical sample warping over a 2D density
+    (include/mitsuba/core/distr_2d.h :: Hierarchical2D0).
+
+    A mip pyramid of the density is descended one level per step: at each
+    level the sample picks one of the four children of the current texel
+    proportionally to their integrals (sample reuse keeps the warp
+    continuous), ending with a uniform jitter inside the chosen finest
+    texel. Equivalent in distribution to Marginal2D but with a smoother,
+    locality-preserving u -> position mapping — the property the reference
+    exploits for measured-BRDF warps. All device work is (N,) flat gathers
+    (kernels/gather.py layout rules)."""
+    levels: tuple          # tuple of flattened (2^k * 2^k,) density sums,
+    #                        coarse [1x1] ... fine [RxR]
+    data: jnp.ndarray      # (h, w) original density (pdf eval)
+    total: jnp.ndarray     # () sum of data
+    res: int = struct.field(pytree_node=False, default=1)   # padded pow2
+    h: int = struct.field(pytree_node=False, default=1)
+    w: int = struct.field(pytree_node=False, default=1)
+
+    @staticmethod
+    def build(data) -> "Hierarchical2D":
+        d = np.asarray(data, np.float64)
+        assert d.ndim == 2
+        h, w = d.shape
+        res = 1
+        while res < max(h, w):
+            res *= 2
+        padded = np.zeros((res, res), np.float64)
+        padded[:h, :w] = d
+        levels = [padded]
+        while levels[-1].shape[0] > 1:
+            p = levels[-1]
+            levels.append(p[0::2, 0::2] + p[0::2, 1::2] +
+                          p[1::2, 0::2] + p[1::2, 1::2])
+        levels = tuple(jnp.asarray(l.reshape(-1), jnp.float32)
+                       for l in reversed(levels))  # coarse -> fine
+        return Hierarchical2D(levels=levels,
+                              data=jnp.asarray(d, jnp.float32),
+                              total=jnp.float32(d.sum()),
+                              res=res, h=h, w=w)
+
+    def sample(self, u):
+        """u (planar Vec2 / tuple / (..., 2)) -> (Vec2 in [0,1]^2, pdf
+        w.r.t. the unit square over the ORIGINAL (h, w) domain)."""
+        from .vec import Vec2, as_vec2
+        u = as_vec2(u)
+        ux, uy = u.x, u.y
+        row = jnp.zeros(jnp.shape(ux), jnp.int32)
+        col = jnp.zeros(jnp.shape(ux), jnp.int32)
+        # descend: levels[k] has size 2^k; children of (row, col) live in
+        # levels[k+1] at (2row + dy, 2col + dx)
+        for k in range(len(self.levels) - 1):
+            child = self.levels[k + 1]
+            size = 1 << (k + 1)
+            base_r, base_c = row * 2, col * 2
+            v00 = child[base_r * size + base_c]
+            v01 = child[base_r * size + base_c + 1]
+            v10 = child[(base_r + 1) * size + base_c]
+            v11 = child[(base_r + 1) * size + base_c + 1]
+            top = v00 + v01
+            bottom = v10 + v11
+            tot = jnp.maximum(top + bottom, 1e-30)
+            # split vertically, reuse the sample (distr_2d.h discipline)
+            p_top = top / tot
+            go_bottom = uy >= p_top
+            uy = jnp.where(go_bottom,
+                           (uy - p_top) / jnp.maximum(1.0 - p_top, 1e-20),
+                           uy / jnp.maximum(p_top, 1e-20))
+            left = jnp.where(go_bottom, v10, v00)
+            lr_tot = jnp.maximum(jnp.where(go_bottom, bottom, top), 1e-30)
+            p_left = left / lr_tot
+            go_right = ux >= p_left
+            ux = jnp.where(go_right,
+                           (ux - p_left) / jnp.maximum(1.0 - p_left, 1e-20),
+                           ux / jnp.maximum(p_left, 1e-20))
+            row = base_r + go_bottom.astype(jnp.int32)
+            col = base_c + go_right.astype(jnp.int32)
+        ux = jnp.clip(ux, 0.0, m.ONE_MINUS_EPSILON)
+        uy = jnp.clip(uy, 0.0, m.ONE_MINUS_EPSILON)
+        # positions mapped over the PADDED res, rescaled to the (h, w) box
+        x = (col + ux) * (self.res / self.w) / self.res
+        y = (row + uy) * (self.res / self.h) / self.res
+        pos = Vec2(x, y)
+        return pos, self.eval_pdf(pos)
+
+    def eval_pdf(self, pos):
+        from .vec import as_vec2
+        pos = as_vec2(pos)
+        col = jnp.clip((pos.x * self.w).astype(jnp.int32), 0, self.w - 1)
+        row = jnp.clip((pos.y * self.h).astype(jnp.int32), 0, self.h - 1)
+        val = self.data.reshape(-1)[row * self.w + col]
+        return val * (self.h * self.w) / jnp.maximum(self.total, 1e-20)

@@ -228,6 +228,149 @@ def read_pfm(path: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Dispatch (Bitmap::read/write by extension)
 # ---------------------------------------------------------------------------
+# Radiance RGBE (.hdr) — shared-exponent HDR (Bitmap::FileFormat::RGBE)
+# ---------------------------------------------------------------------------
+
+def write_rgbe(path: str, img: np.ndarray) -> None:
+    """Flat (uncompressed) RGBE scanlines, -Y +X orientation."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    H, W = img.shape[:2]
+    rgb = np.maximum(img[..., :3], 0.0)
+    mx = rgb.max(-1)
+    e = np.zeros((H, W), np.int32)
+    nz = mx >= 1e-32
+    e[nz] = np.frexp(mx[nz])[1]          # mx = f * 2^e, f in [0.5, 1)
+    scale = np.where(nz, np.ldexp(256.0, -e), 0.0)[..., None]
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    rgbe[..., :3] = np.clip(rgb * scale + 0.5, 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {H} +X {W}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def read_rgbe(path: str) -> np.ndarray:
+    """RGBE reader: flat and RLE scanlines (radiance .hdr files)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # header ends at the first blank line; resolution line follows
+    pos = data.index(b"\n\n") + 2
+    eol = data.index(b"\n", pos)
+    m = data[pos:eol].decode().split()
+    assert m[0] == "-Y" and m[2] == "+X", f"unsupported orientation {m}"
+    H, W = int(m[1]), int(m[3])
+    pos = eol + 1
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    for y in range(H):
+        # new-style RLE scanline starts 0x02 0x02 and W < 32768
+        if (pos + 4 <= len(data) and data[pos] == 2 and data[pos + 1] == 2
+                and (data[pos + 2] << 8 | data[pos + 3]) == W):
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < W:
+                    n = data[pos]; pos += 1
+                    if n > 128:   # run
+                        rgbe[y, x:x + n - 128, c] = data[pos]; pos += 1
+                        x += n - 128
+                    else:         # literal
+                        rgbe[y, x:x + n, c] = np.frombuffer(
+                            data, np.uint8, n, pos)
+                        pos += n
+                        x += n
+        else:                      # flat scanline
+            row = np.frombuffer(data, np.uint8, W * 4, pos).reshape(W, 4)
+            rgbe[y] = row
+            pos += W * 4
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)  # /256 * 2^(e-128)
+    return (rgbe[..., :3].astype(np.float32) *
+            scale[..., None]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# TGA / BMP (uncompressed 24-bit, the subset mitsuba's Bitmap emits)
+# ---------------------------------------------------------------------------
+
+def write_tga(path: str, img: np.ndarray) -> None:
+    ldr = np.clip(linear_to_srgb(np.clip(img, 0, 1)) * 255 + 0.5,
+                  0, 255).astype(np.uint8)
+    if ldr.ndim == 2:
+        ldr = ldr[..., None]
+    if ldr.shape[-1] == 1:
+        ldr = np.repeat(ldr, 3, axis=-1)
+    H, W = ldr.shape[:2]
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, W, H, 24, 0x20)
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(ldr[..., ::-1].tobytes())  # BGR, top-down (bit 5 set)
+
+
+def read_tga(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    idlen, _, itype = data[0], data[1], data[2]
+    W, H = struct.unpack_from("<HH", data, 12)
+    bpp, desc = data[16], data[17]
+    assert itype == 2 and bpp in (24, 32), "only uncompressed truecolor TGA"
+    off = 18 + idlen
+    nc = bpp // 8
+    img = np.frombuffer(data, np.uint8, H * W * nc, off).reshape(H, W, nc)
+    img = img[..., :3][..., ::-1]  # BGR(A) -> RGB
+    if not (desc & 0x20):          # bottom-up origin
+        img = img[::-1]
+    return img.astype(np.float32) / 255.0
+
+
+def write_bmp(path: str, img: np.ndarray) -> None:
+    ldr = np.clip(linear_to_srgb(np.clip(img, 0, 1)) * 255 + 0.5,
+                  0, 255).astype(np.uint8)
+    if ldr.ndim == 2:
+        ldr = ldr[..., None]
+    if ldr.shape[-1] == 1:
+        ldr = np.repeat(ldr, 3, axis=-1)
+    H, W = ldr.shape[:2]
+    row = W * 3
+    pad = (4 - row % 4) % 4
+    size = 54 + (row + pad) * H
+    with open(path, "wb") as f:
+        f.write(b"BM" + struct.pack("<IHHI", size, 0, 0, 54))
+        f.write(struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0,
+                            (row + pad) * H, 2835, 2835, 0, 0))
+        bgr = ldr[..., ::-1]
+        zeros = b"\0" * pad
+        for y in range(H - 1, -1, -1):  # bottom-up
+            f.write(bgr[y].tobytes() + zeros)
+
+
+def read_bmp(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:2] == b"BM"
+    off, = struct.unpack_from("<I", data, 10)
+    hsz, W, H = struct.unpack_from("<Iii", data, 14)
+    bpp, = struct.unpack_from("<H", data, 28)
+    comp, = struct.unpack_from("<I", data, 30)
+    assert bpp == 24 and comp == 0, "only uncompressed 24-bit BMP"
+    flip = H > 0
+    H = abs(H)
+    row = W * 3
+    stride = (row + 3) & ~3
+    img = np.zeros((H, W, 3), np.uint8)
+    for y in range(H):
+        img[y] = np.frombuffer(data, np.uint8, row,
+                               off + y * stride).reshape(W, 3)
+    if flip:
+        img = img[::-1]
+    return img[..., ::-1].astype(np.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
 
 _HDR_EXT = {".exr", ".pfm", ".hdr", ".rgbe"}
 
@@ -241,6 +384,12 @@ def read(path: str) -> np.ndarray:
         return read_exr(path)
     if ext == ".pfm":
         return read_pfm(path)
+    if ext in (".hdr", ".rgbe"):
+        return read_rgbe(path)
+    if ext == ".tga":
+        return read_tga(path)
+    if ext == ".bmp":
+        return read_bmp(path)
     import imageio.v3 as iio
     img = np.asarray(iio.imread(path))
     if img.dtype == np.uint8:
@@ -251,14 +400,20 @@ def read(path: str) -> np.ndarray:
 
 
 def write(path: str, img: np.ndarray) -> None:
-    """Write (H, W, C) float32. HDR formats store linearly; PNG/JPG apply
-    the sRGB transfer + 8-bit quantization (Bitmap::convert)."""
+    """Write (H, W, C) float32. HDR formats store linearly; PNG/JPG/TGA/BMP
+    apply the sRGB transfer + 8-bit quantization (Bitmap::convert)."""
     ext = os.path.splitext(path)[1].lower()
     img = np.asarray(img, np.float32)
     if ext == ".exr":
         return write_exr(path, img)
     if ext == ".pfm":
         return write_pfm(path, img)
+    if ext in (".hdr", ".rgbe"):
+        return write_rgbe(path, img)
+    if ext == ".tga":
+        return write_tga(path, img)
+    if ext == ".bmp":
+        return write_bmp(path, img)
     import imageio.v3 as iio
     ldr = np.clip(linear_to_srgb(np.clip(img, 0, 1)) * 255 + 0.5, 0, 255)
     iio.imwrite(path, ldr.astype(np.uint8))

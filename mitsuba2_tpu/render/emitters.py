@@ -42,6 +42,7 @@ CONSTANT = 2
 ENVMAP = 3
 SPOT = 4
 DIRECTIONAL = 5
+PROJECTOR = 6
 
 _PRIM_SPHERE = 1  # mirror of scene.PRIM_SPHERE (avoid circular import)
 
@@ -125,12 +126,26 @@ def pack_emitter(desc: dict):
         d = np.asarray(desc.get("direction", [0, 0, 1]), np.float32)
         row[11:14] = d / max(np.linalg.norm(d), 1e-20)
         return DIRECTIONAL, row, None
+    if t == "projector":
+        # perspective texture projector (emitters/projector.cpp): delta
+        # position, image projected through a pinhole frustum. The texture
+        # rides the ordinary textured-spectrum-slot machinery.
+        row[0:SLOT_W] = pack_color(desc.get("irradiance", [1, 1, 1]),
+                                   illuminant=True)
+        row[8:11] = np.asarray(desc.get("position", [0, 0, 0]), np.float32)
+        d = np.asarray(desc.get("direction", [0, 0, 1]), np.float32)
+        row[11:14] = d / max(np.linalg.norm(d), 1e-20)
+        tan_x = np.tan(np.deg2rad(float(desc.get("fov", 45.0))) * 0.5)
+        row[14] = tan_x
+        row[15] = float(desc.get("aspect", 1.0))  # tan_y = aspect * tan_x
+        return PROJECTOR, row, None
     raise ValueError(f"unknown emitter type {t!r}")
 
 
 # Differentiable-parameter name of each emitter family (diff/params.py)
 PARAM_NAME = {AREA: "radiance", POINT: "intensity", CONSTANT: "radiance",
-              SPOT: "intensity", DIRECTIONAL: "irradiance"}
+              SPOT: "intensity", DIRECTIONAL: "irradiance",
+              PROJECTOR: "irradiance"}
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +292,50 @@ def sample_direction(scene, ref_p, wavelengths, u1, u2, config
     if DIRECTIONAL in scene.emitter_kinds:
         ds, val = _sample_directional(scene, ref_p, wavelengths, e_idx, etype,
                                       row, pick_pdf, ds, val, config)
+    if PROJECTOR in scene.emitter_kinds:
+        ds, val = _sample_projector(scene, ref_p, wavelengths, e_idx, etype,
+                                    row, pick_pdf, ds, val, config)
+    return ds, val
+
+
+def _sample_projector(scene, ref_p, wavelengths, e_idx, etype, row, pick_pdf,
+                      ds, val, config):
+    """Texture projector (emitters/projector.cpp): delta position; the
+    (possibly textured) irradiance slot is sampled at the frustum uv of the
+    shading point, scaled 1/dist^2, zero outside the frustum."""
+    from ..core.geometry import coordinate_system
+    is_proj = etype == PROJECTOR
+    p_l = Vec3(row.col(8), row.col(9), row.col(10))
+    fwd = Vec3(row.col(11), row.col(12), row.col(13))
+    tan_x = row.col(14)
+    tan_y = row.col(15) * tan_x
+    s_ax, t_ax = coordinate_system(fwd)
+    v = ref_p - p_l
+    z = vdot(v, fwd)
+    x = vdot(v, s_ax)
+    y = vdot(v, t_ax)
+    dist2 = vdot(v, v)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+    d_unit = v * (-1.0 / dist)  # from ref toward the projector
+    zc = jnp.maximum(z, 1e-20)
+    u_f = 0.5 * (x / (zc * jnp.maximum(tan_x, 1e-8)) + 1.0)
+    v_f = 0.5 * (y / (zc * jnp.maximum(tan_y, 1e-8)) + 1.0)
+    inside = (z > 0) & (u_f >= 0) & (u_f <= 1) & (v_f >= 0) & (v_f <= 1)
+    uv_f = Vec2(u_f, v_f)
+    irr = eval_spectrum_slot(row, wavelengths, config.color_mode,
+                             tex=scene.textures, uv=uv_f)
+    v_val = irr / jnp.maximum(dist2, 1e-20)
+    ok = is_proj & inside
+    ds = DirectionSample(
+        p=vwhere(is_proj, p_l, ds.p),
+        n=vwhere(is_proj, fwd, ds.n),
+        uv=v2where(is_proj, uv_f, ds.uv),
+        d=vwhere(is_proj, d_unit, ds.d),
+        dist=jnp.where(is_proj, dist, ds.dist),
+        pdf=jnp.where(ok, pick_pdf, jnp.where(is_proj, 0.0, ds.pdf)),
+        delta=jnp.where(is_proj, True, ds.delta),
+        emitter=jnp.where(is_proj, e_idx, ds.emitter))
+    val = swhere(ok, v_val, swhere(is_proj, Spec.zeros((), val.n), val))
     return ds, val
 
 

@@ -262,11 +262,12 @@ def render_aovs(scene, config: RenderConfig,
 
 def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One jitted pass: (spp_per_pass x H x W) lanes -> (H, W, C) + weights."""
+    from .sampler import make_sampler
     H, W = config.height, config.width
     sppc = config.spp_per_pass
     n = sppc * H * W
     lane = jnp.arange(n, dtype=jnp.uint32)
-    sampler = Sampler.seed(seed, lane_idx=lane)
+    sampler = make_sampler(config.sampler, seed, lane, H * W, sppc)
 
     pix = jnp.arange(n, dtype=jnp.int32) % (H * W)
     x = (pix % W).astype(jnp.float32)
@@ -281,7 +282,7 @@ def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.nda
         wl = None
         wl_pdf = None
 
-    if scene.cam_type == "thinlens":
+    if scene.cam_type in sensors.NEEDS_APERTURE_SAMPLE:
         u_lens, sampler = sampler.next_2d()
     else:
         u_lens = None
@@ -291,6 +292,8 @@ def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.nda
         spec, sampler = sample_path_vol(scene, ray, sampler, config)
     else:
         spec, sampler = sample_path(scene, ray, sampler, config)
+    if scene.cam_weight is not None:
+        spec = spec * scene.cam_weight  # sensor importance (irradiancemeter)
 
     if config.color_mode == "spectral":
         rgb = sp.spectrum_to_srgb_t(spec, wl, wl_pdf)

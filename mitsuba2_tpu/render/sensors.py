@@ -82,6 +82,63 @@ def orthographic_ray(scene, uv, wavelengths=None) -> Ray:
     return Ray.make(o_world, d_world, wavelengths=wavelengths)
 
 
+def radiancemeter_ray(scene, uv, wavelengths=None) -> Ray:
+    """Radiance meter (sensors/radiancemeter.cpp): every lane measures the
+    radiance along ONE ray — origin and +z direction from to_world."""
+    uv = as_vec2(uv)
+    mat = scene.cam_to_world
+    shape = jnp.shape(uv.x)
+    o = Vec3(jnp.broadcast_to(mat[0, 3], shape),
+             jnp.broadcast_to(mat[1, 3], shape),
+             jnp.broadcast_to(mat[2, 3], shape))
+    fwd = mat[:3, 2] / jnp.linalg.norm(mat[:3, 2])
+    d = Vec3(jnp.broadcast_to(fwd[0], shape),
+             jnp.broadcast_to(fwd[1], shape),
+             jnp.broadcast_to(fwd[2], shape))
+    return Ray.make(o, d, wavelengths=wavelengths)
+
+
+def irradiancemeter_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
+    """Irradiance meter (sensors/irradiancemeter.cpp): measures E =
+    ∫ L cosθ dω over the to_world unit rectangle. Film uv picks the surface
+    point; directions are cosine-sampled (pdf = cosθ/π), so the sensor
+    importance weight π is applied by the integrator via scene.cam_weight."""
+    from ..core.geometry import Transform4
+    uv = as_vec2(uv)
+    t = Transform4.from_matrix(scene.cam_to_world)
+    p_local = Vec3(2.0 * uv.x - 1.0, 2.0 * uv.y - 1.0, jnp.zeros_like(uv.x))
+    o_world = t.apply_point(p_local)
+    d_local = warp.square_to_cosine_hemisphere(u_lens)
+    d_world = vnormalize(t.apply_vector(d_local))
+    return Ray.make(o_world, d_world, wavelengths=wavelengths)
+
+
+def distant_ray(scene, uv, wavelengths=None) -> Ray:
+    """Distant sensor (sensors/distant.cpp): parallel rays from outside the
+    scene along to_world's +z; film uv spans the scene's bounding disk."""
+    uv = as_vec2(uv)
+    mat = scene.cam_to_world
+    c = scene.cam_data[4:7]     # scene bbox center (packed at build)
+    r = scene.cam_data[7]       # scene bounding radius
+    fwd = mat[:3, 2] / jnp.linalg.norm(mat[:3, 2])
+    right = mat[:3, 0] / jnp.linalg.norm(mat[:3, 0])
+    up = mat[:3, 1] / jnp.linalg.norm(mat[:3, 1])
+    x = (2.0 * uv.x - 1.0) * r
+    y = (2.0 * uv.y - 1.0) * r
+    ox = c[0] - fwd[0] * (2.0 * r) + right[0] * x + up[0] * y
+    oy = c[1] - fwd[1] * (2.0 * r) + right[1] * x + up[1] * y
+    oz = c[2] - fwd[2] * (2.0 * r) + right[2] * x + up[2] * y
+    d = Vec3(jnp.broadcast_to(fwd[0], jnp.shape(x)),
+             jnp.broadcast_to(fwd[1], jnp.shape(x)),
+             jnp.broadcast_to(fwd[2], jnp.shape(x)))
+    return Ray.make(Vec3(ox, oy, oz), d, wavelengths=wavelengths)
+
+
+# Sensors whose per-lane direction needs an extra 2D sample (render_pass
+# draws u_lens for these)
+NEEDS_APERTURE_SAMPLE = ("thinlens", "irradiancemeter")
+
+
 def sample_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
     """Sensor::sample_ray_differential dispatch (static on cam_type)."""
     kind = scene.cam_type
@@ -91,6 +148,12 @@ def sample_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
         return thinlens_ray(scene, uv, u_lens, wavelengths)
     if kind == "orthographic":
         return orthographic_ray(scene, uv, wavelengths)
+    if kind == "radiancemeter":
+        return radiancemeter_ray(scene, uv, wavelengths)
+    if kind == "irradiancemeter":
+        return irradiancemeter_ray(scene, uv, u_lens, wavelengths)
+    if kind == "distant":
+        return distant_ray(scene, uv, wavelengths)
     raise ValueError(f"unknown sensor type {kind!r}")
 
 

@@ -216,6 +216,37 @@ def _parse_shape(node, ctx) -> shapes_mod.MeshData:
                             interior["g"] = float(php.get("g", 0.0))
     sid = node.get("id") or props.get("id", "")
 
+    if stype == "shapegroup":
+        # shapegroup (src/shapes/shapegroup.cpp): a named collection of
+        # child shapes, emitted only through <instance> references
+        group = []
+        for c in node:
+            if c.tag == "shape":
+                sub = _parse_shape(c, ctx)
+                group.extend(sub if isinstance(sub, list) else [sub])
+        ctx.refs[sid or node.get("id", "")] = ("shapegroup", group)
+        return []
+    if stype == "instance":
+        # instance (src/shapes/instance.cpp): TPU-native take — instances
+        # are FLATTENED at build (duplicated, transformed prim records);
+        # the BVH then treats them like any geometry. True shared-BLAS
+        # instancing is a later accel-level optimization.
+        ref_id = None
+        for c in node:
+            if c.tag == "ref":
+                ref_id = c.get("id")
+        entry = ctx.refs.get(ref_id)
+        if not (isinstance(entry, tuple) and entry[0] == "shapegroup"):
+            raise ValueError(f"instance references unknown shapegroup {ref_id!r}")
+        out = []
+        for i, m in enumerate(entry[1]):
+            mi_ = m.copy()
+            if "to_world" in props:
+                mi_ = mi_.transformed(props["to_world"])
+            mi_.id = f"{sid or ref_id}_inst{i}"
+            out.append(mi_)
+        return out
+
     if stype in ("obj", "ply", "serialized"):
         path = ctx.resolve(props["filename"])
         kw = {}
@@ -270,6 +301,9 @@ def _parse_sensor(node, ctx) -> Tuple[dict, dict]:
         elif c.tag == "sampler":
             sp = _collect_props(c, ctx)
             overrides["spp"] = int(sp.get("sample_count", 64))
+            styp = _attr(c, "type", ctx.params, "independent")
+            if styp in ("independent", "stratified", "ldsampler", "halton"):
+                overrides["sampler"] = styp
     return sensor, overrides
 
 
@@ -334,7 +368,8 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
         elif tag == "texture":
             _parse_texture(node, ctx)
         elif tag == "shape":
-            shape_list.append(_parse_shape(node, ctx))
+            sh = _parse_shape(node, ctx)
+            shape_list.extend(sh if isinstance(sh, list) else [sh])
         elif tag == "emitter":
             emitters.append(_parse_emitter(node, ctx))
         elif tag == "sensor":

@@ -75,7 +75,10 @@ class SceneData:
     # --- sensor -------------------------------------------------------------------
     cam_to_world: jnp.ndarray  # (4, 4)
     cam_fov_x: jnp.ndarray     # () degrees
-    cam_data: jnp.ndarray = None  # (4,) [aperture, focus_dist, ortho_sx, ortho_sy]
+    # (8,): [aperture, focus_dist, ortho_sx, ortho_sy,
+    #        scene_bbox_cx, cy, cz, scene_bounding_radius]
+    cam_data: jnp.ndarray = None
+    cam_weight: jnp.ndarray = None  # () sensor importance (pi for irradiancemeter)
     # --- media ---------------------------------------------------------------------
     med_type: jnp.ndarray = None      # (Md,) i32
     med_data: jnp.ndarray = None      # (Md, MED_W)
@@ -264,6 +267,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     cam_to_world = np.asarray(sensor["to_world"], np.float32).reshape(4, 4)
     fov_x = float(sensor.get("fov", 45.0))
     cam_type = sensor.get("type", "perspective")
+    cam_data = np.zeros(8, np.float32)
     if cam_type == "orthographic":
         # extent from the to_world scale columns (sensors/orthographic.cpp)
         sx = float(np.linalg.norm(cam_to_world[:3, 0]))
@@ -271,11 +275,18 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         cam_to_world = cam_to_world.copy()
         cam_to_world[:3, 0] /= max(sx, 1e-20)
         cam_to_world[:3, 1] /= max(sy, 1e-20)
-        cam_data = np.array([0, 0, sx, sy], np.float32)
+        cam_data[2:4] = [sx, sy]
     else:
-        cam_data = np.array([float(sensor.get("aperture_radius", 0.0)),
-                             float(sensor.get("focus_distance", 1.0)),
-                             0, 0], np.float32)
+        cam_data[0] = float(sensor.get("aperture_radius", 0.0))
+        cam_data[1] = float(sensor.get("focus_distance", 1.0))
+    # scene bounds (distant sensor's ray-gen plane; generally useful)
+    scene_min = bb_min.min(0)
+    scene_max = bb_max.max(0)
+    cam_data[4:7] = 0.5 * (scene_min + scene_max)
+    cam_data[7] = max(float(np.linalg.norm(scene_max - scene_min)) * 0.5, 1e-3)
+    # sensor importance: cosine-sampled irradiancemeter integrates E with
+    # pdf = cos/pi -> estimator weight pi (sensors/irradiancemeter.cpp)
+    cam_weight = np.pi if cam_type == "irradiancemeter" else 1.0
 
     # --- media ------------------------------------------------------------------
     from ..render import media as media_mod
@@ -363,7 +374,8 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         emitter_shape=dev(emitter_shapes), emitter_prims=dev(emitter_prims),
         emitter_prim_cdf=dev(emitter_cdf), emitter_area=dev(emitter_area),
         cam_to_world=dev(cam_to_world), cam_fov_x=jnp.float32(fov_x),
-        cam_data=dev(cam_data), cam_type=cam_type,
+        cam_data=dev(cam_data), cam_weight=jnp.float32(cam_weight),
+        cam_type=cam_type,
         med_type=dev(np.asarray(med_types_l, np.int32)),
         med_data=dev(np.stack(med_rows)),
         shape_interior=dev(shape_interior),

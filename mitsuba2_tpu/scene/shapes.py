@@ -30,6 +30,9 @@ class MeshData:
     interior: Optional[object] = None      # interior medium descriptor (dict)
     id: str = ""
 
+    def copy(self) -> "MeshData":
+        return dataclasses.replace(self)
+
     def transformed(self, to_world) -> "MeshData":
         """Apply a host Transform4-like 4x4 matrix."""
         mat = np.asarray(to_world, np.float32).reshape(4, 4)
@@ -129,6 +132,19 @@ def cylinder(radius=1.0, length=1.0, segments: int = 64, bsdf=None,
     return MeshData(vertices=v, faces=np.asarray(faces, np.int32),
                     normals=n.astype(np.float32), uvs=uv.astype(np.float32),
                     bsdf=bsdf, emitter=emitter, id=id)
+
+
+def instance(group, to_world=None, id: str = ""):
+    """Instance a list of MeshData (shapegroup) under a transform —
+    src/shapes/{shapegroup,instance}.cpp. TPU-native take: instances are
+    flattened at scene build into transformed prim records (the BVH then
+    treats them like any geometry)."""
+    out = []
+    for i, m in enumerate(group):
+        mi_ = m.transformed(to_world) if to_world is not None else m.copy()
+        mi_.id = f"{id}_inst{i}" if id else f"{m.id}_inst{i}"
+        out.append(mi_)
+    return out
 
 
 def mesh(vertices, faces, normals=None, uvs=None, bsdf=None, emitter=None,

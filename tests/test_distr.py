@@ -65,3 +65,34 @@ def test_marginal2d_sample_pdf_consistent():
     h = h / h.sum()
     expected = data / data.sum()
     assert np.abs(h - expected).max() < 5e-3
+
+
+def test_hierarchical2d_matches_density():
+    """Hierarchical2D: sample histogram ∝ density; returned pdf == eval_pdf."""
+    rng = np.random.default_rng(9)
+    data = rng.random((12, 20)) + 0.05
+    H2 = distr.Hierarchical2D.build(data)
+    u = jnp.asarray(rng.random((200_000, 2), dtype=np.float64).astype(np.float32))
+    pos, pdf = H2.sample(u)
+    pdf2 = H2.eval_pdf(pos)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2), rtol=1e-4)
+    p = np.asarray(pos.to_array())
+    assert (p >= 0).all() and (p < 1).all()
+    h, _, _ = np.histogram2d(p[:, 1], p[:, 0], bins=(12, 20),
+                             range=[[0, 1], [0, 1]])
+    h = h / h.sum()
+    expected = data / data.sum()
+    assert np.abs(h - expected).max() < 5e-3
+
+
+def test_hierarchical2d_agrees_with_marginal2d():
+    """Both warps target the same density -> same pdf everywhere."""
+    rng = np.random.default_rng(10)
+    data = rng.random((8, 8)) + 0.1
+    H2 = distr.Hierarchical2D.build(data)
+    M2 = distr.Marginal2D.build(data)
+    u = jnp.asarray(rng.random((10_000, 2)).astype(np.float32))
+    pos_h, pdf_h = H2.sample(u)
+    pdf_m_at_h = M2.eval_pdf(pos_h)
+    np.testing.assert_allclose(np.asarray(pdf_h), np.asarray(pdf_m_at_h),
+                               rtol=1e-4)

@@ -55,3 +55,30 @@ def test_srgb_transfer_involution():
     x = np.linspace(0, 1, 256, dtype=np.float32)
     np.testing.assert_allclose(io.srgb_to_linear(io.linear_to_srgb(x)), x,
                                atol=1e-6)
+
+
+def test_rgbe_roundtrip(tmp_path):
+    import numpy as np
+    from mitsuba2_tpu.core import io_bitmap as io
+    rng = np.random.default_rng(5)
+    img = (rng.random((13, 17, 3)).astype(np.float32) * 10.0) ** 2
+    p = str(tmp_path / "t.hdr")
+    io.write(p, img)
+    back = io.read(p)
+    # shared-exponent format: 8-bit mantissa relative to the pixel max
+    tol = img.max(-1, keepdims=True) / 256.0 + 1e-6
+    assert (np.abs(back - img) <= tol).all()
+
+
+def test_tga_bmp_roundtrip(tmp_path):
+    import numpy as np
+    from mitsuba2_tpu.core import io_bitmap as io
+    rng = np.random.default_rng(6)
+    img = rng.random((9, 14, 3)).astype(np.float32)
+    for ext in ("tga", "bmp"):
+        p = str(tmp_path / f"t.{ext}")
+        io.write(p, img)
+        back = io.read(p)
+        assert back.shape == img.shape
+        # 8-bit sRGB quantization round trip
+        np.testing.assert_allclose(io.srgb_to_linear(back), img, atol=0.01)

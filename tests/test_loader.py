@@ -121,3 +121,43 @@ def test_load_file_with_include(tmp_path):
       <shape type="sphere"><ref id="white"/></shape></scene>""")
     scene, _ = loader.load_file(str(main))
     assert scene.n_shapes == 1
+
+
+def test_shapegroup_instance_xml():
+    """shapegroup + instance flatten into transformed copies (src/shapes/
+    {shapegroup,instance}.cpp)."""
+    import numpy as np
+    from mitsuba2_tpu.scene.loader import load_string
+    xml = """
+    <scene version="2.0.0">
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <transform name="to_world">
+          <lookat origin="0 0 6" target="0 0 0" up="0 1 0"/>
+        </transform>
+        <film><integer name="width" value="16"/><integer name="height" value="16"/></film>
+        <sampler type="stratified"><integer name="sample_count" value="8"/></sampler>
+      </sensor>
+      <emitter type="constant"><rgb name="radiance" value="1 1 1"/></emitter>
+      <shape type="shapegroup" id="grp">
+        <shape type="sphere"><float name="radius" value="0.5"/></shape>
+      </shape>
+      <shape type="instance">
+        <ref id="grp"/>
+        <transform name="to_world"><translate x="-1.2"/></transform>
+      </shape>
+      <shape type="instance">
+        <ref id="grp"/>
+        <transform name="to_world"><translate x="1.2"/></transform>
+      </shape>
+    </scene>
+    """
+    scene, cfg = load_string(xml)
+    assert cfg.sampler == "stratified"
+    assert scene.n_shapes == 2 and scene.n_prims == 2
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.integrators import render
+    img = np.asarray(render(scene, cfg.replace(spp=8, spp_per_pass=8,
+                                               max_depth=2)))
+    left, right = img[:, :8].mean(), img[:, 8:].mean()
+    assert abs(left - right) < 0.05
