@@ -375,6 +375,56 @@ def fit_srgb_model(rgb, iters: int = 50):
     return np.array([c2, c1, c0], np.float64), scale
 
 
+def fit_srgb_model_to_spectrum(wl, values, iters: int = 80):
+    """Fit sigmoid-polynomial coefficients directly to a TABULATED spectrum
+    (src/spectra/{regular,irregular}.cpp's data, represented in the same
+    smooth model the rest of the pipeline evaluates — a documented
+    approximation: spiky spectra are smoothed; their CIE projection is
+    matched in the least-squares sense).
+
+    wl: (K,) nm ascending; values: (K,) >= 0. Returns (coeffs (3,), scale)."""
+    wl = np.asarray(wl, np.float64)
+    values = np.asarray(values, np.float64)
+    # resample onto the fitting grid
+    v = np.interp(_FIT_WL, wl, values, left=values[0], right=values[-1])
+    scale = max(float(v.max()), 1e-9)
+    target = np.clip(v / scale, 0.0, 0.9999)
+    wlc = (_FIT_WL - 560.0) / 100.0
+    lum = float(np.clip(target.mean(), 1e-4, 0.9999))
+    coeffs = np.array([0.0, 0.0, np.arctanh(2.0 * lum - 1.0)])
+
+    def model(cf):
+        x = (cf[0] * wlc + cf[1]) * wlc + cf[2]
+        return 0.5 + 0.5 * x / np.sqrt(1.0 + x * x)
+
+    for _ in range(iters):
+        r = model(coeffs)
+        f = r - target
+        x = (coeffs[0] * wlc + coeffs[1]) * wlc + coeffs[2]
+        dr_dx = 0.5 / np.power(1.0 + x * x, 1.5)
+        J = dr_dx[:, None] * np.stack([wlc * wlc, wlc,
+                                       np.ones_like(wlc)], axis=-1)
+        JtJ = J.T @ J + 1e-9 * np.eye(3)
+        step = np.linalg.solve(JtJ, J.T @ f)
+        coeffs = coeffs - step
+        if np.abs(step).max() < 1e-10:
+            break
+    a, b, c = coeffs
+    c2 = a / 100.0 ** 2
+    c1 = b / 100.0 - 2 * a * 560.0 / 100.0 ** 2
+    c0 = a * (560.0 / 100.0) ** 2 - b * 560.0 / 100.0 + c
+    return np.array([c2, c1, c0], np.float64), scale
+
+
+def spectrum_to_rgb_host(wl, values):
+    """Exact CIE projection of a tabulated spectrum -> linear sRGB
+    (reflectance convention: flat 1.0 maps to white)."""
+    wl = np.asarray(wl, np.float64)
+    v = np.interp(_FIT_WL, wl, np.asarray(values, np.float64),
+                  left=values[0], right=values[-1])
+    return _spectrum_to_rgb_host(v)
+
+
 _LATTICE_CACHE = {}
 
 

@@ -76,6 +76,8 @@ BLEND = 10
 NORMALMAP = 11
 BUMPMAP = 12
 MEASURED = 13
+POLARIZER = 14
+RETARDER = 15
 
 _DIST_NAME = {"ggx": mf.GGX, "beckmann": mf.BECKMANN}
 
@@ -997,12 +999,76 @@ class Measured:
         return measured_mod.pdf_measured(scene.measured, tid, si.wi, wo)
 
 
+# ===========================================================================
+# polarizer / retarder (src/bsdfs/{polarizer,retarder}.cpp) — ideal optical
+# elements: delta straight-through transmission. Their POLARIZING action
+# (Mueller transform) lives in the polarized integrator (render/stokes.py);
+# in scalar transport a polarizer passes half the unpolarized energy times
+# its transmittance, a retarder passes everything.
+# Row layout: [24] element angle theta (rad), [25] transmittance | phase.
+# ===========================================================================
+
+class _OpticalElement:
+    @staticmethod
+    def eval(data, si, wo, config):
+        return Spec.zeros((_lanes(si),), config.n_channels)
+
+    @staticmethod
+    def pdf(data, si, wo, config):
+        return jnp.zeros(_lanes(si), jnp.float32)
+
+
+class Polarizer(_OpticalElement):
+    id = POLARIZER
+    flags = F_DELTA_T
+    param_spec = {"theta": ("scalar", 24), "transmittance": ("scalar", 25)}
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        data[24] = np.deg2rad(float(props.get("theta", 0.0)))
+        data[25] = float(props.get("transmittance", 1.0))
+        return data
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        N = _lanes(si)
+        t = data.col(25)
+        bs = BSDFSample(wo=-si.wi, pdf=jnp.ones(N, jnp.float32),
+                        eta=jnp.ones(N, jnp.float32),
+                        sampled_flags=jnp.full(N, F_DELTA_T, jnp.int32))
+        # unpolarized scalar transport: an ideal polarizer passes t/2
+        return bs, Spec.splat(0.5 * t, config.n_channels)
+
+
+class Retarder(_OpticalElement):
+    id = RETARDER
+    flags = F_DELTA_T
+    param_spec = {"theta": ("scalar", 24), "delta": ("scalar", 25)}
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        data = np.zeros(MAT_W, np.float32)
+        data[24] = np.deg2rad(float(props.get("theta", 0.0)))
+        data[25] = np.deg2rad(float(props.get("delta", 90.0)))  # retardance
+        return data
+
+    @staticmethod
+    def sample(data, si, u1, u2, config):
+        N = _lanes(si)
+        bs = BSDFSample(wo=-si.wi, pdf=jnp.ones(N, jnp.float32),
+                        eta=jnp.ones(N, jnp.float32),
+                        sampled_flags=jnp.full(N, F_DELTA_T, jnp.int32))
+        return bs, Spec.ones((N,), config.n_channels)
+
+
 NormalMap.param_spec = {"normalmap": ("slot", 2)}
 BumpMap.param_spec = {"bumpmap": ("slot", 2), "scale": ("scalar", 29)}
 
 LEAF_FAMILIES = {c.id: c for c in
                  (Diffuse, Conductor, RoughConductor, Dielectric,
-                  ThinDielectric, RoughDielectric, Plastic, RoughPlastic, Null)}
+                  ThinDielectric, RoughDielectric, Plastic, RoughPlastic,
+                  Null, Polarizer, Retarder)}
 WRAPPER_FAMILIES = {Mask.id: Mask, Blend.id: Blend,
                     NormalMap.id: NormalMap, BumpMap.id: BumpMap,
                     Measured.id: Measured}
@@ -1015,7 +1081,8 @@ _BY_NAME = {"diffuse": Diffuse, "conductor": Conductor,
             "roughplastic": RoughPlastic, "null": Null, "mask": Mask,
             "blendbsdf": Blend, "blend": Blend,
             "normalmap": NormalMap, "bumpmap": BumpMap,
-            "measured": Measured}
+            "measured": Measured,
+            "polarizer": Polarizer, "retarder": Retarder}
 
 
 def build_material(desc: dict, mats: List) -> int:

@@ -123,6 +123,35 @@ def pack_color(value, illuminant: bool = False) -> np.ndarray:
         if t in ("uniform", "d65", "srgb", "rgb"):
             v = value.get("value", 1.0)
             return pack_color(v, illuminant or t == "d65")
+        if t in ("regular", "irregular"):
+            # tabulated spectra (src/spectra/{regular,irregular}.cpp):
+            # exact CIE->sRGB projection for the rgb channels + a direct
+            # sigmoid-polynomial fit for spectral-mode evaluation
+            if t == "regular":
+                vals = np.asarray(value["values"], np.float64)
+                lo = float(value.get("lambda_min", sp.WAVELENGTH_MIN))
+                hi = float(value.get("lambda_max", sp.WAVELENGTH_MAX))
+                wls = np.linspace(lo, hi, len(vals))
+            else:
+                wls = np.asarray(value["wavelengths"], np.float64)
+                vals = np.asarray(value["values"], np.float64)
+            rgb = np.clip(sp.spectrum_to_rgb_host(wls, vals), 0.0, None)
+            coeffs, scale = sp.fit_srgb_model_to_spectrum(wls, vals)
+            # kind is ALWAYS "reflectance" here: the tabulated data fully
+            # specifies the spectrum (an extra D65 factor would be wrong
+            # even for emission slots)
+            return np.array([rgb[0], rgb[1], rgb[2],
+                             coeffs[0], coeffs[1], coeffs[2], scale,
+                             SLOT_REFLECTANCE], np.float32)
+        if t == "blackbody":
+            # src/spectra/blackbody.cpp: Planck radiator at `temperature`,
+            # tabulated then handled like any spectrum
+            wls = np.linspace(sp.WAVELENGTH_MIN, sp.WAVELENGTH_MAX, 64)
+            temp = float(value.get("temperature", 6500.0))
+            vals = np.asarray(sp.blackbody_radiance(wls, temp))
+            vals = vals * float(value.get("scale", 1.0))
+            return pack_color({"type": "irregular", "wavelengths": wls,
+                               "values": vals}, illuminant=True)
         raise ValueError(f"unknown spectrum/texture type {t!r}")
     v = value
     if isinstance(v, (int, float)):

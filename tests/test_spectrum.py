@@ -69,3 +69,42 @@ def test_spectral_white_renders_white():
     mean_rgb = rgb.mean(axis=0)
     # D65-approx whitepoint should land close to equal-energy sRGB white
     np.testing.assert_allclose(mean_rgb, 1.0, atol=0.08)
+
+
+def test_regular_spectrum_slot_roundtrip():
+    """A tabulated regular spectrum packs into a slot whose rgb channels are
+    the exact CIE projection and whose spectral fit reproduces the shape."""
+    import numpy as np
+    from mitsuba2_tpu.core import spectrum as sp
+    from mitsuba2_tpu.render.spectra import pack_color
+    from mitsuba2_tpu.core.spec import Spec
+    from mitsuba2_tpu.render.spectra import eval_spectrum_slot
+    import jax.numpy as jnp
+    # a smooth reddish reflectance ramp
+    vals = np.linspace(0.1, 0.9, 16)
+    slot = pack_color({"type": "regular", "values": vals,
+                       "lambda_min": 360.0, "lambda_max": 830.0})
+    # rgb channels: exact projection
+    rgb_direct = sp.spectrum_to_rgb_host(
+        np.linspace(360, 830, 16), vals)
+    np.testing.assert_allclose(slot[:3], rgb_direct, atol=1e-5)
+    # spectral eval reproduces the ramp within fit tolerance
+    wl = jnp.linspace(380.0, 800.0, 64)
+    out = eval_spectrum_slot(jnp.broadcast_to(jnp.asarray(slot), (64, 8)),
+                             Spec((wl,)), "spectral")
+    got = np.asarray(out.ch[0])
+    want = np.interp(np.asarray(wl), np.linspace(360, 830, 16), vals)
+    assert np.abs(got - want).mean() < 0.03
+
+
+def test_irregular_and_blackbody_slots():
+    import numpy as np
+    from mitsuba2_tpu.render.spectra import pack_color
+    s1 = pack_color({"type": "irregular",
+                     "wavelengths": [400, 500, 600, 700],
+                     "values": [0.2, 0.8, 0.5, 0.1]})
+    assert np.isfinite(s1).all() and s1[:3].max() > 0
+    s2 = pack_color({"type": "blackbody", "temperature": 3000.0})
+    assert np.isfinite(s2).all()
+    # 3000 K is strongly reddish
+    assert s2[0] > 1.5 * s2[2]

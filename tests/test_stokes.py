@@ -54,3 +54,106 @@ def test_conductor_partial_polarization():
     assert c[0] > 0.1  # gold reflects strongly
     dop = np.sqrt(c[1] ** 2 + c[2] ** 2 + c[3] ** 2) / c[0]
     assert 0.02 < dop < 0.9  # partially polarized at 45 deg
+
+
+# ---------------------------------------------------------------------------
+# Full polarized path transport (render_polarized)
+# ---------------------------------------------------------------------------
+
+def _two_polarizer_scene(theta2):
+    """Camera looking -z through two polarizer sheets at a constant env."""
+    import numpy as np
+    from mitsuba2_tpu.core.geometry import Transform4
+    from mitsuba2_tpu.scene import shapes
+    from mitsuba2_tpu.scene.scene import build_scene
+    cam = Transform4.look_at(origin=[0, 0, 5], target=[0, 0, 0], up=[0, 1, 0])
+    p1 = shapes.rectangle(bsdf={"type": "polarizer", "theta": 0.0}).transformed(
+        np.diag([3.0, 3.0, 1.0, 1.0]) @ np.asarray(
+            Transform4.translate([0, 0, 2]).matrix))
+    p2 = shapes.rectangle(bsdf={"type": "polarizer", "theta": theta2}).transformed(
+        np.diag([3.0, 3.0, 1.0, 1.0]) @ np.asarray(
+            Transform4.translate([0, 0, 1]).matrix))
+    return build_scene([p1, p2],
+                       {"type": "perspective", "to_world": np.asarray(cam.matrix),
+                        "fov": 20.0},
+                       emitters=[{"type": "constant", "radiance": [1.0] * 3}])
+
+
+def test_polarized_crossed_vs_parallel_polarizers():
+    """Malus: parallel ideal polarizers pass 0.5 of unpolarized light,
+    crossed polarizers pass nothing."""
+    import numpy as np
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.stokes import render_polarized
+    cfg = mi.RenderConfig(width=8, height=8, spp=16, spp_per_pass=16,
+                          max_depth=4, rr_depth=99)
+    s_par = np.asarray(render_polarized(_two_polarizer_scene(0.0), cfg))
+    s_crs = np.asarray(render_polarized(_two_polarizer_scene(90.0), cfg))
+    i_par = s_par[3:5, 3:5, :, 0].mean()
+    i_crs = s_crs[3:5, 3:5, :, 0].mean()
+    np.testing.assert_allclose(i_par, 0.5, atol=0.02)
+    assert i_crs < 0.01 * max(i_par, 1e-6)
+
+
+def test_polarized_malus_45deg():
+    """45-degree second polarizer passes half of the polarized half."""
+    import numpy as np
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.stokes import render_polarized
+    cfg = mi.RenderConfig(width=8, height=8, spp=16, spp_per_pass=16,
+                          max_depth=4, rr_depth=99)
+    s45 = np.asarray(render_polarized(_two_polarizer_scene(45.0), cfg))
+    np.testing.assert_allclose(s45[3:5, 3:5, :, 0].mean(), 0.25, atol=0.02)
+
+
+def test_polarized_s0_matches_scalar_diffuse():
+    """Unpolarized diffuse scene: S0 equals the scalar render's radiance
+    (same transport, depolarizing materials)."""
+    import numpy as np
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.core.geometry import Transform4
+    from mitsuba2_tpu.render.integrators import render
+    from mitsuba2_tpu.render.stokes import render_polarized
+    from mitsuba2_tpu.scene import shapes
+    from mitsuba2_tpu.scene.scene import build_scene
+    cam = Transform4.look_at(origin=[0, 0, 3], target=[0, 0, 0], up=[0, 1, 0])
+    sc = build_scene(
+        [shapes.rectangle(bsdf={"type": "diffuse", "reflectance": [0.7] * 3})],
+        {"type": "perspective", "to_world": np.asarray(cam.matrix), "fov": 45.0},
+        emitters=[{"type": "constant", "radiance": [1.0] * 3}])
+    cfg = mi.RenderConfig(width=16, height=16, spp=256, spp_per_pass=64,
+                          max_depth=2, rr_depth=99)
+    s = np.asarray(render_polarized(sc, cfg))
+    img = np.asarray(render(sc, cfg))
+    # S0 vs scalar: same integral, independent MC estimators
+    np.testing.assert_allclose(s[4:12, 4:12, :, 0].mean(),
+                               img[4:12, 4:12].mean(), rtol=0.03)
+    # depolarized: Q,U,V ~ 0
+    assert np.abs(s[..., 1:]).max() < 0.02
+
+
+def test_polarized_conductor_reflection_polarizes():
+    """Oblique reflection off gold polarizes the env light (|Q| > 0)."""
+    import numpy as np
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.core.geometry import Transform4
+    from mitsuba2_tpu.render.stokes import render_polarized
+    from mitsuba2_tpu.scene import shapes
+    from mitsuba2_tpu.scene.scene import build_scene
+    # camera looks at a gold mirror tilted 45 deg; reflection to the env
+    cam = Transform4.look_at(origin=[0, -3, 0.3], target=[0, 0, 0.3],
+                             up=[0, 0, 1])
+    mirror = shapes.rectangle(bsdf={"type": "conductor", "material": "Au"})
+    mirror = mirror.transformed(np.asarray(
+        (Transform4.rotate([1, 0, 0], 45.0)).matrix))
+    sc = build_scene([mirror],
+                     {"type": "perspective", "to_world": np.asarray(cam.matrix),
+                      "fov": 30.0},
+                     emitters=[{"type": "constant", "radiance": [1.0] * 3}])
+    cfg = mi.RenderConfig(width=8, height=8, spp=16, spp_per_pass=16,
+                          max_depth=3, rr_depth=99)
+    s = np.asarray(render_polarized(sc, cfg))
+    i0 = s[3:5, 3:5, :, 0].mean()
+    q = np.abs(s[3:5, 3:5, :, 1]).mean()
+    assert i0 > 0.3            # gold reflects most of the env
+    assert q / i0 > 0.02       # measurably polarized at oblique incidence
