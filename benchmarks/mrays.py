@@ -10,7 +10,11 @@ shadow + continuation rays; every lane pays lockstep traversal cost).
 """
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -28,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     import mitsuba2_tpu as mi
-    from mitsuba2_tpu.diff.adjoint import (_adjoint_pass, _forward_pass,
+    from mitsuba2_tpu.diff.adjoint import (_adjoint_all, _forward_all,
                                            _pass_seed)
     from mitsuba2_tpu.scene.presets import cornell_box, veach_mis
 
@@ -44,36 +48,38 @@ def main():
                "width": args.width, "spp": args.spp,
                "max_depth": config.max_depth}
 
-    # ---- forward ----------------------------------------------------------
-    out = _forward_pass(scene, config, _pass_seed(0, 0))
+    # ---- forward (all passes fused into one dispatch) ---------------------
+    out = _forward_all(scene, config, 0, n_passes)
     jax.block_until_ready(out)
+    reps = 3
     t0 = time.perf_counter()
-    acc = None
-    for p in range(n_passes):
-        img, w = _forward_pass(scene, config, _pass_seed(0, p))
-        acc = img if acc is None else acc + img
-    jax.block_until_ready(acc)
+    for r in range(reps):
+        out = _forward_all(scene, config, r + 1, n_passes)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    results["forward_mrays_s"] = round(rays_per_pass * n_passes / dt / 1e6, 2)
+    results["forward_mrays_s"] = round(
+        reps * rays_per_pass * n_passes / dt / 1e6, 2)
 
-    # ---- forward + adjoint --------------------------------------------------
+    # ---- forward + adjoint (fused dispatches) -------------------------------
     rcfg = config.replace(remat=True)
     ct = jnp.ones((config.height, config.width, rcfg.n_image_channels),
                   jnp.float32)
-    g = _adjoint_pass(scene, rcfg, _pass_seed(0, 0), ct)
+    # warm BOTH programs with the exact timed config (remat=True retraces)
+    jax.block_until_ready(_forward_all(scene, rcfg, 0, n_passes))
+    g = _adjoint_all(scene, rcfg, 0, n_passes, ct)
     jax.block_until_ready(g)
     t0 = time.perf_counter()
-    for p in range(n_passes):
-        # forward accumulation + one adjoint sweep per pass (the
-        # render_and_grad schedule, measured end to end)
-        img, w = _forward_pass(scene, rcfg, _pass_seed(0, p))
-        g = _adjoint_pass(scene, rcfg, _pass_seed(0, p), ct)
-    jax.block_until_ready((img, g))
+    for r in range(reps):
+        # the render_and_grad schedule end to end: forward accumulation +
+        # adjoint sweep (each a single dispatch)
+        out = _forward_all(scene, rcfg, r + 1, n_passes)
+        g = _adjoint_all(scene, rcfg, r + 1, n_passes, ct)
+        jax.block_until_ready((out, g))
     dt = time.perf_counter() - t0
-    # adjoint re-traces the wavefront: count forward + backward rays (2x)
+    # adjoint re-traces the wavefront: count forward + fwd-of-vjp + bwd rays
     results["adjoint_mrays_s"] = round(
-        3 * rays_per_pass * n_passes / dt / 1e6, 2)
-    results["adjoint_wall_s"] = round(dt, 3)
+        3 * reps * rays_per_pass * n_passes / dt / 1e6, 2)
+    results["adjoint_wall_s"] = round(dt / reps, 3)
 
     print(json.dumps(results))
 

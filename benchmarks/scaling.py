@@ -10,7 +10,10 @@ Usage: python benchmarks/scaling.py [--force-cpu-mesh 8]
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

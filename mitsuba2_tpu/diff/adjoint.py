@@ -70,9 +70,30 @@ def _pass_seed(seed: int, p: int):
     return jnp.uint32((seed * 0x9E3779B1 + p) & 0xFFFFFFFF)
 
 
+def _pass_seeds(seed, n_passes):
+    return (jnp.uint32(seed) * jnp.uint32(0x9E3779B1) +
+            jnp.arange(n_passes, dtype=jnp.uint32))
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _forward_pass(scene, config, seed_p):
     return render_pass(scene, config, seed_p)
+
+
+@partial(jax.jit, static_argnames=("config", "n_passes"))
+def _forward_all(scene, config, seed, n_passes):
+    """Phase 1, all passes in ONE dispatch (remote-dispatch latency would
+    otherwise dominate; see integrators._render_all_passes_jit)."""
+    def body(acc, s):
+        img_p, w_p = render_pass(scene, config, s)
+        return (acc[0] + img_p, acc[1] + w_p), None
+
+    H, W = config.height, config.width
+    img0 = jnp.zeros((H, W, config.n_image_channels), jnp.float32)
+    w0 = jnp.zeros((H, W) if config.rfilter != "box" else (), jnp.float32)
+    (image, wsum), _ = jax.lax.scan(body, (img0, w0),
+                                    _pass_seeds(seed, n_passes))
+    return image, wsum
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -91,6 +112,28 @@ def _adjoint_pass(scene, config, seed_p, ct_image):
     return vjp_fn(ct_image)[0]
 
 
+@partial(jax.jit, static_argnames=("config", "n_passes"))
+def _adjoint_all(scene, config, seed, n_passes, ct_image):
+    """Phase 2, all adjoint passes in ONE dispatch: scan re-traces each
+    pass under vjp and accumulates parameter gradients. Memory stays ONE
+    pass's (rematerialized) tape — the scan carry is just the gradient
+    pytree."""
+    tables0 = diff_tables(scene)
+
+    def body(grads, s):
+        def f(tb):
+            img_p, w_p = render_pass(with_tables(scene, tb), config, s)
+            return img_p
+
+        _, vjp_fn = jax.vjp(f, tables0)
+        g_p = vjp_fn(ct_image)[0]
+        return jax.tree.map(jnp.add, grads, g_p), None
+
+    zeros = jax.tree.map(jnp.zeros_like, tables0)
+    grads, _ = jax.lax.scan(body, zeros, _pass_seeds(seed, n_passes))
+    return grads
+
+
 def render_and_grad(scene, config: RenderConfig,
                     loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     seed: int = None
@@ -107,12 +150,8 @@ def render_and_grad(scene, config: RenderConfig,
     config = config.replace(spp_per_pass=sppc)
     n_passes = (config.spp + sppc - 1) // sppc
 
-    # ---- phase 1: forward accumulation (tape-free) -------------------------
-    image_sum = wsum = None
-    for p in range(n_passes):
-        img_p, w_p = _forward_pass(scene, config, _pass_seed(seed, p))
-        image_sum = img_p if image_sum is None else image_sum + img_p
-        wsum = w_p if wsum is None else wsum + w_p
+    # ---- phase 1: forward accumulation (tape-free, one dispatch) -----------
+    image_sum, wsum = _forward_all(scene, config, seed & 0xFFFFFFFF, n_passes)
     image = film_mod.develop(image_sum, wsum)
 
     # ---- adjoint image (deltaL in radiative-backprop terms) ----------------
@@ -123,11 +162,8 @@ def render_and_grad(scene, config: RenderConfig,
     else:
         ct_image = dL_dimage / jnp.maximum(wsum, 1e-8)[..., None]
 
-    # ---- phase 2: adjoint passes ------------------------------------------
-    grads = None
-    for p in range(n_passes):
-        g_p = _adjoint_pass(scene, config, _pass_seed(seed, p), ct_image)
-        grads = g_p if grads is None else jax.tree.map(jnp.add, grads, g_p)
+    # ---- phase 2: adjoint passes (one dispatch) ----------------------------
+    grads = _adjoint_all(scene, config, seed & 0xFFFFFFFF, n_passes, ct_image)
 
     return image, loss, grads
 

@@ -17,18 +17,54 @@ only full-pass traces show it (benchmarks/profile_trace.py).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 COLUMN_MAX = 4096  # up to this many rows, extract columns + 1-D gather
+ONEHOT_VJP_MAX = 256  # custom one-hot-matmul adjoint up to this many rows
+
+
+@jax.custom_vjp
+def _gather_1d(col, idx):
+    """col[idx] with an MXU-friendly adjoint.
+
+    XLA's native VJP of a gather is a scatter-add; a 1M-lane scatter into a
+    tiny table serializes on TPU (~100 ms per site — it made the adjoint
+    pass 50x slower than forward). The custom backward computes the same
+    segment sum as a one-hot matmul: ct (N,) x onehot(idx) (N, M) -> (M,)
+    runs on the MXU in one pass."""
+    return col[idx]
+
+
+def _gather_1d_fwd(col, idx):
+    return col[idx], (idx, col.shape[0])
+
+
+def _gather_1d_bwd(res, ct):
+    idx, M = res
+    oh = jax.nn.one_hot(idx, M, dtype=ct.dtype)
+    d_col = ct @ oh
+    return d_col, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_1d.defvjp(_gather_1d_fwd, _gather_1d_bwd)
+
+
+def _g1(col, idx):
+    if col.shape[0] <= ONEHOT_VJP_MAX and jnp.issubdtype(col.dtype,
+                                                         jnp.floating):
+        return _gather_1d(col, idx)
+    return col[idx]
 
 
 def rows(table, idx, cols):
     """Gather `cols` (tuple of column ids) of `table` rows at per-lane
     `idx`. Returns a tuple of (N,) arrays, one per requested column."""
     if table.ndim == 1:
-        return tuple(table[idx] for _ in cols)
+        return tuple(_g1(table, idx) for _ in cols)
     if table.shape[0] <= COLUMN_MAX:
-        return tuple(table[:, c][idx] for c in cols)
+        return tuple(_g1(table[:, c], idx) for c in cols)
     r = table[idx]  # row gather: avoids copying a huge table per column
     return tuple(r[..., c] for c in cols)
 
@@ -43,5 +79,5 @@ def rows2(table, idx):
 
 
 def scalar(table, idx):
-    """(M,) table -> (N,) values (1-D fast path)."""
-    return table[idx]
+    """(M,) table -> (N,) values (1-D fast path, MXU adjoint when small)."""
+    return _g1(table, idx)
