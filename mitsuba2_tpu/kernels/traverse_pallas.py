@@ -194,12 +194,14 @@ def _any_hit_kernel(node_f, node_i, prim_f,
 
     ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
 
+    # occupancy carried as f32 0/1: Mosaic mis-lowers unrolled i1-vector
+    # accumulation chains (vector<8x128x32xi1> internal failure on real TPU)
     def cond(state):
-        node, occ = state
-        return (node >= 0) & jnp.logical_not(jnp.all(occ))
+        node, occ_f = state
+        return (node >= 0) & (jnp.min(occ_f) < 1.0)
 
     def body(state):
-        node, occ = state
+        node, occ_f = state
         nf = node_f[pl.ds(node, 1), :]
         ni = node_i[pl.ds(node, 1), :]
         leaf_start = ni[0, 0]
@@ -207,24 +209,26 @@ def _any_hit_kernel(node_f, node_i, prim_f,
         miss = ni[0, 2]
         is_leaf = leaf_start >= 0
 
-        hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, tmv) &
-                          jnp.logical_not(occ))
+        alive = occ_f < 1.0
+        hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, tmv) & alive)
 
-        def leaf_tests(occ):
+        def leaf_tests(occ_f):
             for k in range(LEAF_K):
                 pr = prim_f[pl.ds(leaf_start + k, 1), :]
                 tk, _, _ = _prim_test(pr, oxv, oyv, ozv, dxv, dyv, dzv)
                 # isfinite guard: tk = inf on miss and tmv may be inf too
-                occ = occ | ((k < leaf_count) & jnp.isfinite(tk) & (tk <= tmv))
-            return occ
+                hit = (k < leaf_count) & jnp.isfinite(tk) & (tk <= tmv)
+                occ_f = jnp.maximum(occ_f, jnp.where(hit, 1.0, 0.0))
+            return occ_f
 
-        occ = jax.lax.cond(is_leaf & hit_any, leaf_tests, lambda o: o, occ)
+        occ_f = jax.lax.cond(is_leaf & hit_any, leaf_tests,
+                             lambda o: o, occ_f)
         nxt = jnp.where(is_leaf | jnp.logical_not(hit_any), miss, node + 1)
-        return nxt, occ
+        return nxt, occ_f
 
-    init = (jnp.int32(0), jnp.zeros((_SUB, _LANE), bool))
-    _, occ = jax.lax.while_loop(cond, body, init)
-    occ_out[:] = occ.astype(jnp.int32)  # bool VMEM outputs are fragile on TPU
+    init = (jnp.int32(0), jnp.zeros((_SUB, _LANE), jnp.float32))
+    _, occ_f = jax.lax.while_loop(cond, body, init)
+    occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
 
 
 def _blockify(x, n_pad):

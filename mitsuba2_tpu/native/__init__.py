@@ -76,6 +76,54 @@ def build_bvh_native(bb_min: np.ndarray, bb_max: np.ndarray):
             leaf_count[:n].copy(), miss[:n].copy(), prim_order)
 
 
+# ---------------------------------------------------------------------------
+# OBJ parser (obj_parser.cpp)
+# ---------------------------------------------------------------------------
+
+def parse_obj_native(path: str, flip_tex_coords: bool = True):
+    """Fast C++ OBJ parse. Returns (vertices (V,3) f32, faces (F,3) i32,
+    normals (V,3) f32 or None, uvs (V,2) f32 or None) with the same
+    split-vertex semantics as scene.mesh_io's Python parser. Raises on
+    toolchain or parse failure (caller falls back)."""
+    lib = _load("mts_obj", "obj_parser.cpp")
+    fn = lib.mts_parse_obj
+    fn.restype = ctypes.c_int64
+    c_fpp = ctypes.POINTER(ctypes.c_float)
+    c_ipp = ctypes.POINTER(ctypes.c_int32)
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                   ctypes.POINTER(c_fpp), ctypes.POINTER(ctypes.c_int64),
+                   ctypes.POINTER(c_ipp), ctypes.POINTER(ctypes.c_int64),
+                   ctypes.POINTER(c_fpp), ctypes.POINTER(ctypes.c_int32),
+                   ctypes.POINTER(c_fpp), ctypes.POINTER(ctypes.c_int32)]
+    free_fn = lib.mts_free
+    free_fn.argtypes = [ctypes.c_void_p]
+
+    pv = c_fpp(); pf = c_ipp(); pn = c_fpp(); puv = c_fpp()
+    nv = ctypes.c_int64(); nf = ctypes.c_int64()
+    hn = ctypes.c_int32(); huv = ctypes.c_int32()
+    rc = fn(path.encode(), 1 if flip_tex_coords else 0,
+            ctypes.byref(pv), ctypes.byref(nv),
+            ctypes.byref(pf), ctypes.byref(nf),
+            ctypes.byref(pn), ctypes.byref(hn),
+            ctypes.byref(puv), ctypes.byref(huv))
+    if rc != 0:
+        raise RuntimeError(f"mts_parse_obj failed with code {rc}")
+    try:
+        V = int(nv.value)
+        F = int(nf.value)
+        verts = np.ctypeslib.as_array(pv, (V, 3)).copy()
+        faces = np.ctypeslib.as_array(pf, (F, 3)).copy()
+        normals = (np.ctypeslib.as_array(pn, (V, 3)).copy()
+                   if hn.value else None)
+        uvs = (np.ctypeslib.as_array(puv, (V, 2)).copy()
+               if huv.value else None)
+    finally:
+        for p in (pv, pf, pn, puv):
+            if p:
+                free_fn(ctypes.cast(p, ctypes.c_void_p))
+    return verts, faces, normals, uvs
+
+
 def available() -> bool:
     """True if the native toolchain works on this machine."""
     try:

@@ -27,7 +27,27 @@ def load_obj(path: str, bsdf=None, emitter=None, id: str = "",
              ) -> MeshData:
     """Wavefront OBJ -> MeshData. Supports v/vt/vn, polygon fans, negative
     indices; materials/groups are ignored (single mesh), like the reference
-    plugin when given one shape."""
+    plugin when given one shape. Parses with the native C++ parser
+    (native/obj_parser.cpp, the obj.cpp fast-parser counterpart) when the
+    toolchain is available, else the pure-Python path below."""
+    try:
+        from .. import native as native_mod
+        verts, faces, normals, uvs = native_mod.parse_obj_native(
+            path, flip_tex_coords)
+        if face_normals:
+            normals = None
+        return MeshData(vertices=verts, faces=faces, normals=normals,
+                        uvs=uvs, bsdf=bsdf, emitter=emitter, id=id)
+    except Exception:
+        pass  # toolchain missing or parse failure: pure-Python fallback
+    return _load_obj_py(path, bsdf, emitter, id, face_normals,
+                        flip_tex_coords)
+
+
+def _load_obj_py(path: str, bsdf=None, emitter=None, id: str = "",
+                 face_normals: bool = False, flip_tex_coords: bool = True
+                 ) -> MeshData:
+    """Pure-Python OBJ parser (fallback + oracle for the native parser)."""
     vs, vts, vns = [], [], []
     tris = []  # each: 3 x (vi, vti, vni)
 
