@@ -71,7 +71,7 @@ def main(argv=None) -> int:
     dt = time.time() - t0
     n_rays = config.width * config.height * config.spp * \
         (1 + 2 * (config.max_depth - 1))
-    log.info("rendered in %.2fs (%.1f Mrays/s)", dt, n_rays / dt / 1e6)
+    log.info("rendered in %.2fs (%.2f Mrays/s incl. compile)", dt, n_rays / dt / 1e6)
 
     out = args.output or (args.scene.rsplit(".", 1)[0] + ".exr")
     io_bitmap.write(out, __import__("numpy").asarray(img))
