@@ -1,0 +1,63 @@
+"""Multi-host initialization + pod-slice mesh construction.
+
+SURVEY.md §2.6 P5 / §5.8: the reference has NO distributed layer (its
+parallelism is TBB threads + one CUDA device); multi-chip/multi-host is a
+NEW first-class layer of the TPU rebuild. This module is the entry point a
+pod-slice launcher calls on every host:
+
+    from mitsuba2_tpu.dist import multihost
+    multihost.initialize()              # jax.distributed handshake
+    mesh = multihost.pod_mesh()         # all chips across all hosts
+    img = render_sharded(scene, config, mesh=mesh)
+
+Collective layout (dist/sharding.py): the ray wavefront is sharded over
+the mesh's single 'd' axis (pure data parallelism — the scene pytree is
+replicated so tracing needs zero inter-chip traffic); film accumulation
+and scene-parameter gradients are `psum`s that ride ICI within a host and
+DCN across hosts, inserted by XLA from the shard_map annotations.
+
+Cannot be exercised end-to-end in a single-host environment; the same
+mesh/collective code paths are covered by the virtual 8-device CPU mesh
+tests (tests/test_sharding* via conftest's device-count flag) and
+`__graft_entry__.dryrun_multichip`.
+"""
+from __future__ import annotations
+
+import jax
+
+
+def initialize(coordinator_address: str = None, num_processes: int = None,
+               process_id: int = None) -> None:
+    """jax.distributed.initialize with environment auto-detection.
+
+    On Cloud TPU pods the three arguments are discovered from the metadata
+    server/environment, so a bare `initialize()` works; explicit values
+    cover manual (e.g. DCN cluster) launches. Idempotent."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process environment (no coordinator): run standalone
+        pass
+
+
+def pod_mesh():
+    """One-axis mesh over every chip of every host (the renderer's data-
+    parallel wavefront axis). Device order follows jax.devices(), which
+    groups by host — lane->chip assignment stays host-local first, so the
+    film psum's cross-host leg only carries the (H, W, C) partials."""
+    from .sharding import make_mesh
+    return make_mesh(jax.devices())
+
+
+def is_coordinator() -> bool:
+    """True on the host that should do I/O (progress, checkpoints, EXR)."""
+    return jax.process_index() == 0

@@ -115,8 +115,14 @@ def _pass_with_stats(scene, config, seed):
 
 def render_instrumented(scene, config: RenderConfig, seed: int = None,
                         jsonl_path: Optional[str] = None,
-                        monitor: Optional[RenderMonitor] = None):
-    """render() with per-pass metrics. Returns (image, monitor)."""
+                        monitor: Optional[RenderMonitor] = None,
+                        cancel=None):
+    """render() with per-pass metrics. Returns (image, monitor).
+
+    `cancel`: optional zero-arg callable (or threading.Event) checked
+    between passes — Integrator::cancel parity (integrator.cpp): a SIGINT
+    handler or GUI sets it and the render returns the passes accumulated
+    so far (develop-able partial image, like Film::develop mid-render)."""
     from ..render import film as film_mod
     if seed is None:
         seed = config.seed
@@ -130,6 +136,11 @@ def render_instrumented(scene, config: RenderConfig, seed: int = None,
 
     image = wsum = None
     for p in range(n_passes):
+        if cancel is not None:
+            stop = cancel.is_set() if hasattr(cancel, "is_set") else cancel()
+            if stop:
+                monitor.cancelled = True
+                break
         t0 = time.perf_counter()
         img_p, w_p, occ = _pass_with_stats(
             scene, config, jnp.uint32((seed * 0x9E3779B1 + p) & 0xFFFFFFFF))
@@ -138,4 +149,6 @@ def render_instrumented(scene, config: RenderConfig, seed: int = None,
                        occupancy=list(jax.device_get(occ)))
         image = img_p if image is None else image + img_p
         wsum = w_p if wsum is None else wsum + w_p
+    if image is None:
+        raise RuntimeError("render cancelled before the first pass")
     return film_mod.develop(image, wsum), monitor

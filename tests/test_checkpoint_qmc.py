@@ -66,3 +66,27 @@ def test_checkpointed_render_resumes_exactly(tmp_path):
         run2.update(img, w, p)
     out = run2.develop()
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_render_cancel_partial_image():
+    """Integrator::cancel parity: cancelling after pass 1 returns the
+    partial (but develop-normalized, unbiased) image."""
+    import numpy as np
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.scene.presets import cornell_box
+    from mitsuba2_tpu.utils.observability import render_instrumented
+
+    scene = cornell_box()
+    cfg = mi.RenderConfig(width=16, height=16, spp=16, spp_per_pass=4,
+                          max_depth=2, rr_depth=99)
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 2  # allow two passes
+
+    img, mon = render_instrumented(scene, cfg, seed=1, cancel=cancel)
+    assert getattr(mon, "cancelled", False)
+    full, _ = render_instrumented(scene, cfg, seed=1)
+    # partial estimate is unbiased: close to the full render at these spp
+    assert np.abs(np.asarray(img) - np.asarray(full)).mean() < 0.15
