@@ -287,7 +287,7 @@ def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.nda
     else:
         u_lens = None
     ray = sensors.sample_ray(scene, uv, u_lens, wavelengths=wl)
-    if config.integrator == "volpath" or scene.has_media:
+    if config.integrator in ("volpath", "volpathmis") or scene.has_media:
         from .volpath import sample_path_vol
         spec, sampler = sample_path_vol(scene, ray, sampler, config)
     else:

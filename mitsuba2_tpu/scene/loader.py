@@ -377,6 +377,9 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
             overrides.update(sensor_overrides)
         elif tag == "integrator":
             ip = _collect_props(node, ctx)
+            ityp = _attr(node, "type", ctx.params, "path")
+            if ityp in ("volpath", "volpathmis"):
+                overrides["integrator"] = ityp
             if "max_depth" in ip:
                 md = int(ip["max_depth"])
                 overrides["max_depth"] = md if md > 0 else 16

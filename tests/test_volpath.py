@@ -142,3 +142,34 @@ def test_shadow_transmittance_through_medium():
     b = np.asarray(render(no_slab, cfg.replace(integrator="volpath")))[8, 8].mean()
     assert a < b  # attenuated
     assert a > 0.2 * b  # but not fully blocked (exp(-0.5) ~ 0.6 per crossing)
+
+
+def test_hg_phase_chi2():
+    """chi2 test of HG sampling vs its pdf (PhaseFunctionAdapter parity)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba2_tpu import chi2
+    from mitsuba2_tpu.render import media
+    from mitsuba2_tpu.core.vec import Vec3
+
+    wi = Vec3.full((1,), 0.0, 0.0, 1.0)
+
+    def sample_fn(u):
+        n = u.shape[0]
+        w = Vec3.full((n,), 0.0, 0.0, 1.0)
+        wo, _ = media.phase_hg_sample(jnp.full(n, 0.55), w,
+                                      (u[:, 0], u[:, 1]))
+        return wo
+
+    def pdf_fn(d):
+        flat = d.reshape(-1, 3)
+        n = flat.shape[0]
+        w = Vec3.full((n,), 0.0, 0.0, 1.0)
+        return np.asarray(media.phase_eval(
+            jnp.full(n, 0.55), w, Vec3.from_array(jnp.asarray(flat)))
+        ).reshape(d.shape[:-1])
+
+    t = chi2.ChiSquareTest(chi2.SphericalDomain(), sample_fn, pdf_fn,
+                           sample_count=200_000, res=16, ires=16,
+                           sample_dim=2)
+    assert t.run(), "\n".join(t.messages)
