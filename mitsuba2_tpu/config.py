@@ -27,6 +27,13 @@ class RenderConfig:
     height: int = 256
     seed: int = 0
     rfilter: str = "box"              # box | tent | gaussian | mitchell | catmullrom | lanczos
+    # hdrfilm crop window (films/hdrfilm.cpp): render only a (width, height)
+    # window whose top-left sits at (crop_x, crop_y) of a film_width x
+    # film_height full film. None = uncropped (full film = width x height).
+    film_width: Optional[int] = None
+    film_height: Optional[int] = None
+    crop_x: int = 0
+    crop_y: int = 0
     hide_emitters: bool = False
     sampler: str = "independent"
     integrator: str = "path"          # path | volpath

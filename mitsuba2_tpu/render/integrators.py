@@ -273,7 +273,9 @@ def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.nda
     x = (pix % W).astype(jnp.float32)
     y = (pix // W).astype(jnp.float32)
     jitter, sampler = sampler.next_2d()
-    uv = sensors.film_uv(x, y, jitter, W, H)
+    uv = sensors.film_uv(x, y, jitter, W, H,
+                         crop=(config.crop_x, config.crop_y,
+                               config.film_width, config.film_height))
 
     if config.color_mode == "spectral":
         u_wl, sampler = sampler.next_1d()

@@ -157,15 +157,21 @@ def sample_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
     raise ValueError(f"unknown sensor type {kind!r}")
 
 
-def film_uv(x, y, jitter, width: int, height: int) -> Vec2:
+def film_uv(x, y, jitter, width: int, height: int,
+            crop=(0, 0, None, None)) -> Vec2:
     """Pixel indices + jitter -> uv with aspect-corrected v.
 
     Returns planar Vec2: u in [0,1], v scaled so square pixels are preserved
-    for non-square films (fov applies to x)."""
+    for non-square films (fov applies to x). `crop` = (crop_x, crop_y,
+    film_width, film_height): when set, (x, y) index the CROP window while
+    uv spans the FULL film (films/hdrfilm.cpp crop semantics)."""
     jx, jy = (jitter if isinstance(jitter, (tuple, list))
               else (jitter.x, jitter.y))
-    u = (x + jx) / width
-    v = (y + jy) / width * 1.0  # same scale as u (square pixels)
+    cx, cy, fw, fh = crop
+    fw = fw or width
+    fh = fh or height
+    u = (x + cx + jx) / fw
+    v = (y + cy + jy) / fw * 1.0  # same scale as u (square pixels)
     # center the v range: film of H rows spans H/W of the u unit
-    v = v + 0.5 * (1.0 - height / width)
+    v = v + 0.5 * (1.0 - fh / fw)
     return Vec2(u, v)
