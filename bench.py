@@ -9,11 +9,23 @@ excluded (warmup pass); forward only (forward+adjoint reported once the
 adjoint integrator lands).
 """
 import json
+import os
+import signal
 import sys
 import time
 
 
+def _watchdog(sig, frame):
+    print("bench.py watchdog: TPU backend unresponsive (device init or "
+          "dispatch hung >8 min) — the remote axon TPU can wedge after a "
+          "device fault; re-run on a healthy chip", file=sys.stderr)
+    os._exit(1)
+
+
 def main():
+    # fail fast instead of hanging the driver if the TPU runtime is wedged
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(480)
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +56,7 @@ def main():
 
     total_rays = rays_per_pass * n_passes * reps
     mrays = total_rays / (t1 - t0) / 1e6
+    signal.alarm(0)
     print(json.dumps({
         "metric": "cornell_box_fwd_mrays_per_s",
         "value": round(mrays, 3),
