@@ -18,8 +18,9 @@ Wavefront notes: every branch is masked-evaluate-all; loop bounds are
 static (max_depth bounces, _MAX_NULL null crossings per shadow ray,
 _DELTA_STEPS delta-tracking trials), mirroring SURVEY.md §7.3's
 static-shape discipline. All colors are planar Specs (core/spec.py).
-Spectral sigma_t uses the RGB channels in rgb mode and their mean in
-mono/spectral modes (gray media).
+Spectral mode lifts the media's RGB sigma_t/albedo to per-channel hero-
+wavelength values through the sigmoid-polynomial upsampling lattice (same
+treatment as every other color parameter).
 """
 from __future__ import annotations
 
@@ -42,19 +43,34 @@ _MAX_NULL = 2       # null-boundary crossings tracked per shadow ray
 _DELTA_STEPS = 64   # delta-tracking trials per free-flight sample
 
 
-def _medium_coeffs(scene, med_idx, config):
-    """Per-lane (sigma_t Spec, albedo Spec, g (N,), scale (N,))."""
+def _medium_coeffs(scene, med_idx, config, wavelengths=None):
+    """Per-lane (sigma_t Spec, albedo Spec, g (N,), scale (N,)).
+
+    rgb mode: the stored RGB channels. spectral mode: the RGB pair is
+    upsampled to the lane's hero wavelengths through the sigmoid-polynomial
+    lattice (core/spectrum.py) — per-channel spectral media, matching how
+    every other color parameter is lifted. mono: channel mean."""
+    from ..core import spectrum as sp
     idx = jnp.maximum(med_idx, 0)
     tbl = scene.med_data
     c = [gth.scalar(tbl[:, i], idx) for i in range(8)]
-    if config.n_channels == 3:
-        sig = Spec((c[0], c[1], c[2]))
-        alb = Spec((c[3], c[4], c[5]))
-    else:
-        sbar = (c[0] + c[1] + c[2]) * (1.0 / 3.0)
-        abar = (c[3] + c[4] + c[5]) * (1.0 / 3.0)
-        sig = Spec.splat(sbar, config.n_channels)
-        alb = Spec.splat(abar, config.n_channels)
+
+    def lift(r, g, b):
+        if config.n_channels == 3:
+            return Spec((r, g, b))
+        if config.color_mode == "spectral" and wavelengths is not None:
+            mx = jnp.maximum(jnp.maximum(r, jnp.maximum(g, b)), 1e-9)
+            scale_c = jnp.maximum(mx / 0.999, 1.0)
+            inv = 1.0 / scale_c
+            lattice = sp.srgb_model_fetch_lattice()
+            c2, c1, c0 = sp.srgb_model_fetch_interp_t(
+                lattice, r * inv, g * inv, b * inv)
+            return Spec(tuple(sp.srgb_model_eval_t(c2, c1, c0, w) * scale_c
+                              for w in wavelengths.ch))
+        return Spec.splat((r + g + b) * (1.0 / 3.0), config.n_channels)
+
+    sig = lift(c[0], c[1], c[2])
+    alb = lift(c[3], c[4], c[5])
     in_med = med_idx >= 0
     return sig.masked(in_med), alb.masked(in_med), c[6], c[7]
 
@@ -77,7 +93,8 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     the returned weight includes transmittance / pdf for both outcomes.
     Heterogeneous: delta tracking against the grid majorant (weight 1).
     """
-    sig, alb, _, scale = _medium_coeffs(scene, med_idx, config)
+    sig, alb, _, scale = _medium_coeffs(scene, med_idx, config,
+                                        ray.wavelengths)
     in_med = med_idx >= 0
     C = config.n_channels
 
@@ -144,7 +161,8 @@ def _transition(scene, si, d_world, cur_med):
     return jnp.where(si.valid & (si.shape >= 0), new_med, cur_med)
 
 
-def eval_transmittance(scene, p, d, dist, med_idx, sampler, config):
+def eval_transmittance(scene, p, d, dist, med_idx, sampler, config,
+                       wavelengths=None):
     """Transmittance from p along d up to dist, passing through up to
     _MAX_NULL null boundaries (Scene::eval_transmittance in volpath.cpp).
 
@@ -164,7 +182,7 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config):
         si = scene_mod.ray_intersect(scene, ray)
         seg = jnp.where(si.valid, si.t, remaining)
         # medium attenuation over this segment
-        sig, _, _, scale = _medium_coeffs(scene, cur, config)
+        sig, _, _, scale = _medium_coeffs(scene, cur, config, wavelengths)
         seg_cl = jnp.minimum(seg, 1e20)
         if scene.medium_grid is None:
             seg_tr = (sig * (-scale * seg_cl)).map(jnp.exp)
@@ -230,7 +248,8 @@ def _vol_bounce(scene, config, depth, carry):
     (si, t_col, med_event, p_med, sampler, throughput, result,
      active) = _vol_flight(scene, config, depth, carry)
 
-    sig, alb, g_hg, _ = _medium_coeffs(scene, med, config)
+    sig, alb, g_hg, _ = _medium_coeffs(scene, med, config,
+                                       ray.wavelengths)
 
     # =========== medium interaction branch ===========================
     m_act = active & med_event
@@ -242,7 +261,7 @@ def _vol_bounce(scene, config, depth, carry):
                                           u_nee, u2_nee, config)
     tr_sh, sampler = eval_transmittance(
         scene, p_med + ds.d * 1e-4, ds.d, ds.dist * (1 - 1e-3), med,
-        sampler, config)
+        sampler, config, ray.wavelengths)
     ph_val = media_mod.phase_eval(g_hg, wi_med, ds.d)
     w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, ph_val))
     contrib = throughput * alb * e_val * tr_sh * \
@@ -266,7 +285,8 @@ def _vol_bounce(scene, config, depth, carry):
                                               config)
     tr_s, sampler = eval_transmittance(
         scene, si.p + si.n * (jnp.sign(vdot(si.n, ds_s.d)) * 1e-4),
-        ds_s.d, ds_s.dist * (1 - 1e-3), med, sampler, config)
+        ds_s.d, ds_s.dist * (1 - 1e-3), med, sampler, config,
+        si.wavelengths)
     wo_local = si.to_local(ds_s.d)
     f_val = bsdf_mod.eval_(scene, si, wo_local, config)
     f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)

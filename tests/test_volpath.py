@@ -173,3 +173,48 @@ def test_hg_phase_chi2():
                            sample_count=200_000, res=16, ires=16,
                            sample_dim=2)
     assert t.run(), "\n".join(t.messages)
+
+
+def test_spectral_medium_matches_rgb_gray():
+    """A gray medium must render identically (in expectation) in rgb and
+    spectral modes; a COLORED medium must tint the transmitted light in
+    spectral mode too (per-channel hero sigma, not gray fallback)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.core.geometry import Transform4
+    from mitsuba2_tpu.render.integrators import render
+    from mitsuba2_tpu.render import media as media_mod
+    from mitsuba2_tpu.scene import shapes
+    from mitsuba2_tpu.scene.scene import build_scene
+
+    def scene_with_medium(sigma):
+        cam = Transform4.look_at(origin=[0, -4, 0], target=[0, 0, 0],
+                                 up=[0, 0, 1])
+        cube = shapes.cube(bsdf={"type": "null"})
+        sc = build_scene(
+            [cube],
+            {"type": "perspective", "to_world": np.asarray(cam.matrix),
+             "fov": 30.0},
+            emitters=[{"type": "constant", "radiance": [1.0] * 3}])
+        mtype, mrow, _ = media_mod.pack_medium(
+            {"type": "homogeneous", "sigma_t": sigma, "albedo": [0.0] * 3})
+        return sc.replace(med_type=jnp.asarray([mtype]),
+                          med_data=jnp.asarray(mrow)[None],
+                          shape_interior=jnp.asarray([0], jnp.int32),
+                          has_media=True)
+
+    cfg = mi.RenderConfig(width=8, height=8, spp=128, spp_per_pass=64,
+                          max_depth=3, rr_depth=99, integrator="volpath")
+    # colored absorber: blue passes, red absorbed
+    sc = scene_with_medium([2.0, 1.0, 0.2])
+    img_rgb = np.asarray(render(sc, cfg, seed=1))
+    img_spec = np.asarray(render(sc, cfg.replace(color_mode="spectral"),
+                                 seed=1))
+    c_rgb = img_rgb[3:5, 3:5].mean(axis=(0, 1))
+    c_spec = img_spec[3:5, 3:5].mean(axis=(0, 1))
+    # both modes: strong blue-over-red tint
+    assert c_rgb[2] > 2.5 * c_rgb[0]
+    assert c_spec[2] > 2.0 * c_spec[0], c_spec
+    # and the two modes agree within spectral-upsampling tolerance
+    assert np.abs(c_spec - c_rgb).max() < 0.12, (c_rgb, c_spec)
