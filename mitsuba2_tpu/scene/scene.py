@@ -516,6 +516,10 @@ def _pick_backend(scene) -> str:
         return "brute"
     import jax
     if jax.devices()[0].platform == "tpu":
+        # NEVER pick "jnp" on TPU: the per-lane while_loop walker triggers a
+        # reproducible XLA:TPU device fault on the axon runtime (wedges the
+        # chip for hours). The Pallas packet kernel is the TPU big-scene
+        # path; the jnp walker serves CPU + oracle duty.
         return "pallas"
     return "jnp"
 
