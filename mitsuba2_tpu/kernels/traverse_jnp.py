@@ -141,12 +141,15 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max):
     N = jnp.shape(oz)[0]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
 
+    # The while cond reads only SCALAR carry entries: a vector reduction
+    # inside cond is the prime suspect for the XLA:TPU device fault this
+    # walker used to trigger (the reduction now happens in the body and is
+    # carried as a scalar).
     def cond(state):
-        node = state[0]
-        return jnp.any(node >= 0)
+        return state[0]
 
     def body(state):
-        node, t_hit, best, bu, bv = state
+        _, node, t_hit, best, bu, bv = state
         active = node >= 0
         nid = jnp.maximum(node, 0)
         leaf_start, leaf_count, miss_link, bmin, bmax = _node_fetch(scene, nid)
@@ -168,13 +171,14 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max):
 
         next_node = jnp.where(is_leaf | ~box_hit, miss_link, node + 1)
         next_node = jnp.where(active, next_node, node)
-        return next_node, new_t, new_best, new_u, new_v
+        return (jnp.any(next_node >= 0), next_node,
+                new_t, new_best, new_u, new_v)
 
-    init = (jnp.zeros(N, jnp.int32),
+    init = (jnp.asarray(True), jnp.zeros(N, jnp.int32),
             jnp.asarray(t_max, jnp.float32) * jnp.ones(N, jnp.float32),
             jnp.full(N, -1, jnp.int32),
             jnp.zeros(N, jnp.float32), jnp.zeros(N, jnp.float32))
-    node, t_hit, best, bu, bv = jax.lax.while_loop(cond, body, init)
+    _, node, t_hit, best, bu, bv = jax.lax.while_loop(cond, body, init)
     t_out = jnp.where(best >= 0, t_hit, jnp.inf)
     return t_out, best, bu, bv
 
@@ -191,11 +195,10 @@ def ray_test(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
 
     def cond(state):
-        node, occluded = state
-        return jnp.any((node >= 0) & ~occluded)
+        return state[0]  # scalar-only cond (see ray_intersect_preliminary)
 
     def body(state):
-        node, occluded = state
+        _, node, occluded = state
         active = (node >= 0) & ~occluded
         nid = jnp.maximum(node, 0)
         leaf_start, leaf_count, miss_link, bmin, bmax = _node_fetch(scene, nid)
@@ -214,8 +217,8 @@ def ray_test(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
         next_node = jnp.where(is_leaf | ~box_hit, miss_link, node + 1)
         next_node = jnp.where(active, next_node, node)
         next_node = jnp.where(occluded, -1, next_node)
-        return next_node, occluded
+        return jnp.any(next_node >= 0), next_node, occluded
 
-    init = (jnp.zeros(N, jnp.int32), jnp.zeros(N, bool))
-    _, occluded = jax.lax.while_loop(cond, body, init)
+    init = (jnp.asarray(True), jnp.zeros(N, jnp.int32), jnp.zeros(N, bool))
+    _, _, occluded = jax.lax.while_loop(cond, body, init)
     return occluded
