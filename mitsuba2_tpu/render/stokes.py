@@ -295,6 +295,8 @@ def sample_path_polarized(scene, ray, sampler, config: RenderConfig):
 
 @partial(jax.jit, static_argnames=("config",))
 def _polarized_pass(scene, config, seed):
+    from ..core import spectrum as sp_mod
+    from ..core.spec import Spec
     from .sampler import make_sampler
     H, W = config.height, config.width
     sppc = config.spp_per_pass
@@ -306,8 +308,18 @@ def _polarized_pass(scene, config, seed):
     y = (pix // W).astype(jnp.float32)
     jitter, sampler = sampler.next_2d()
     uv = sensors.film_uv(x, y, jitter, W, H)
-    ray = sensors.sample_ray(scene, uv, None, None)
+    if config.color_mode == "spectral":
+        u_wl, sampler = sampler.next_1d()
+        wl, wl_pdf = sp_mod.sample_hero_wavelengths_t(u_wl)
+    else:
+        wl = wl_pdf = None
+    ray = sensors.sample_ray(scene, uv, None, wavelengths=wl)
     s, _ = sample_path_polarized(scene, ray, sampler, config)
+    if config.color_mode == "spectral":
+        # per-Stokes-component hero-sample -> sRGB integration
+        s = jnp.stack([sp_mod.spectrum_to_srgb_t(
+            Spec(tuple(s[:, c, i] for c in range(config.n_channels))),
+            wl, wl_pdf).to_array() for i in range(4)], axis=-1)
     return s.reshape(sppc, H, W, s.shape[-2], s.shape[-1]).mean(0)
 
 

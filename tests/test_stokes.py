@@ -157,3 +157,21 @@ def test_polarized_conductor_reflection_polarizes():
     q = np.abs(s[3:5, 3:5, :, 1]).mean()
     assert i0 > 0.3            # gold reflects most of the env
     assert q / i0 > 0.02       # measurably polarized at oblique incidence
+
+
+def test_polarized_spectral_mode():
+    """Spectral polarized transport: hero-wavelength Stokes integrates to a
+    finite (H, W, 3, 4) sRGB Stokes image consistent with rgb mode."""
+    import numpy as np
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.stokes import render_polarized
+    from mitsuba2_tpu.scene.presets import cornell_box
+    cfg = mi.RenderConfig(width=8, height=8, spp=64, spp_per_pass=32,
+                          max_depth=3, rr_depth=99)
+    s_rgb = np.asarray(render_polarized(cornell_box(), cfg))
+    s_spec = np.asarray(render_polarized(
+        cornell_box(), cfg.replace(color_mode="spectral")))
+    assert s_rgb.shape == s_spec.shape == (8, 8, 3, 4)
+    assert np.isfinite(s_spec).all()
+    a, b = s_rgb[..., 0].mean(), s_spec[..., 0].mean()
+    assert abs(a - b) < 0.35 * max(a, b)  # independent MC estimators
