@@ -14,6 +14,15 @@ static (§7.3 item 3 — pack, don't shrink):
 Permuting EVERY per-lane state array (including the PCG32 sampler state)
 preserves each lane's computation bit-exactly; the integrator carries the
 original lane index and unsorts the radiance at the end.
+
+MEASURED (Cornell 256x256 spp16 depth-8 + RR, one TPU v5-lite chip):
+compaction costs 100x (112 ms -> 11.8 s per 4-pass render): the Morton
+argsort of 1M keys plus the full-carry gather-permute per bounce dwarf
+any coherence benefit, and the brute-force / block-packet intersectors
+get no divergence win from sorted rays anyway. Keep `config.compact`
+OFF on TPU with the current backends; it exists for the (round-2)
+per-lane walker, where aligned walk lengths would shorten the lockstep
+while_loop.
 """
 from __future__ import annotations
 
