@@ -1,0 +1,110 @@
+"""Standalone traversal microbenchmark on the BVH-bound scene.
+
+Measures raw closest-hit + any-hit Mrays/s of each intersection backend on
+mesh_gallery (~31k tris), with coherent (camera-like) and incoherent
+(random) wavefronts. Run it in a subprocess under `timeout` — traversal
+experiments are the TPU-wedge hazard class.
+
+    python benchmarks/traverse_bench.py [--backend jnp|pallas] [--n 262144]
+        [--subdiv 4] [--rounds 3] [--incoherent-only]
+"""
+import argparse
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _watchdog(sig, frame):
+    print(json.dumps({"error": "watchdog: dispatch hung"}), flush=True)
+    os._exit(2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--n", type=int, default=262144)
+    ap.add_argument("--subdiv", type=int, default=4)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--watchdog", type=int, default=420)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(args.watchdog)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mitsuba2_tpu.kernels import traverse_jnp, traverse_pallas
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+
+    scene = mesh_gallery(subdiv=args.subdiv)
+    print(f"# scene: {scene.n_prims} prims, "
+          f"{scene.bvh_miss.shape[0]} bvh nodes, device="
+          f"{jax.devices()[0].platform}", flush=True)
+
+    mod = traverse_jnp if args.backend == "jnp" else traverse_pallas
+    N = args.n
+    rng = np.random.default_rng(0)
+
+    # coherent wavefront: camera-ish rays from a point toward the scene
+    lo = np.asarray(scene.bvh_min)[0]
+    hi = np.asarray(scene.bvh_max)[0]
+    center = 0.5 * (lo + hi)
+    eye = center + np.asarray([0, 0.2, -2.8], np.float32)
+    targets = rng.uniform(lo, hi, (N, 3)).astype(np.float32)
+    d_coh = targets - eye
+    d_coh /= np.linalg.norm(d_coh, axis=1, keepdims=True)
+    o_coh = np.broadcast_to(eye, (N, 3)).astype(np.float32)
+
+    # incoherent wavefront: random origins in the box, random directions
+    o_inc = rng.uniform(lo, hi, (N, 3)).astype(np.float32)
+    d_inc = rng.normal(size=(N, 3)).astype(np.float32)
+    d_inc /= np.linalg.norm(d_inc, axis=1, keepdims=True)
+
+    results = {}
+    for tag, o, d in (("coherent", o_coh, d_coh), ("incoherent", o_inc, d_inc)):
+        o, d = jnp.asarray(o), jnp.asarray(d)
+
+        closest = jax.jit(lambda o, d: mod.ray_intersect_preliminary(
+            scene, o, d, jnp.inf))
+        anyhit = jax.jit(lambda o, d: mod.ray_test(scene, o, d, 2.0))
+
+        for name, fn in (("closest", closest), ("anyhit", anyhit)):
+            t0 = time.perf_counter()
+            out = fn(o, d)
+            jax.block_until_ready(out)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.rounds):
+                out = fn(o, d)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / args.rounds
+            mrays = N / dt / 1e6
+            key = f"{tag}_{name}"
+            results[key] = round(mrays, 2)
+            print(f"# {key}: {mrays:8.2f} Mrays/s  "
+                  f"({dt*1e3:7.2f} ms, compile {compile_s:.1f}s)", flush=True)
+        if args.backend == "jnp":
+            t, p, u, v, steps = mod.ray_intersect_preliminary(
+                scene, o, d, jnp.inf, with_steps=True)
+            steps = np.asarray(steps).reshape(-1, min(N, mod.CHUNK))[:, 0]
+            hits = float(np.isfinite(np.asarray(t)).mean())
+            print(f"#   hit rate {hits:.3f}; chunk steps: "
+                  f"min {steps.min()} mean {steps.mean():.0f} "
+                  f"max {steps.max()}", flush=True)
+
+    signal.alarm(0)
+    print(json.dumps({"backend": args.backend, "n": N,
+                      "prims": int(scene.n_prims), **results}))
+
+
+if __name__ == "__main__":
+    main()

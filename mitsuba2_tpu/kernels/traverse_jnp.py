@@ -1,32 +1,57 @@
-"""Per-lane BVH traversal + primitive intersection in pure jnp.
+"""Per-lane BVH traversal + primitive intersection in pure jnp (XLA).
 
-This is the oracle for the Pallas traversal kernel (SURVEY.md §4 oracle
-laddering) AND the production big-scene path on TPU for incoherent
-wavefronts: all lanes walk the threaded (skip-link) BVH in lockstep inside
-one `lax.while_loop`; each lane carries its own node cursor, so the step
-count is bounded by the longest single-lane walk (keep wavefronts Morton-
-sorted via kernels/compact.py to align walk lengths). It replaces
-mitsuba2's kd-tree/Embree/OptiX acceleration paths
-(include/mitsuba/render/kdtree.h, src/librender/scene_optix.inl).
+The TPU big-scene acceleration path, replacing mitsuba2's kd-tree /
+Embree / OptiX backends (include/mitsuba/render/kdtree.h,
+src/librender/scene_optix.inl). All lanes walk a threaded (skip-link)
+BVH in lockstep inside one `lax.while_loop`; each lane carries its own
+node cursor, so the step count is bounded by the longest single-lane
+walk within a chunk.
 
-All math is COMPONENT-PLANAR with 1-D table gathers — the measured TPU
-layout rules of core/vec.py and kernels/gather.py. Leaf visits test a
-fixed LEAF_K prim slots masked by the leaf count. Primitive types:
-0 = triangle (Möller–Trumbore, matching Mesh::ray_intersect_triangle
-semantics), 1 = sphere (stable quadratic).
+Design rules (all MEASURED on the axon TPU runtime, see kernels/gather.py
+and the round-1 history):
+
+1. EVERY table access is a rank-1 gather `col[idx]` from a pre-extracted
+   (B,) / (P,) column. The round-1 walker gathered (B, 3) rows
+   (`table[idx]` for tables > 4096 rows) — the scalar-core path at ~13 ms
+   per op, which made a single traversal dispatch take minutes and look
+   like a wedged device. Columns are sliced ONCE per trace, outside the
+   loop.
+2. ORDERED traversal: 8 per-octant threaded link tables
+   (scene/bvh.py::build_octant_links) visit the near child first, so the
+   running `t_best` culls far subtrees like the reference's ordered
+   kd-tree descent (kdtree.h::ray_intersect_preliminary).
+3. ONE prim test per step (state machine with a `rem` countdown) instead
+   of an unrolled LEAF_K block: a lane is either stepping nodes or
+   testing prims, never both, so the per-step gather count stays ~19
+   instead of ~45.
+4. CHUNKED lockstep: the wavefront is split into CHUNK-lane groups via
+   `lax.map`; each group's while_loop exits at ITS OWN longest walk, so
+   one pathological ray doesn't stall the whole million-lane wavefront.
+   Lane order is image order (spatially coherent), which keeps walk
+   lengths aligned within a chunk without any sorting.
+5. FUEL-BOUNDED loops: traversal provably terminates (each node is
+   visited at most once per ray), and a fuel counter in the loop
+   condition makes a hang impossible even under NaN/corrupt-index
+   conditions — a wedged-TPU hazard observed in round 1.
+
+Primitive types: 0 = triangle (Möller–Trumbore, matching
+Mesh::ray_intersect_triangle semantics), 1 = sphere (stable quadratic).
 """
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..scene.bvh import LEAF_K
+from ..scene.bvh import LEAF_K  # noqa: F401  (re-exported; tests import it)
 from . import gather as gth
 
 PRIM_TRI = 0
 PRIM_SPHERE = 1
+
+# Lanes per lockstep group. Each group runs its own while_loop via lax.map,
+# exiting at the group's longest walk. 64k lanes saturate the VPU/memory
+# system while keeping groups spatially small in image order.
+CHUNK = 64 * 1024
 
 
 def _components(v):
@@ -35,13 +60,75 @@ def _components(v):
     return v[..., 0], v[..., 1], v[..., 2]
 
 
-def _intersect_planar(scene, pidx, ox, oy, oz, dx, dy, dz, t_max):
-    """Intersect rays against gathered prims (planar). pidx: (N,) int32;
-    negative indices are masked out. Returns (t, u, v), t = inf on miss."""
-    idx = jnp.maximum(pidx, 0)
-    p0x, p0y, p0z = gth.rows3(scene.prim_p0, idx)
-    e1x, e1y, e1z = gth.rows3(scene.prim_e1, idx)
-    e2x, e2y, e2z = gth.rows3(scene.prim_e2, idx)
+def _cols3(table):
+    """(M, 3) table -> three (M,) column copies (hoisted out of the loop)."""
+    return table[:, 0], table[:, 1], table[:, 2]
+
+
+def _safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                           jnp.where(d >= 0, 1e-20, -1e-20), d)
+
+
+class _SceneCols:
+    """Loop-invariant planar columns of the BVH + prim tables."""
+
+    def __init__(self, scene):
+        self.mnx, self.mny, self.mnz = _cols3(scene.bvh_min)
+        self.mxx, self.mxy, self.mxz = _cols3(scene.bvh_max)
+        # leaf_start/count packed into one word: start*8 + count for
+        # leaves (count <= LEAF_K = 4 fits in 3 bits), -1 for inner nodes
+        # -> one gather instead of two.
+        self.leafinfo = jnp.where(scene.bvh_leaf_start >= 0,
+                                  scene.bvh_leaf_start * 8 +
+                                  scene.bvh_leaf_count, -1)
+        self.miss = scene.bvh_miss
+        self.ordered = getattr(scene, "bvh_hit8", None) is not None
+        if self.ordered:
+            self.hit8 = scene.bvh_hit8
+            self.miss8 = scene.bvh_miss8
+        self.p0x, self.p0y, self.p0z = _cols3(scene.prim_p0)
+        self.e1x, self.e1y, self.e1z = _cols3(scene.prim_e1)
+        self.e2x, self.e2y, self.e2z = _cols3(scene.prim_e2)
+        self.ptype = scene.prim_type
+        self.has_spheres = scene.has_spheres
+        self.n_nodes = scene.bvh_miss.shape[0]
+        self.n_prims = scene.prim_p0.shape[0]
+
+    def node_links(self, nid, oct_idx):
+        """(hit, miss) continuation links for node `nid` per lane."""
+        if self.ordered:
+            li = nid * 8 + oct_idx
+            return gth.scalar(self.hit8, li), gth.scalar(self.miss8, li)
+        return nid + 1, gth.scalar(self.miss, nid)
+
+
+def _slab(c, nid, ox, oy, oz, ix, iy, iz, t_best):
+    """AABB slab test via six rank-1 gathers."""
+    g = gth.scalar
+    t0x = (g(c.mnx, nid) - ox) * ix
+    t1x = (g(c.mxx, nid) - ox) * ix
+    t0y = (g(c.mny, nid) - oy) * iy
+    t1y = (g(c.mxy, nid) - oy) * iy
+    t0z = (g(c.mnz, nid) - oz) * iz
+    t1z = (g(c.mxz, nid) - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.minimum(t0z, t1z))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                   jnp.maximum(t0y, t1y)),
+                       jnp.maximum(t0z, t1z))
+    return (tmin <= tmax) & (tmax > 0.0) & (tmin < t_best)
+
+
+def _prim_test(c, pidx, ox, oy, oz, dx, dy, dz, t_max):
+    """Single-prim intersection via rank-1 gathers of pre-extracted
+    columns. pidx: (N,) int32 (callers mask with index 0 + a predicate).
+    Returns (t, u, v); t = +inf on miss or t > t_max."""
+    g = gth.scalar
+    p0x, p0y, p0z = g(c.p0x, pidx), g(c.p0y, pidx), g(c.p0z, pidx)
+    e1x, e1y, e1z = g(c.e1x, pidx), g(c.e1y, pidx), g(c.e1z, pidx)
+    e2x, e2y, e2z = g(c.e2x, pidx), g(c.e2y, pidx), g(c.e2z, pidx)
 
     # --- Möller–Trumbore (mesh.h::ray_intersect_triangle) -------------------
     pvx = dy * e2z - dz * e2y
@@ -59,7 +146,7 @@ def _intersect_planar(scene, pidx, ox, oy, oz, dx, dy, dz, t_max):
     hit_tri = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t_tri > 0.0)
     t_tri = jnp.where(hit_tri, t_tri, jnp.inf)
 
-    if scene.has_spheres:
+    if c.has_spheres:
         # --- Sphere (center p0, radius e1.x); stable quadratic --------------
         r = e1x
         A = dx * dx + dy * dy + dz * dz
@@ -75,150 +162,200 @@ def _intersect_planar(scene, pidx, ox, oy, oz, dx, dy, dz, t_max):
         hi = jnp.maximum(t0, t1)
         t_sph = jnp.where(lo > 0.0, lo, hi)
         t_sph = jnp.where(ok & (t_sph > 0.0), t_sph, jnp.inf)
-        is_tri = gth.scalar(scene.prim_type, idx) == PRIM_TRI
+        is_tri = g(c.ptype, pidx) == PRIM_TRI
         t = jnp.where(is_tri, t_tri, t_sph)
         u = jnp.where(is_tri, u, 0.0)
         v = jnp.where(is_tri, v, 0.0)
     else:
         t = t_tri
 
-    t = jnp.where((pidx >= 0) & (t <= t_max), t, jnp.inf)
+    t = jnp.where(t <= t_max, t, jnp.inf)
     return t, u, v
 
 
-# Backwards-compatible packed-row API used by a few tests
+# ---------------------------------------------------------------------------
+# Backwards-compatible packed-row API (oracle duty in tests, reparam aux)
+# ---------------------------------------------------------------------------
+
+class _ColsFromScene(_SceneCols):
+    pass
+
+
 def intersect_prims(prim_idx, ray_o, ray_d, scene, t_max):
+    """Intersect rays against per-lane prims. Negative indices miss."""
+    c = _SceneCols(scene)
     ox, oy, oz = _components(ray_o)
     dx, dy, dz = _components(ray_d)
-    return _intersect_planar(scene, prim_idx, ox, oy, oz, dx, dy, dz, t_max)
+    t, u, v = _prim_test(c, jnp.maximum(prim_idx, 0),
+                         ox, oy, oz, dx, dy, dz, t_max)
+    t = jnp.where(prim_idx >= 0, t, jnp.inf)
+    return t, u, v
 
 
-def _node_fetch(scene, nid):
-    leaf_start = gth.scalar(scene.bvh_leaf_start, nid)
-    leaf_count = gth.scalar(scene.bvh_leaf_count, nid)
-    miss_link = gth.scalar(scene.bvh_miss, nid)
-    bnx, bny, bnz = gth.rows3(scene.bvh_min, nid)
-    bxx, bxy, bxz = gth.rows3(scene.bvh_max, nid)
-    return leaf_start, leaf_count, miss_link, (bnx, bny, bnz), (bxx, bxy, bxz)
+# ---------------------------------------------------------------------------
+# Lockstep walkers
+# ---------------------------------------------------------------------------
+
+def _chunked(fn, n_lanes, arrays):
+    """Run `fn` (tuple of (C,) arrays -> tuple of (C,) arrays) over the
+    wavefront in CHUNK-lane groups via lax.map. Padding lanes carry
+    t_max = -inf, which fails the root box test on their first step."""
+    if n_lanes <= CHUNK:
+        return fn(arrays)
+    pad = (-n_lanes) % CHUNK
+    if pad:
+        def _pad(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((pad,), fill, a.dtype)])
+        ox, oy, oz, dx, dy, dz, tm = arrays
+        arrays = (_pad(ox, 0.0), _pad(oy, 0.0), _pad(oz, 0.0),
+                  _pad(dx, 1.0), _pad(dy, 0.0), _pad(dz, 0.0),
+                  _pad(tm, -jnp.inf))
+    grouped = tuple(a.reshape(-1, CHUNK) for a in arrays)
+    outs = jax.lax.map(fn, grouped)
+    return tuple(o.reshape(-1)[:n_lanes] for o in outs)
 
 
-def _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_best):
-    t0x = (bmin[0] - ox) * ix
-    t1x = (bmax[0] - ox) * ix
-    t0y = (bmin[1] - oy) * iy
-    t1y = (bmax[1] - oy) * iy
-    t0z = (bmin[2] - oz) * iz
-    t1z = (bmax[2] - oz) * iz
-    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                   jnp.minimum(t0y, t1y)),
-                       jnp.minimum(t0z, t1z))
-    tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                   jnp.maximum(t0y, t1y)),
-                       jnp.maximum(t0z, t1z))
-    return (tmin <= tmax) & (tmax > 0.0) & (tmin < t_best)
-
-
-def _safe_inv(d):
-    return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
-                           jnp.where(d >= 0, 1e-20, -1e-20), d)
-
-
-def ray_intersect_preliminary(scene, ray_o, ray_d, t_max):
-    """Closest-hit traversal. Returns (t, prim_idx, u, v).
+def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, with_steps=False):
+    """Closest-hit traversal. Returns (t, prim_idx, u, v); t = inf on miss.
+    With with_steps=True additionally returns each lane's chunk's lockstep
+    step count (profiling aid for benchmarks/traverse_bench.py).
 
     DETACHED under AD: all inputs are stop_gradient'ed so the traversal's
     `lax.while_loop` never carries tangents (it cannot be transposed). This
     matches the reference's design point — OptiX intersections carry no
     gradients (SURVEY.md §3.3 "KEY LIMITATION"); geometry derivatives are
-    recovered differentiably in compute_surface_interaction (which re-derives
-    hit positions from prim data + barycentrics), and visibility gradients
-    come from the reparameterized integrator (diff/reparam.py).
+    recovered differentiably in compute_surface_interaction, and
+    visibility gradients come from diff/reparam.py.
     """
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
+    c = _SceneCols(scene)
     ox, oy, oz = _components(ray_o)
     dx, dy, dz = _components(ray_d)
     N = jnp.shape(oz)[0]
-    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    # provable upper bound on steps: every node visited and every prim
+    # tested at most once per lane; the fuel makes a hang structurally
+    # impossible even with corrupted indices/NaNs.
+    fuel_cap = jnp.int32(c.n_nodes + c.n_prims + 64)
 
-    # The while cond reads only SCALAR carry entries: a vector reduction
-    # inside cond is the prime suspect for the XLA:TPU device fault this
-    # walker used to trigger (the reduction now happens in the body and is
-    # carried as a scalar).
-    def cond(state):
-        return state[0]
+    def walk(arrays):
+        ox, oy, oz, dx, dy, dz, tm = arrays
+        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        oct_idx = ((dx < 0).astype(jnp.int32)
+                   | ((dy < 0).astype(jnp.int32) << 1)
+                   | ((dz < 0).astype(jnp.int32) << 2))
 
-    def body(state):
-        _, node, t_hit, best, bu, bv = state
-        active = node >= 0
-        nid = jnp.maximum(node, 0)
-        leaf_start, leaf_count, miss_link, bmin, bmax = _node_fetch(scene, nid)
-        is_leaf = leaf_start >= 0
+        def cond(s):
+            return s[0] & (s[-1] < fuel_cap)
 
-        box_hit = _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_hit)
+        def body(s):
+            _, cur, rem, pcur, t_best, best, bu, bv, fuel = s
+            in_leaf = rem > 0
+            node_phase = ~in_leaf & (cur >= 0)
+            nid = jnp.where(node_phase, cur, 0)
 
-        # Leaf: test LEAF_K prim slots
-        new_t, new_best, new_u, new_v = t_hit, best, bu, bv
-        for k in range(LEAF_K):
-            pidx = jnp.where(is_leaf & (k < leaf_count), leaf_start + k, -1)
-            tk, uk, vk = _intersect_planar(scene, pidx, ox, oy, oz,
-                                           dx, dy, dz, new_t)
-            closer = active & (tk < new_t)
-            new_t = jnp.where(closer, tk, new_t)
-            new_best = jnp.where(closer, jnp.maximum(pidx, 0), new_best)
-            new_u = jnp.where(closer, uk, new_u)
-            new_v = jnp.where(closer, vk, new_v)
+            # --- node step (lanes not inside a leaf) -----------------------
+            linfo = gth.scalar(c.leafinfo, nid)
+            hit, miss = c.node_links(nid, oct_idx)
+            box_hit = _slab(c, nid, ox, oy, oz, ix, iy, iz, t_best) \
+                & node_phase
+            is_leaf = linfo >= 0
+            enter_leaf = box_hit & is_leaf
+            descend = box_hit & ~is_leaf
+            ncur = jnp.where(node_phase,
+                             jnp.where(descend, hit, miss), cur)
+            nrem = jnp.where(enter_leaf, linfo & 7, rem)
+            npcur = jnp.where(enter_leaf, linfo >> 3, pcur)
 
-        next_node = jnp.where(is_leaf | ~box_hit, miss_link, node + 1)
-        next_node = jnp.where(active, next_node, node)
-        return (jnp.any(next_node >= 0), next_node,
-                new_t, new_best, new_u, new_v)
+            # --- prim step (lanes inside a leaf; disjoint from node step) --
+            pidx = jnp.where(in_leaf, pcur, 0)
+            tk, uk, vk = _prim_test(c, pidx, ox, oy, oz, dx, dy, dz, t_best)
+            closer = in_leaf & (tk < t_best)
+            t_best = jnp.where(closer, tk, t_best)
+            best = jnp.where(closer, pidx, best)
+            bu = jnp.where(closer, uk, bu)
+            bv = jnp.where(closer, vk, bv)
+            nrem = jnp.where(in_leaf, rem - 1, nrem)
+            npcur = jnp.where(in_leaf, pcur + 1, npcur)
 
-    init = (jnp.asarray(True), jnp.zeros(N, jnp.int32),
-            jnp.asarray(t_max, jnp.float32) * jnp.ones(N, jnp.float32),
-            jnp.full(N, -1, jnp.int32),
-            jnp.zeros(N, jnp.float32), jnp.zeros(N, jnp.float32))
-    _, node, t_hit, best, bu, bv = jax.lax.while_loop(cond, body, init)
-    t_out = jnp.where(best >= 0, t_hit, jnp.inf)
-    return t_out, best, bu, bv
+            alive = jnp.any((ncur >= 0) | (nrem > 0))
+            return (alive, ncur, nrem, npcur, t_best, best, bu, bv,
+                    fuel + 1)
+
+        n = ox.shape[0]
+        init = (jnp.asarray(True), jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                tm.astype(jnp.float32), jnp.full(n, -1, jnp.int32),
+                jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
+                jnp.int32(0))
+        out = jax.lax.while_loop(cond, body, init)
+        _, _, _, _, t_best, best, bu, bv, fuel = out
+        return (jnp.where(best >= 0, t_best, jnp.inf), best, bu, bv,
+                jnp.broadcast_to(fuel, (ox.shape[0],)))
+
+    res = _chunked(walk, N, (ox, oy, oz, dx, dy, dz, t_max))
+    if with_steps:
+        return res
+    return res[:4]
 
 
 def ray_test(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
-    """Any-hit (shadow) traversal with early lane termination. Detached
-    under AD like ray_intersect_preliminary (boolean output anyway)."""
+    """Any-hit (shadow) traversal with per-lane early termination.
+
+    Uses the canonical (unordered) skip links — visit order is irrelevant
+    for an occlusion query. Detached under AD like
+    ray_intersect_preliminary (boolean output anyway)."""
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
+    c = _SceneCols(scene)
     ox, oy, oz = _components(ray_o)
     dx, dy, dz = _components(ray_d)
     N = jnp.shape(oz)[0]
-    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    fuel_cap = jnp.int32(c.n_nodes + c.n_prims + 64)
 
-    def cond(state):
-        return state[0]  # scalar-only cond (see ray_intersect_preliminary)
+    def walk(arrays):
+        ox, oy, oz, dx, dy, dz, tm = arrays
+        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
 
-    def body(state):
-        _, node, occluded = state
-        active = (node >= 0) & ~occluded
-        nid = jnp.maximum(node, 0)
-        leaf_start, leaf_count, miss_link, bmin, bmax = _node_fetch(scene, nid)
-        is_leaf = leaf_start >= 0
+        def cond(s):
+            return s[0] & (s[-1] < fuel_cap)
 
-        box_hit = _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_max)
+        def body(s):
+            _, cur, rem, pcur, occ, fuel = s
+            in_leaf = rem > 0
+            node_phase = ~in_leaf & (cur >= 0) & ~occ
+            nid = jnp.where(node_phase, cur, 0)
 
-        hit_any = jnp.zeros_like(occluded)
-        for k in range(LEAF_K):
-            pidx = jnp.where(is_leaf & (k < leaf_count), leaf_start + k, -1)
-            tk, _, _ = _intersect_planar(scene, pidx, ox, oy, oz,
-                                         dx, dy, dz, t_max)
-            hit_any = hit_any | (active & jnp.isfinite(tk))
+            linfo = gth.scalar(c.leafinfo, nid)
+            miss = gth.scalar(c.miss, nid)
+            box_hit = _slab(c, nid, ox, oy, oz, ix, iy, iz, tm) & node_phase
+            is_leaf = linfo >= 0
+            enter_leaf = box_hit & is_leaf
+            descend = box_hit & ~is_leaf
+            ncur = jnp.where(node_phase,
+                             jnp.where(descend, nid + 1, miss), cur)
+            nrem = jnp.where(enter_leaf, linfo & 7, rem)
+            npcur = jnp.where(enter_leaf, linfo >> 3, pcur)
 
-        occluded = occluded | hit_any
-        next_node = jnp.where(is_leaf | ~box_hit, miss_link, node + 1)
-        next_node = jnp.where(active, next_node, node)
-        next_node = jnp.where(occluded, -1, next_node)
-        return jnp.any(next_node >= 0), next_node, occluded
+            test = in_leaf & ~occ
+            pidx = jnp.where(test, pcur, 0)
+            tk, _, _ = _prim_test(c, pidx, ox, oy, oz, dx, dy, dz, tm)
+            occ = occ | (test & jnp.isfinite(tk))
+            nrem = jnp.where(in_leaf, rem - 1, nrem)
+            npcur = jnp.where(in_leaf, pcur + 1, npcur)
+            nrem = jnp.where(occ, 0, nrem)
 
-    init = (jnp.asarray(True), jnp.zeros(N, jnp.int32), jnp.zeros(N, bool))
-    _, _, occluded = jax.lax.while_loop(cond, body, init)
-    return occluded
+            alive = jnp.any(~occ & ((ncur >= 0) | (nrem > 0)))
+            return alive, ncur, nrem, npcur, occ, fuel + 1
+
+        n = ox.shape[0]
+        init = (jnp.asarray(True), jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, bool), jnp.int32(0))
+        occ = jax.lax.while_loop(cond, body, init)[4]
+        return (occ,)
+
+    return _chunked(walk, N, (ox, oy, oz, dx, dy, dz, t_max))[0]

@@ -36,6 +36,71 @@ class BVH:
     prim_order: np.ndarray   # (P,) i32 permutation: new prim i = old prim_order[i]
 
 
+def children(bvh: BVH):
+    """Recover (left, right) child indices of every node from the canonical
+    DFS layout: left(i) = i + 1, right(i) = miss(i + 1) (the node visited
+    after the left subtree IS the right sibling). Leaves get (-1, -1)."""
+    n = bvh.miss.shape[0]
+    inner = bvh.leaf_start < 0
+    left = np.where(inner, np.arange(n, dtype=np.int64) + 1, -1)
+    right = np.where(inner, bvh.miss[np.minimum(left, n - 1)], -1)
+    return left.astype(np.int32), right.astype(np.int32)
+
+
+def build_octant_links(bvh: BVH):
+    """Direction-ordered threaded links: for each of the 8 ray-direction
+    octants, a DFS order that visits the NEAR child first (classic
+    multi-threaded/roped BVH, the ordered-traversal replacement for the
+    per-lane stack the reference's kd-tree keeps in
+    include/mitsuba/render/kdtree.h::ray_intersect). Near-first ordering
+    restores the t-culling power of ordered traversal, which a single
+    fixed skip-link order gives up.
+
+    Returns (hit8, miss8), each (N*8,) i32 flattened as node*8 + octant —
+    a flat 1-D layout so device lookups are rank-1 gathers (the measured
+    fast TPU pattern, kernels/gather.py). Octant bit k set means
+    ray.d[k] < 0.  hit8 = node entered when the box test passes (first
+    child for inner nodes; for leaves the continuation after its prims,
+    i.e. == miss8). miss8 = node after skipping the subtree; -1 = done.
+    """
+    n = bvh.miss.shape[0]
+    left, right = children(bvh)
+    inner = bvh.leaf_start < 0
+
+    cent = 0.5 * (bvh.bounds_min + bvh.bounds_max)  # (N, 3)
+    # Split axis of each inner node: the axis along which its children's
+    # centroids are farthest apart; fall back to axis 0 for leaves.
+    li = np.maximum(left, 0)
+    ri = np.maximum(right, 0)
+    sep = np.abs(cent[ri] - cent[li])               # (N, 3)
+    axis = np.argmax(sep, axis=1)                   # (N,)
+    left_is_lower = (np.take_along_axis(cent[li], axis[:, None], 1)
+                     <= np.take_along_axis(cent[ri], axis[:, None], 1))[:, 0]
+
+    hit8 = np.full((n, 8), -1, np.int32)
+    miss8 = np.full((n, 8), -1, np.int32)
+    for o in range(8):
+        # bit k of o set -> ray direction negative along axis k
+        neg = np.array([(o >> k) & 1 for k in range(3)], bool)
+        # visit the lower-coordinate child first iff direction is positive
+        left_first = left_is_lower ^ neg[axis]
+        first = np.where(left_first, left, right)
+        second = np.where(left_first, right, left)
+        # iterative DFS threading: stack of (node, continuation)
+        stack = [(0, -1)]
+        while stack:
+            node, nxt = stack.pop()
+            miss8[node, o] = nxt
+            if inner[node]:
+                f, s = int(first[node]), int(second[node])
+                hit8[node, o] = f
+                stack.append((s, nxt))
+                stack.append((f, s))
+            else:
+                hit8[node, o] = nxt  # leaf: continue past it after prims
+    return hit8.reshape(-1), miss8.reshape(-1)
+
+
 def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
               native: bool = True) -> BVH:
     """Binned-SAH BVH2 over primitive AABBs, flattened with miss links.

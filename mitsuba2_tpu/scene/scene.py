@@ -79,6 +79,10 @@ class SceneData:
     #        scene_bbox_cx, cy, cz, scene_bounding_radius]
     cam_data: jnp.ndarray = None
     cam_weight: jnp.ndarray = None  # () sensor importance (pi for irradiancemeter)
+    # --- octant-ordered threaded BVH links (bvh.py::build_octant_links) -------
+    # flat (B*8,) i32, node*8 + octant; None on scenes built before round 2
+    bvh_hit8: jnp.ndarray = None
+    bvh_miss8: jnp.ndarray = None
     # --- media ---------------------------------------------------------------------
     med_type: jnp.ndarray = None      # (Md,) i32
     med_data: jnp.ndarray = None      # (Md, MED_W)
@@ -213,6 +217,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     bb_min = np.where(is_sph[:, None], p0 - r, tri_min)
     bb_max = np.where(is_sph[:, None], p0 + r, tri_max)
     tree = bvh_mod.build_bvh(bb_min, bb_max)
+    oct_hit8, oct_miss8 = bvh_mod.build_octant_links(tree)
     perm = tree.prim_order
     p0, e1, e2 = p0[perm], e1[perm], e2[perm]
     n0, n1, n2 = n0[perm], n1[perm], n2[perm]
@@ -365,6 +370,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         bvh_min=dev(tree.bounds_min), bvh_max=dev(tree.bounds_max),
         bvh_leaf_start=dev(tree.leaf_start), bvh_leaf_count=dev(tree.leaf_count),
         bvh_miss=dev(tree.miss),
+        bvh_hit8=dev(oct_hit8), bvh_miss8=dev(oct_miss8),
         shape_mat=dev(np.asarray(shape_mat, np.int32)),
         shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
         mat_type=dev(np.asarray([mt[0] for mt in mats], np.int32)),
