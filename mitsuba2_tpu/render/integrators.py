@@ -260,13 +260,20 @@ def render_aovs(scene, config: RenderConfig,
     return pass_fn(scene, jnp.uint32(seed), tuple(aovs))
 
 
-def render_pass(scene, config: RenderConfig, seed) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One jitted pass: (spp_per_pass x H x W) lanes -> (H, W, C) + weights."""
+def render_pass(scene, config: RenderConfig, seed,
+                lane_offset=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One jitted pass: (spp_per_pass x H x W) lanes -> (H, W, C) + weights.
+
+    `lane_offset` shifts the global lane ids (and therefore every PCG32
+    stream): a pass sharded over D devices, each rendering spp/D samples at
+    offset d * (spp/D) * H * W with the SAME base seed, draws bit-identical
+    samples to the unsharded pass — the determinism contract the
+    distributed layer's tests rely on (dist/sharding.py)."""
     from .sampler import make_sampler
     H, W = config.height, config.width
     sppc = config.spp_per_pass
     n = sppc * H * W
-    lane = jnp.arange(n, dtype=jnp.uint32)
+    lane = jnp.asarray(lane_offset, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
     sampler = make_sampler(config.sampler, seed, lane, H * W, sppc)
 
     pix = jnp.arange(n, dtype=jnp.int32) % (H * W)
