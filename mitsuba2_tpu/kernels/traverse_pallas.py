@@ -43,7 +43,13 @@ _SUB, _LANE = 8, 128
 
 
 def _pack_tables(scene):
-    """SceneData BVH/prim arrays -> kernel tables (traced, fuses to copies)."""
+    """SceneData BVH/prim arrays -> kernel tables (traced, fuses to copies).
+
+    node_i rows: [leaf_start, leaf_count, miss, 0] (canonical order).
+    link_i rows: [hit8[0..7], miss8[0..7]] — the per-octant ordered threaded
+    links (scene/bvh.py::build_octant_links); the closest-hit kernel walks
+    the order of the block's majority direction octant so the near child is
+    visited first and the shrinking per-lane t_best culls far subtrees."""
     B = scene.bvh_min.shape[0]
     P = scene.prim_p0.shape[0]
     node_f = jnp.concatenate(
@@ -51,11 +57,20 @@ def _pack_tables(scene):
     node_i = jnp.stack(
         [scene.bvh_leaf_start, scene.bvh_leaf_count, scene.bvh_miss,
          jnp.zeros(B, jnp.int32)], -1)
+    if getattr(scene, "bvh_hit8", None) is not None:
+        link_i = jnp.concatenate(
+            [scene.bvh_hit8.reshape(B, 8), scene.bvh_miss8.reshape(B, 8)], -1)
+    else:  # legacy scene: canonical order for every octant
+        nxt = jnp.arange(B, dtype=jnp.int32) + 1
+        hit = jnp.where(scene.bvh_leaf_start >= 0, scene.bvh_miss, nxt)
+        link_i = jnp.concatenate(
+            [jnp.tile(hit[:, None], (1, 8)),
+             jnp.tile(scene.bvh_miss[:, None], (1, 8))], -1)
     prim_f = jnp.concatenate(
         [scene.prim_p0, scene.prim_e1, scene.prim_e2,
          scene.prim_type.astype(jnp.float32)[:, None],
          jnp.zeros((P, 2), jnp.float32)], -1)
-    return node_f, node_i, prim_f
+    return node_f, node_i, link_i, prim_f
 
 
 def _slab(nf, ox, oy, oz, ix, iy, iz, t_best):
@@ -125,7 +140,7 @@ def _prim_test(pr, ox, oy, oz, dx, dy, dz):
     return t, jnp.where(is_tri, u, 0.0), jnp.where(is_tri, v, 0.0)
 
 
-def _closest_hit_kernel(node_f, node_i, prim_f,
+def _closest_hit_kernel(node_f, node_i, link_i, prim_f,
                         ox, oy, oz, dx, dy, dz, tmax,
                         t_out, prim_out, u_out, v_out):
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
@@ -137,6 +152,17 @@ def _closest_hit_kernel(node_f, node_i, prim_f,
 
     ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
 
+    # Majority direction octant of the block (per-axis vote): with the
+    # wavefront sorted by (position, octant) all lanes agree; mixed blocks
+    # still get a usable order (correctness is octant-independent — only
+    # the culling efficiency varies).
+    half = jnp.float32(_SUB * _LANE) * 0.5
+    octv = ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
+            | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
+               .astype(jnp.int32) << 1)
+            | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
+               .astype(jnp.int32) << 2))
+
     def cond(state):
         node, _, _, _, _ = state
         return node >= 0
@@ -145,9 +171,11 @@ def _closest_hit_kernel(node_f, node_i, prim_f,
         node, t_best, best, bu, bv = state
         nf = node_f[pl.ds(node, 1), :]
         ni = node_i[pl.ds(node, 1), :]
+        li = link_i[pl.ds(node, 1), :]
         leaf_start = ni[0, 0]
         leaf_count = ni[0, 1]
-        miss = ni[0, 2]
+        hit_link = li[0, octv]
+        miss_link = li[0, 8 + octv]
         is_leaf = leaf_start >= 0
 
         hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
@@ -168,7 +196,8 @@ def _closest_hit_kernel(node_f, node_i, prim_f,
             is_leaf & hit_any, leaf_tests, lambda a: a,
             (t_best, best, bu, bv))
 
-        nxt = jnp.where(is_leaf | jnp.logical_not(hit_any), miss, node + 1)
+        nxt = jnp.where(is_leaf | jnp.logical_not(hit_any),
+                        miss_link, hit_link)
         return nxt, t_best, best, bu, bv
 
     init = (jnp.int32(0), tmax[:],
@@ -247,11 +276,11 @@ _ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
 _tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full table, replicated
 
 
-def _grid_call(kernel, n_blocks, out_shapes, interpret):
+def _grid_call(kernel, n_blocks, out_shapes, interpret, n_tables=3):
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[_tab_spec, _tab_spec, _tab_spec] + [_ray_spec] * 7,
+        in_specs=[_tab_spec] * n_tables + [_ray_spec] * 7,
         out_specs=tuple(_ray_spec for _ in out_shapes),
         out_shape=tuple(out_shapes),
         interpret=interpret,
@@ -274,7 +303,7 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
     n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
     n_blocks = n_pad // BLOCK
 
-    node_f, node_i, prim_f = _pack_tables(scene)
+    node_f, node_i, link_i, prim_f = _pack_tables(scene)
     args = [_blockify(ox, n_pad), _blockify(oy, n_pad),
             _blockify(oz, n_pad), _blockify(dx, n_pad),
             _blockify(dy, n_pad), _blockify(dz, n_pad),
@@ -285,7 +314,8 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
                        jax.ShapeDtypeStruct(sh, jnp.int32),
                        jax.ShapeDtypeStruct(sh, jnp.float32),
                        jax.ShapeDtypeStruct(sh, jnp.float32)],
-                      interpret)(node_f, node_i, prim_f, *args)
+                      interpret, n_tables=4)(node_f, node_i, link_i,
+                                             prim_f, *args)
     t, prim, u, v = (o.reshape(n_pad)[:N] for o in outs)
     return t, prim, u, v
 
@@ -304,7 +334,7 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
     n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
     n_blocks = n_pad // BLOCK
 
-    node_f, node_i, prim_f = _pack_tables(scene)
+    node_f, node_i, _, prim_f = _pack_tables(scene)
     args = [_blockify(ox, n_pad), _blockify(oy, n_pad),
             _blockify(oz, n_pad), _blockify(dx, n_pad),
             _blockify(dy, n_pad), _blockify(dz, n_pad),

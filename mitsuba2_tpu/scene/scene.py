@@ -530,6 +530,53 @@ def _pick_backend(scene) -> str:
     return "jnp"
 
 
+# Wavefront presort for the block-synchronous packet kernel: sort lanes by
+# (origin Morton cell, direction octant) so each 1024-lane block is
+# spatially and directionally coherent — the property the packet kernel
+# converts into node culling. The permutation is applied by carrying the
+# ray arrays as lax.sort PAYLOADS (multi-operand sort, ~15 ms/M lanes);
+# gather-based permutation would be ~10x slower on TPU (kernels/gather.py
+# measured rules). "auto" enables it for big-scene pallas wavefronts.
+_SORT_RAYS = "auto"
+_SORT_MIN_LANES = 16384
+
+
+def set_ray_sort(mode) -> None:
+    """Force wavefront presorting: True | False | 'auto'."""
+    global _SORT_RAYS
+    assert mode in (True, False, "auto")
+    _SORT_RAYS = mode
+
+
+def _want_sort(n_lanes: int) -> bool:
+    if _SORT_RAYS == "auto":
+        return n_lanes >= _SORT_MIN_LANES
+    return bool(_SORT_RAYS)
+
+
+def _sorted_pallas_intersect(scene, ray_o, ray_d, t_max):
+    from ..kernels import compact, traverse_pallas
+    ox, oy, oz = ray_o.x, ray_o.y, ray_o.z
+    dx, dy, dz = ray_d.x, ray_d.y, ray_d.z
+    n = ox.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    lo = scene.bvh_min[0]
+    hi = scene.bvh_max[0]
+    morton = compact.morton3(ray_o, lo, hi)
+    octant = ((dx < 0).astype(jnp.uint32)
+              | ((dy < 0).astype(jnp.uint32) << 1)
+              | ((dz < 0).astype(jnp.uint32) << 2))
+    key = ((morton >> 3) << 3) | octant  # 27 Morton bits + 3 octant bits
+    lane = jnp.arange(n, dtype=jnp.int32)
+    key, ox, oy, oz, dx, dy, dz, t_max, lane = jax.lax.sort(
+        (key, ox, oy, oz, dx, dy, dz, t_max, lane), num_keys=1)
+    t, prim, u, v = traverse_pallas.ray_intersect_preliminary(
+        scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
+    # unsort: original lane index as the sort key carries results back
+    _, t, prim, u, v = jax.lax.sort((lane, t, prim, u, v), num_keys=1)
+    return t, prim, u, v
+
+
 def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
     """Scene::ray_intersect — full wavefront closest hit + shading record."""
     from ..kernels import brute, traverse_jnp, traverse_pallas
@@ -537,8 +584,12 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
     if backend == "brute":
         t, prim, u, v = brute.ray_intersect_brute(scene, ray.o, ray.d, ray.maxt)
     elif backend == "pallas":
-        t, prim, u, v = traverse_pallas.ray_intersect_preliminary(
-            scene, ray.o, ray.d, ray.maxt)
+        if _want_sort(jnp.shape(ray.o.x)[0]):
+            t, prim, u, v = _sorted_pallas_intersect(
+                scene, ray.o, ray.d, ray.maxt)
+        else:
+            t, prim, u, v = traverse_pallas.ray_intersect_preliminary(
+                scene, ray.o, ray.d, ray.maxt)
     else:
         t, prim, u, v = traverse_jnp.ray_intersect_preliminary(
             scene, ray.o, ray.d, ray.maxt)

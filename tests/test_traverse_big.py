@@ -86,6 +86,26 @@ def test_ray_test_matches_brute(small_gallery):
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
 
 
+def test_sorted_pallas_wrapper_matches(small_gallery):
+    """The Morton/octant presort wrapper (scene.py::_sorted_pallas_intersect)
+    must return results in original lane order, equal to the oracle."""
+    from mitsuba2_tpu.scene import scene as scene_mod
+    from mitsuba2_tpu.core.vec import Vec3
+    scene = small_gallery
+    o, d = _random_rays(scene, 4096, seed=7)
+    ov = Vec3(o[:, 0], o[:, 1], o[:, 2])
+    dv = Vec3(d[:, 0], d[:, 1], d[:, 2])
+    t_s, p_s, u_s, v_s = scene_mod._sorted_pallas_intersect(
+        scene, ov, dv, jnp.inf)
+    t_r, p_r, u_r, v_r = traverse_jnp.ray_intersect_preliminary(
+        scene, ov, dv, jnp.inf)
+    hit_s, hit_r = np.isfinite(t_s), np.isfinite(t_r)
+    np.testing.assert_array_equal(np.asarray(hit_s), np.asarray(hit_r))
+    np.testing.assert_allclose(np.asarray(t_s)[np.asarray(hit_s)],
+                               np.asarray(t_r)[np.asarray(hit_r)],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_octant_links_structure(small_gallery):
     """Every octant's threaded order is a permutation reaching all nodes,
     and leaf hit links equal their miss links."""
