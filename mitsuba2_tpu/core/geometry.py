@@ -176,6 +176,34 @@ class Ray:
         return self.o + self.d * t
 
 
+@struct.dataclass
+class RayDifferential(Ray):
+    """Ray with the two offset rays of its pixel footprint
+    (include/mitsuba/core/ray.h::RayDifferential): o_x/d_x is the ray
+    through the +1-pixel-in-x film sample, o_y/d_y through +1 in y. Used
+    to derive `si.duv_dx/duv_dy` for texture-LOD filtering
+    (sensors/perspective.cpp::sample_ray_differential)."""
+    o_x: Vec3 = None
+    o_y: Vec3 = None
+    d_x: Vec3 = None
+    d_y: Vec3 = None
+
+    @property
+    def has_differentials(self) -> bool:
+        return self.o_x is not None
+
+    def scale_differential(self, amount):
+        """ray.h::scale_differential — shrink the footprint toward the main
+        ray (amount = 1/sqrt(spp): each sample covers 1/spp of a pixel)."""
+        if not self.has_differentials:
+            return self
+        return self.replace(
+            o_x=self.o + (self.o_x - self.o) * amount,
+            o_y=self.o + (self.o_y - self.o) * amount,
+            d_x=self.d + (self.d_x - self.d) * amount,
+            d_y=self.d + (self.d_y - self.d) * amount)
+
+
 def spawn_ray(p, d, n=None, maxt=None, wavelengths=None, time=None):
     """Offset ray origin along the geometric normal to avoid self-intersection
     (mirrors Interaction::spawn_ray, include/mitsuba/render/interaction.h)."""

@@ -57,8 +57,13 @@ def with_tables(scene, tables: Dict[str, jnp.ndarray]):
     scene = scene.replace(mat_data=tables["mat_data"],
                           emitter_data=tables["emitter_data"])
     if "tex_data" in tables:
-        scene = scene.replace(
-            textures=scene.textures.replace(data=tables["tex_data"]))
+        tex = scene.textures.replace(data=tables["tex_data"])
+        if tex.mips is not None:
+            # derived rebuild: the mip pyramid is a differentiable function
+            # of the texels, so texture gradients flow through every level
+            from ..render import texture as texture_mod
+            tex = tex.replace(mips=texture_mod.build_mips(tex.data, tex.info))
+        scene = scene.replace(textures=tex)
     if "env_image" in tables:
         scene = scene.replace(
             envmap=scene.envmap.replace(image=tables["env_image"],

@@ -39,6 +39,12 @@ def _set_table(scene, table: str, value):
     # one level of nesting (e.g. "textures.data")
     assert len(parts) == 2
     child = getattr(scene, parts[0]).replace(**{parts[1]: value})
+    if table == "textures.data" and getattr(child, "mips", None) is not None:
+        # derived rebuild (parameters_changed()): keep the mip pyramid in
+        # sync with the updated texels
+        from ..render import texture as texture_mod
+        child = child.replace(mips=texture_mod.build_mips(child.data,
+                                                          child.info))
     return scene.replace(**{parts[0]: child})
 
 

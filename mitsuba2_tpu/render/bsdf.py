@@ -104,8 +104,9 @@ def _lanes(si):
 
 
 def _spec(data, i, si, config) -> Spec:
+    duv = ((si.duv_dx, si.duv_dy) if si.duv_dx is not None else None)
     return eval_spectrum_slot(data.slot(i), si.wavelengths, config.color_mode,
-                              tex=si.tex, uv=si.uv)
+                              tex=si.tex, uv=si.uv, duv=duv)
 
 
 def _rgb_slot(rgb_or_desc, illuminant=False) -> np.ndarray:

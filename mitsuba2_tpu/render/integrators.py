@@ -132,6 +132,13 @@ def _path_bounce(scene, config: RenderConfig, depth, carry):
 
     active = active & si_next.valid
     si_next = si_next.replace(tex=None)  # keep the atlas out of the carry
+    if si.duv_dx is not None:
+        # carry-type stability: bounce rays carry no differentials — zero
+        # footprint = finest mip, the reference's behavior past the primary
+        # hit (interaction.h: differentials only from the camera ray)
+        from ..core.vec import Vec2 as _V2
+        z = jnp.zeros_like(si.duv_dx.x)
+        si_next = si_next.replace(duv_dx=_V2(z, z), duv_dy=_V2(z, z))
     return (si_next, active, throughput, result, sampler, orig)
 
 
@@ -295,7 +302,14 @@ def render_pass(scene, config: RenderConfig, seed,
         u_lens, sampler = sampler.next_2d()
     else:
         u_lens = None
-    ray = sensors.sample_ray(scene, uv, u_lens, wavelengths=wl)
+    if scene.textures is not None and scene.cam_type in sensors.HAS_DIFFERENTIALS:
+        # ray differentials for texture-LOD filtering; each sample covers
+        # 1/spp of a pixel (integrator.cpp's diff_scale_factor)
+        ray = sensors.sample_ray_differential(scene, uv, u_lens, W,
+                                              wavelengths=wl)
+        ray = ray.scale_differential(1.0 / jnp.sqrt(jnp.float32(config.spp)))
+    else:
+        ray = sensors.sample_ray(scene, uv, u_lens, wavelengths=wl)
     if config.integrator in ("volpath", "volpathmis") or scene.has_media:
         from .volpath import sample_path_vol
         spec, sampler = sample_path_vol(scene, ray, sampler, config)

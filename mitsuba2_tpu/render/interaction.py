@@ -49,6 +49,11 @@ class SurfaceInteraction:
     # Texture atlas reference (scene.textures), threaded through so textured
     # spectrum slots can gather at si.uv; None = scene has no textures.
     tex: object = None
+    # Screen-space uv derivatives (interaction.h::compute_uv_partials),
+    # present when the camera ray carried differentials; drives texture-LOD
+    # filtering in texture.eval_rgb. Planar Vec2 or None.
+    duv_dx: object = None
+    duv_dy: object = None
 
     def to_world(self, v) -> Vec3:
         return self.sh_frame.to_world(v)

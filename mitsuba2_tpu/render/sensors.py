@@ -140,7 +140,7 @@ NEEDS_APERTURE_SAMPLE = ("thinlens", "irradiancemeter")
 
 
 def sample_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
-    """Sensor::sample_ray_differential dispatch (static on cam_type)."""
+    """Sensor::sample_ray dispatch (static on cam_type)."""
     kind = scene.cam_type
     if kind == "perspective":
         return perspective_ray(scene, uv, wavelengths)
@@ -155,6 +155,34 @@ def sample_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
     if kind == "distant":
         return distant_ray(scene, uv, wavelengths)
     raise ValueError(f"unknown sensor type {kind!r}")
+
+
+# Sensors for which a one-pixel film offset defines a meaningful footprint
+HAS_DIFFERENTIALS = ("perspective", "thinlens", "orthographic")
+
+
+def sample_ray_differential(scene, uv, u_lens, film_width: int,
+                            wavelengths=None) -> Ray:
+    """Sensor::sample_ray_differential (sensor.cpp): the main ray plus the
+    rays through the film samples one pixel over in x and in y. film_uv
+    scales BOTH uv axes by 1/film_width (square pixels), so a one-pixel
+    offset is 1/film_width along either uv axis. Sensors without a film
+    footprint (meters, distant) return a plain Ray."""
+    from ..core.geometry import RayDifferential
+    kind = scene.cam_type
+    main = sample_ray(scene, uv, u_lens, wavelengths)
+    if kind not in HAS_DIFFERENTIALS:
+        return main
+    duv = 1.0 / film_width
+    uv_x = Vec2(uv.x + duv, uv.y)
+    uv_y = Vec2(uv.x, uv.y + duv)
+    # offset rays reuse the SAME aperture sample (thinlens): the footprint
+    # is the film-plane derivative at fixed lens position
+    rx = sample_ray(scene, uv_x, u_lens, wavelengths)
+    ry = sample_ray(scene, uv_y, u_lens, wavelengths)
+    return RayDifferential(o=main.o, d=main.d, maxt=main.maxt,
+                           time=main.time, wavelengths=main.wavelengths,
+                           o_x=rx.o, o_y=ry.o, d_x=rx.d, d_y=ry.d)
 
 
 def film_uv(x, y, jitter, width: int, height: int,

@@ -189,14 +189,15 @@ def _tex_value(rgb: Spec, wavelengths, color_mode) -> Spec:
                       for w in wavelengths.ch))
 
 
-def eval_spectrum_slot(slot, wavelengths, color_mode: str, tex=None, uv=None
-                       ) -> Spec:
+def eval_spectrum_slot(slot, wavelengths, color_mode: str, tex=None, uv=None,
+                       duv=None) -> Spec:
     """Device: evaluate a batch of spectrum slots -> planar Spec.
 
     slot: LaneRows view or (..., 8) array; wavelengths: Spec4 (ignored
     outside spectral mode); tex: optional TextureAtlas; uv: planar Vec2
-    surface uv (needed iff any slot may be textured). Channel count of the
-    result: 1 (mono), 3 (rgb), 4 (spectral).
+    surface uv (needed iff any slot may be textured); duv: optional
+    (duv_dx, duv_dy) screen-space footprint for mip-filtered lookups.
+    Channel count of the result: 1 (mono), 3 (rgb), 4 (spectral).
     """
     col = _colfn(slot)
     kind = col(7)
@@ -208,7 +209,7 @@ def eval_spectrum_slot(slot, wavelengths, color_mode: str, tex=None, uv=None
         kind_i = kind.astype(jnp.int32)
         is_tex = kind_i >= 2
         tid = jnp.maximum((kind_i - 2) // 2, 0)
-        rgb_t = texture_mod.eval_rgb(tex, tid, uv)
+        rgb_t = texture_mod.eval_rgb(tex, tid, uv, duv=duv)
         val_t = _tex_value(rgb_t, wavelengths, color_mode)
         val = swhere(is_tex, val_t, val)
         is_illum = is_illum | (is_tex & ((kind_i - 2) % 2 == 1))

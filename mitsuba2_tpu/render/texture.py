@@ -43,6 +43,15 @@ class TextureAtlas:
     data: jnp.ndarray  # (T, TH, TW, 3) f32 linear RGB
     info: jnp.ndarray  # (T, 4) f32: [height, width, wrap, filter]
     uvt: jnp.ndarray   # (T, 6) f32 affine uv transform [a,b,tx, c,d,ty]
+    # Mip pyramid for ray-differential texture filtering: all levels >= 1
+    # flattened into one (S, 3) array (level k texel (t, y, x) lives at
+    # level_offsets[k-1] + (t*TH_k + y)*TW_k + x). Built ON DEVICE from
+    # `data` by build_mips, so texture gradients flow through every level
+    # (diff/adjoint.with_tables rebuilds it after each update). None when
+    # built without differentials support (legacy snapshots).
+    mips: jnp.ndarray = None
+    level_offsets: tuple = struct.field(pytree_node=False, default=())
+    level_shapes: tuple = struct.field(pytree_node=False, default=())
 
 
 class TextureBuild:
@@ -110,6 +119,63 @@ def build_texture(desc: dict, name: str = "") -> TextureBuild:
     raise ValueError(f"unknown texture type {t!r}")
 
 
+def mip_level_geometry(TH: int, TW: int):
+    """Static pyramid geometry for a (TH, TW) atlas: shapes of levels >= 1
+    and their offsets into the flat mip array (per texture-count unit)."""
+    shapes = []
+    h, w = TH, TW
+    while h > 1 or w > 1:
+        h, w = max((h + 1) // 2, 1), max((w + 1) // 2, 1)
+        shapes.append((h, w))
+    offsets = []
+    acc = 0
+    for (h, w) in shapes:
+        offsets.append(acc)
+        acc += h * w
+    return tuple(shapes), tuple(offsets), acc
+
+
+def build_mips(data: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
+    """(T, TH, TW, 3) atlas -> flat (S, 3) pyramid of levels >= 1.
+
+    Pure jnp (differentiable): 2x2 average pooling weighted by a validity
+    mask so the zero padding beyond each texture's (h, w) content never
+    bleeds into averages. Rebuilt by diff/adjoint.with_tables after every
+    texture update, so gradients flow through all mip levels."""
+    T, TH, TW, _ = data.shape
+    shapes, offsets, _ = mip_level_geometry(TH, TW)
+    ys = jnp.arange(TH)[None, :, None]
+    xs = jnp.arange(TW)[None, None, :]
+    mask = ((ys < info[:, 0, None, None]) &
+            (xs < info[:, 1, None, None])).astype(jnp.float32)
+
+    def pool(x, h, w):
+        # pad to even, 2x2 mean via reshape (sum; normalization by mask)
+        ph, pw = h % 2, w % 2
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw)) + ((0, 0),) * (x.ndim - 3))
+        nh, nw = (h + ph) // 2, (w + pw) // 2
+        if x.ndim == 4:
+            x = x.reshape(T, nh, 2, nw, 2, x.shape[-1]).sum((2, 4))
+        else:
+            x = x.reshape(T, nh, 2, nw, 2).sum((2, 4))
+        return x, nh, nw
+
+    levels = []
+    cur = data * mask[..., None]
+    cm = mask
+    h, w = TH, TW
+    for (lh, lw) in shapes:
+        cur, nh, nw = pool(cur, h, w)
+        cm, _, _ = pool(cm, h, w)
+        h, w = nh, nw
+        assert (h, w) == (lh, lw), ((h, w), (lh, lw))
+        avg = cur / jnp.maximum(cm, 1e-8)[..., None]
+        levels.append((avg * (cm[..., None] > 0)).reshape(T * lh * lw, 3))
+        # carry sums (not averages) downward so deeper levels stay exact
+    return jnp.concatenate(levels, axis=0)
+
+
 def pack_atlas(textures: List[TextureBuild]) -> Optional[TextureAtlas]:
     """Pad all staged textures to a common (TH, TW) and stack the atlas."""
     if not textures:
@@ -124,8 +190,12 @@ def pack_atlas(textures: List[TextureBuild]) -> Optional[TextureAtlas]:
         data[i, :h, :w] = t.data
         info[i] = [h, w, t.wrap, t.filter]
         uvt[i] = t.uvt
-    return TextureAtlas(data=jnp.asarray(data), info=jnp.asarray(info),
-                        uvt=jnp.asarray(uvt))
+    shapes, offsets, _ = mip_level_geometry(TH, TW)
+    data_j = jnp.asarray(data)
+    info_j = jnp.asarray(info)
+    return TextureAtlas(data=data_j, info=info_j, uvt=jnp.asarray(uvt),
+                        mips=build_mips(data_j, info_j),
+                        level_offsets=offsets, level_shapes=shapes)
 
 
 # ---------------------------------------------------------------------------
@@ -144,13 +214,19 @@ def _wrap_coord(i, n, wrap):
                      jnp.where(wrap == WRAP_CLAMP, clp, mir))
 
 
-def eval_rgb(atlas: TextureAtlas, tid, uv):
+def eval_rgb(atlas: TextureAtlas, tid, uv, duv=None):
     """Batched texture lookup: (N,) texture ids + planar Vec2 uv -> Spec RGB.
 
     Mirrors bitmap.cpp's eval: uv transform, wrap, bilinear/nearest. v runs
     top-down (row 0 = v just above 0), matching the reference's image
     orientation convention. Fully planar: per-channel (N,) gathers keep the
     TPU lanes dense (core/vec.py layout note).
+
+    `duv`: optional (duv_dx, duv_dy) planar Vec2 pair from ray
+    differentials (si.duv_dx/duv_dy). When present and the atlas carries a
+    mip pyramid, lookups are trilinearly filtered over the screen-space
+    footprint — the texture-LOD machinery the reference derives from
+    Sensor::sample_ray_differential (sensors/perspective.cpp).
     """
     from ..core.spec import Spec
     from ..core.vec import as_vec2
@@ -169,34 +245,93 @@ def eval_rgb(atlas: TextureAtlas, tid, uv):
 
     flat = atlas.data.reshape(T * TH * TW, 3)
 
-    def fetch(yi, xi):
+    def bilinear(fetch, hh, ww):
+        """Bilinear sample at (u, v) from a level with content (hh, ww)."""
+        x = u * ww - 0.5
+        y = v * hh - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        c00 = fetch(y0, x0, hh, ww)
+        c01 = fetch(y0, x0 + 1, hh, ww)
+        c10 = fetch(y0 + 1, x0, hh, ww)
+        c11 = fetch(y0 + 1, x0 + 1, hh, ww)
+        return tuple(
+            (c00[c] * (1 - fx) + c01[c] * fx) * (1 - fy) +
+            (c10[c] * (1 - fx) + c11[c] * fx) * fy
+            for c in range(3))
+
+    def fetch0(yi, xi, hh, ww):
         # ROW gather (fast vectorized path) + slices; a per-column
         # flat[idx, c] gather lowers to the scalar core (kernels/gather.py)
-        yi = _wrap_coord(yi, h, wrap)
-        xi = _wrap_coord(xi, w, wrap)
+        yi = _wrap_coord(yi, hh, wrap)
+        xi = _wrap_coord(xi, ww, wrap)
         r = flat[(tid * TH + yi) * TW + xi]
         return r[..., 0], r[..., 1], r[..., 2]
 
-    # nearest
+    # nearest + base bilinear (level 0); nearest applies at level 0 only —
+    # once the footprint spans multiple texels, filtering overrides it
+    # (matters for `checkerboard`, a 2x2 nearest texture)
+    is_near = filt == FILTER_NEAREST
     xn = jnp.floor(u * w).astype(jnp.int32)
     yn = jnp.floor(v * h).astype(jnp.int32)
-    near = fetch(yn, xn)
+    near = fetch0(yn, xn, h, w)
+    bil0 = bilinear(fetch0, h, w)
+    base = tuple(jnp.where(is_near, near[c], bil0[c]) for c in range(3))
 
-    # bilinear (texel centers at (i + 0.5) / n)
-    x = u * w - 0.5
-    y = v * h - 0.5
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    c00 = fetch(y0, x0)
-    c01 = fetch(y0, x0 + 1)
-    c10 = fetch(y0 + 1, x0)
-    c11 = fetch(y0 + 1, x0 + 1)
-    is_near = filt == FILTER_NEAREST
-    out = []
-    for c in range(3):
-        bil = ((c00[c] * (1 - fx) + c01[c] * fx) * (1 - fy) +
-               (c10[c] * (1 - fx) + c11[c] * fx) * fy)
-        out.append(jnp.where(is_near, near[c], bil))
-    return Spec(tuple(out))
+    use_mips = (duv is not None and atlas.mips is not None
+                and len(atlas.level_shapes) > 0)
+    if use_mips:
+        duv_dx, duv_dy = duv
+        # footprint in texel units, through the linear part of the uv
+        # transform (level-0 content resolution)
+        hf = h.astype(jnp.float32)
+        wf = w.astype(jnp.float32)
+
+        def texel_len(dv):
+            du_ = uvt[0] * dv.x + uvt[1] * dv.y
+            dv_ = uvt[3] * dv.x + uvt[4] * dv.y
+            return jnp.sqrt((du_ * wf) ** 2 + (dv_ * hf) ** 2)
+
+        rho = jnp.maximum(jnp.maximum(texel_len(duv_dx), texel_len(duv_dy)),
+                          1e-8)
+        n_levels = len(atlas.level_shapes)  # levels >= 1
+        lod = jnp.clip(jnp.log2(rho), 0.0, float(n_levels))
+        l0 = jnp.floor(lod).astype(jnp.int32)      # 0 = base level
+        lfrac = lod - l0
+
+        mflat = atlas.mips
+        offs = jnp.asarray(atlas.level_offsets, jnp.int32)
+        lth = jnp.asarray([s[0] for s in atlas.level_shapes], jnp.int32)
+        ltw = jnp.asarray([s[1] for s in atlas.level_shapes], jnp.int32)
+
+        def sample_level(lvl):
+            """Bilinear at mip level lvl (lvl >= 1; per-lane)."""
+            li = jnp.clip(lvl - 1, 0, n_levels - 1)
+            off = gth.scalar(offs, li)
+            th_l = gth.scalar(lth, li)
+            tw_l = gth.scalar(ltw, li)
+            sh = jnp.minimum(li + 1, 30)
+            hh = jnp.maximum((h + (1 << sh) - 1) >> sh, 1)
+            ww = jnp.maximum((w + (1 << sh) - 1) >> sh, 1)
+
+            def fetch_l(yi, xi, hh, ww):
+                yi = _wrap_coord(yi, hh, wrap)
+                xi = _wrap_coord(xi, ww, wrap)
+                r = mflat[off + (tid * th_l + yi) * tw_l + xi]
+                return r[..., 0], r[..., 1], r[..., 2]
+
+            return bilinear(fetch_l, hh, ww)
+
+        lo = sample_level(l0)       # l0 == 0 -> replaced by base below
+        hi_ = sample_level(l0 + 1)
+        use_base = l0 == 0
+        tri = tuple(
+            jnp.where(use_base, base[c], lo[c]) * (1 - lfrac) +
+            hi_[c] * lfrac
+            for c in range(3))
+    else:
+        tri = base
+
+    return Spec(tri)

@@ -488,6 +488,40 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
 
     sh_frame = Frame.from_n(ns)
     wi_world = -ray.d
+
+    # --- screen-space uv partials (interaction.h::compute_uv_partials) ------
+    # Present iff the camera ray carried differentials: intersect the two
+    # offset rays with the tangent plane at p, convert the position deltas
+    # to barycentric deltas via the 2x2 normal equations of (e1, e2), then
+    # to uv deltas through the triangle's uv parameterization.
+    duv_dx = duv_dy = None
+    if getattr(ray, "o_x", None) is not None:
+        a11 = e1x * e1x + e1y * e1y + e1z * e1z
+        a12 = e1x * e2x + e1y * e2y + e1z * e2z
+        a22 = e2x * e2x + e2y * e2y + e2z * e2z
+        det = a11 * a22 - a12 * a12
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, jnp.inf, det)
+
+        def plane_delta(o_off, d_off):
+            denom = d_off.x * ngx + d_off.y * ngy + d_off.z * ngz
+            denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.inf, denom)
+            tt = ((ptx - o_off.x) * ngx + (pty - o_off.y) * ngy +
+                  (ptz - o_off.z) * ngz) / denom
+            dpx = o_off.x + d_off.x * tt - ptx
+            dpy = o_off.y + d_off.y * tt - pty
+            dpz = o_off.z + d_off.z * tt - ptz
+            b1 = dpx * e1x + dpy * e1y + dpz * e1z
+            b2 = dpx * e2x + dpy * e2y + dpz * e2z
+            du_b = (a22 * b1 - a12 * b2) * inv_det
+            dv_b = (a11 * b2 - a12 * b1) * inv_det
+            ok = valid & (ptype == PRIM_TRI) & jnp.isfinite(tt)
+            return Vec2(
+                jnp.where(ok, (u1x - u0x) * du_b + (u2x - u0x) * dv_b, 0.0),
+                jnp.where(ok, (u1y - u0y) * du_b + (u2y - u0y) * dv_b, 0.0))
+
+        duv_dx = plane_delta(ray.o_x, ray.d_x)
+        duv_dy = plane_delta(ray.o_y, ray.d_y)
+
     si = SurfaceInteraction(
         valid=valid,
         t=jnp.where(valid, pi.t, jnp.inf),
@@ -496,7 +530,8 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
         shape=jnp.where(valid, _gth.scalar(scene.prim_shape, idx), -1),
         prim_index=jnp.where(valid, idx, -1),
         wavelengths=ray.wavelengths,
-        tex=scene.textures)
+        tex=scene.textures,
+        duv_dx=duv_dx, duv_dy=duv_dy)
     return si
 
 
