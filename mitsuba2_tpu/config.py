@@ -39,10 +39,23 @@ class RenderConfig:
     integrator: str = "path"          # path | volpath
     remat: bool = False               # checkpoint each bounce (adjoint memory)
     compact: bool = False             # sort wavefront between bounces (kernels/compact.py)
+    # The reference's `_double` variant family: "float64" renders with the
+    # scene upcast to f64; JAX type promotion then carries f64 through the
+    # shading/emission arithmetic (requires jax_enable_x64 — use
+    # jax.enable_x64(True) around the render). Intended for
+    # high-precision FD gradient oracles, not production.
+    dtype: str = "float32"            # float32 | float64
 
     def __post_init__(self):
         if self.color_mode not in COLOR_MODES:
             raise ValueError(f"unknown color_mode {self.color_mode!r}")
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"unknown dtype {self.dtype!r}")
+
+    @property
+    def float_dtype(self):
+        import jax.numpy as jnp
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
 
     @property
     def n_channels(self) -> int:

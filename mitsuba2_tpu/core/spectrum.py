@@ -36,34 +36,61 @@ N_HERO = 4  # hero wavelengths per lane in spectral mode
 # Computed once at import with high-resolution quadrature.
 
 
-def _gauss_piecewise(x, mu, s1, s2):
-    """Piecewise gaussian with different left/right std (Wyman et al.)."""
-    s = jnp.where(x < mu, s1, s2)
-    t = (x - mu) / s
-    return jnp.exp(-0.5 * t * t)
+# --- CIE 1931 / D65 data tables (core/cie_data.py; spectrum.h cie1931_tbl,
+# resources/data D65 SPD). Device lookups interpolate the 5 nm tables with
+# a one-hot-matmul row fetch (kernels/gather.py::onehot_rows) — gather-free,
+# since real gathers run at ~0.1 G elem/s on TPU. The pair tables stack
+# row k and row k+1 so one matmul yields both lerp endpoints.
+from . import cie_data as _cie
+
+_CIE_TBL = _cie.CIE_1931_TBL.astype(np.float32)          # (95, 3)
+# D65 normalized to UNIT LUMINANCE (the reference's d65 plugin convention,
+# src/spectra/d65.cpp): an illuminant slot of radiance (1,1,1) then
+# integrates to exactly RGB (1,1,1) through the spectral pipeline — the
+# property the furnace test pins down.
+_D65_LUM = float((_cie.D65_TBL * _cie.CIE_1931_TBL[:, 1]).sum()
+                 / _cie.CIE_1931_TBL[:, 1].sum())
+_D65_TBL = (_cie.D65_TBL / _D65_LUM).astype(np.float32)  # (95,)
+_CIE_PAIR = np.concatenate(
+    [_CIE_TBL, np.vstack([_CIE_TBL[1:], _CIE_TBL[-1:]])], axis=1)  # (95, 6)
+_D65_PAIR = np.stack(
+    [_D65_TBL, np.append(_D65_TBL[1:], _D65_TBL[-1])], axis=1)     # (95, 2)
+
+
+def _tbl_lerp_t(pair_tbl, wl):
+    """Planar table lerp: (M, 2K) pair table at (N,) wl -> K (N,) outputs.
+    Zero outside [CIE_MIN, CIE_MAX] (spectrum.h::cie1931_xyz semantics)."""
+    from ..kernels import gather as gth
+    t = (wl - _cie.CIE_MIN) / _cie.CIE_STEP
+    i = jnp.clip(jnp.floor(t), 0, _cie.CIE_COUNT - 1)
+    f = jnp.clip(t - i, 0.0, 1.0)
+    rows = gth.onehot_rows(jnp.asarray(pair_tbl), i.astype(jnp.int32))
+    k = pair_tbl.shape[1] // 2
+    inside = (wl >= _cie.CIE_MIN) & (wl <= _cie.CIE_MAX)
+    return tuple(
+        jnp.where(inside,
+                  rows[..., c] * (1.0 - f) + rows[..., k + c] * f, 0.0)
+        for c in range(k))
 
 
 def cie1931_xyz(wl):
     """CIE 1931 2-deg XYZ color matching functions at wavelength wl (nm).
 
-    Analytic fit (Wyman et al. 2013). Returns (..., 3)."""
-    x = (1.056 * _gauss_piecewise(wl, 599.8, 37.9, 31.0)
-         + 0.362 * _gauss_piecewise(wl, 442.0, 16.0, 26.7)
-         - 0.065 * _gauss_piecewise(wl, 501.1, 20.4, 26.2))
-    y = (0.821 * _gauss_piecewise(wl, 568.8, 46.9, 40.5)
-         + 0.286 * _gauss_piecewise(wl, 530.9, 16.3, 31.1))
-    z = (1.217 * _gauss_piecewise(wl, 437.0, 11.8, 36.0)
-         + 0.681 * _gauss_piecewise(wl, 459.0, 26.0, 13.8))
+    Linear interpolation of the 5 nm table. Returns (..., 3)."""
+    x, y, z = _tbl_lerp_t(_CIE_PAIR, wl)
     return jnp.stack([x, y, z], axis=-1)
 
 
 def cie1931_y(wl):
-    return (0.821 * _gauss_piecewise(wl, 568.8, 46.9, 40.5)
-            + 0.286 * _gauss_piecewise(wl, 530.9, 16.3, 31.1))
+    return _tbl_lerp_t(_CIE_PAIR, wl)[1]
 
 
-_wl_grid = np.linspace(WAVELENGTH_MIN, WAVELENGTH_MAX, 941)
-CIE_Y_INTEGRAL = float(np.trapezoid(np.asarray(cie1931_y(jnp.asarray(_wl_grid))), _wl_grid))
+# Trapezoid integral of the tabulated ybar: the CIE luminous normalization
+# (reference: MTS_CIE_Y_NORMALIZATION; canonical value ~106.857).
+CIE_Y_INTEGRAL = float(np.trapezoid(
+    _cie.interp_table(_cie.CIE_1931_TBL[:, 1],
+                      np.linspace(_cie.CIE_MIN, _cie.CIE_MAX, 941)),
+    np.linspace(_cie.CIE_MIN, _cie.CIE_MAX, 941)))
 
 # XYZ <-> linear sRGB (D65 white, Rec.709 primaries) — same matrices as the
 # reference (src/libcore/spectrum.cpp :: xyz_to_srgb).
@@ -106,15 +133,9 @@ def luminance_rgb(rgb):
 # of the (..., C) functions above, used inside the render pass.
 
 def cie1931_xyz_t(wl):
-    """Elementwise CIE XYZ at one wavelength channel — returns a 3-tuple."""
-    x = (1.056 * _gauss_piecewise(wl, 599.8, 37.9, 31.0)
-         + 0.362 * _gauss_piecewise(wl, 442.0, 16.0, 26.7)
-         - 0.065 * _gauss_piecewise(wl, 501.1, 20.4, 26.2))
-    y = (0.821 * _gauss_piecewise(wl, 568.8, 46.9, 40.5)
-         + 0.286 * _gauss_piecewise(wl, 530.9, 16.3, 31.1))
-    z = (1.217 * _gauss_piecewise(wl, 437.0, 11.8, 36.0)
-         + 0.681 * _gauss_piecewise(wl, 459.0, 26.0, 13.8))
-    return x, y, z
+    """Elementwise CIE XYZ at one wavelength channel — returns a 3-tuple.
+    Table-interpolated (one-hot matmul; gather-free on TPU)."""
+    return _tbl_lerp_t(_CIE_PAIR, wl)
 
 
 def luminance_t(r, g, b):
@@ -240,16 +261,13 @@ def blackbody_radiance(wl_nm, temperature):
 
 
 # ---------------------------------------------------------------------------
-# CIE D65 illuminant. We use a smooth approximation: Planck at 6504 K CCT
-# normalized to unit luminance — adequate because both sides of every golden
-# test use the same illuminant (documented deviation from the tabulated D65;
-# the reference ships the measured table in resources/data).
+# CIE D65 illuminant: the measured 5 nm table (cie_data.D65_TBL), scaled so
+# D65(560 nm) = 1. (The name `d65_approx` is kept from round 1, when this
+# was a 6504 K-blackbody stand-in; it is now table-exact.)
 # ---------------------------------------------------------------------------
 
 def d65_approx(wl):
-    val = blackbody_radiance(wl, 6503.5)
-    ref = blackbody_radiance(jnp.asarray(560.0), 6503.5)
-    return val / ref
+    return _tbl_lerp_t(_D65_PAIR, wl)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -298,22 +316,12 @@ _FIT_WL = np.linspace(WAVELENGTH_MIN, WAVELENGTH_MAX, 95)
 
 
 def _host_cie_xyz(wl):
-    def g(x, mu, s1, s2):
-        s = np.where(x < mu, s1, s2)
-        return np.exp(-0.5 * ((x - mu) / s) ** 2)
-    x = 1.056 * g(wl, 599.8, 37.9, 31.0) + 0.362 * g(wl, 442.0, 16.0, 26.7) \
-        - 0.065 * g(wl, 501.1, 20.4, 26.2)
-    y = 0.821 * g(wl, 568.8, 46.9, 40.5) + 0.286 * g(wl, 530.9, 16.3, 31.1)
-    z = 1.217 * g(wl, 437.0, 11.8, 36.0) + 0.681 * g(wl, 459.0, 26.0, 13.8)
-    return np.stack([x, y, z], axis=-1)
+    return _cie.interp_table(_cie.CIE_1931_TBL, wl)
 
 
 def _host_d65(wl):
-    h, c, kb = 6.62607015e-34, 2.99792458e8, 1.380649e-23
-    lam = wl * 1e-9
-    val = 1.0 / (lam ** 5 * (np.exp(h * c / (kb * lam * 6503.5)) - 1.0))
-    ref = 1.0 / ((560e-9) ** 5 * (np.exp(h * c / (kb * 560e-9 * 6503.5)) - 1.0))
-    return val / ref
+    # luminance-normalized, matching the device table (_D65_TBL note)
+    return _cie.interp_table(_cie.D65_TBL, wl) / _D65_LUM
 
 
 # Precompute the projection: reflectance spectrum -> linear sRGB under D65

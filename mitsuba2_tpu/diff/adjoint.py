@@ -94,8 +94,8 @@ def _forward_all(scene, config, seed, n_passes):
         return (acc[0] + img_p, acc[1] + w_p), None
 
     H, W = config.height, config.width
-    img0 = jnp.zeros((H, W, config.n_image_channels), jnp.float32)
-    w0 = jnp.zeros((H, W) if config.rfilter != "box" else (), jnp.float32)
+    img0 = jnp.zeros((H, W, config.n_image_channels), config.float_dtype)
+    w0 = jnp.zeros((H, W) if config.rfilter != "box" else (), config.float_dtype)
     (image, wsum), _ = jax.lax.scan(body, (img0, w0),
                                     _pass_seeds(seed, n_passes))
     return image, wsum

@@ -141,8 +141,8 @@ def render_and_grad_sharded(scene, config: RenderConfig,
                                      lane_offset=offset)
             return (acc[0] + img_p, acc[1] + w_p), None
 
-        img0 = jnp.zeros((H, W, config.n_image_channels), jnp.float32)
-        w0 = jnp.zeros((H, W) if config.rfilter != "box" else (), jnp.float32)
+        img0 = jnp.zeros((H, W, config.n_image_channels), config.float_dtype)
+        w0 = jnp.zeros((H, W) if config.rfilter != "box" else (), config.float_dtype)
         (img, w), _ = jax.lax.scan(fwd_body, (img0, w0), seed_arr)
         img = jax.lax.psum(img, "d")
         w = jax.lax.psum(w, "d")

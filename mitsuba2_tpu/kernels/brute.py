@@ -87,10 +87,11 @@ def ray_intersect_brute(scene, ray_o, ray_d, t_max) -> Tuple[jnp.ndarray, ...]:
     dx, dy, dz = _split(ray_d)
     N = jnp.shape(oz)[0]
     P = scene.n_prims
-    t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    fdt = scene.prim_p0.dtype  # f64 under the _double variant (config.py)
+    t_best = jnp.broadcast_to(jnp.asarray(t_max, fdt), (N,))
     prim = jnp.full(N, -1, jnp.int32)
-    bu = jnp.zeros(N, jnp.float32)
-    bv = jnp.zeros(N, jnp.float32)
+    bu = jnp.zeros(N, fdt)
+    bv = jnp.zeros(N, fdt)
 
     # fori_loop over prims: iterations pipeline with other kernels on this
     # runtime; a fully unrolled single fusion measured SLOWER (register

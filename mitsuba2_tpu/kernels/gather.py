@@ -58,6 +58,17 @@ def _g1(col, idx):
     return col[idx]
 
 
+def onehot_rows(table, idx):
+    """(M, K) table + (N,) int idx -> (N, K) rows via a one-hot matmul.
+
+    Gather-free forward for SMALL tables on TPU: a one-hot (N, M) against
+    the table runs on the MXU in one pass, vs ~7 ns/element for a real
+    gather (the measured 0.1 G elem/s scalar-core wall). Use for hot-path
+    lookups into tables of <= ~128 rows (e.g. the CIE 5 nm tables)."""
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+    return oh @ jnp.asarray(table)
+
+
 def rows(table, idx, cols):
     """Gather `cols` (tuple of column ids) of `table` rows at per-lane
     `idx`. Returns a tuple of (N,) arrays, one per requested column."""

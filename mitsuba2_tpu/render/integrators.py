@@ -277,6 +277,18 @@ def render_pass(scene, config: RenderConfig, seed,
     samples to the unsharded pass — the determinism contract the
     distributed layer's tests rely on (dist/sharding.py)."""
     from .sampler import make_sampler
+    if config.dtype == "float64":
+        # `_double` variant: upcast the scene; jnp promotion carries f64
+        # through every scene-derived computation (config.py dtype note)
+        import jax as _jax
+        if not _jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "dtype='float64' requires x64: wrap the render in "
+                "jax.enable_x64(True)")
+        scene = _jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, scene)
     H, W = config.height, config.width
     sppc = config.spp_per_pass
     n = sppc * H * W
@@ -323,8 +335,8 @@ def render_pass(scene, config: RenderConfig, seed,
     else:
         rgb = spec
 
-    image = jnp.zeros((H, W, config.n_image_channels), jnp.float32)
-    wsum = jnp.zeros((H, W) if config.rfilter != "box" else (), jnp.float32)
+    image = jnp.zeros((H, W, config.n_image_channels), config.float_dtype)
+    wsum = jnp.zeros((H, W) if config.rfilter != "box" else (), config.float_dtype)
     image, wsum = film_mod.accumulate_pass(image, wsum, rgb, jitter, config)
     return image, wsum
 
@@ -352,8 +364,8 @@ def _render_all_passes_jit(scene, config, seed, n_passes):
         return (acc[0] + img_p, acc[1] + w_p), None
 
     H, W = config.height, config.width
-    img0 = jnp.zeros((H, W, config.n_image_channels), jnp.float32)
-    w0 = jnp.zeros((H, W) if config.rfilter != "box" else (), jnp.float32)
+    img0 = jnp.zeros((H, W, config.n_image_channels), config.float_dtype)
+    w0 = jnp.zeros((H, W) if config.rfilter != "box" else (), config.float_dtype)
     (image, wsum), _ = jax.lax.scan(body, (img0, w0), seeds)
     return image, wsum
 
