@@ -1,12 +1,20 @@
-"""Benchmark: Mrays/s on the Cornell box (BASELINE.md protocol).
+"""Benchmark: Mrays/s on the Cornell box + the BVH-bound mesh gallery.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
 Runs on whatever accelerator jax exposes (the driver runs it on one TPU
 chip). Rays counted: primary + per-bounce (shadow + bounce) wavefront rays,
 i.e. lanes * (1 + 2*(max_depth-1)) per pass — every lane pays lockstep
 traversal cost, so this is the honest per-chip work metric. Compilation is
-excluded (warmup pass); forward only (forward+adjoint reported once the
-adjoint integrator lands).
+excluded (warmup pass).
+
+Metrics:
+- cornell_box_fwd_mrays_per_s: 32-prim scene (brute-force intersector) —
+  measures shading + wavefront machinery throughput.
+- mesh_gallery_fwd_mrays_per_s: ~31k-tri scene (BVH traversal path) —
+  measures the acceleration structure, the reference's kd-tree/OptiX
+  territory (VERDICT.md round-2 item 2).
+- cornell_box_fwd_adjoint_mrays_per_s: forward + two-phase adjoint
+  (BASELINE.md protocol reports forward and forward+adjoint separately).
 """
 import json
 import os
@@ -17,54 +25,85 @@ import time
 
 def _watchdog(sig, frame):
     print("bench.py watchdog: TPU backend unresponsive (device init or "
-          "dispatch hung >8 min) — the remote axon TPU can wedge after a "
+          "dispatch hung) — the remote axon TPU can wedge after a "
           "device fault; re-run on a healthy chip", file=sys.stderr)
     os._exit(1)
+
+
+def _emit(metric, value, unit="Mrays/s"):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        # no published reference numbers exist (BASELINE.md); ratio vs the
+        # first recorded value of this bench once one exists
+        "vs_baseline": 1.0,
+    }), flush=True)
 
 
 def main():
     # fail fast instead of hanging the driver if the TPU runtime is wedged
     signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(480)
+    signal.alarm(900)
     import jax
     import jax.numpy as jnp
 
     import mitsuba2_tpu as mi
+    from mitsuba2_tpu.diff.adjoint import render_l2_grad
     from mitsuba2_tpu.render.integrators import _render_all_passes_jit
-    from mitsuba2_tpu.scene.presets import cornell_box
+    from mitsuba2_tpu.scene.presets import cornell_box, mesh_gallery
 
+    # ---- 1) Cornell box, forward ------------------------------------------
     scene = cornell_box()
     config = mi.RenderConfig(width=256, height=256, spp=64, spp_per_pass=16,
                              max_depth=4, rr_depth=8)
-
     n_lanes = config.width * config.height * config.spp_per_pass
     rays_per_pass = n_lanes * (1 + 2 * (config.max_depth - 1))
     n_passes = config.spp // config.spp_per_pass
 
-    # warmup / compile (the whole spp-64 render is ONE dispatch: pass loop
-    # is a lax.scan inside the program, so tunnel round-trips don't count
-    # against device throughput)
     img, w = _render_all_passes_jit(scene, config, 0, n_passes)
     jax.block_until_ready((img, w))
-
     reps = 3
     t0 = time.perf_counter()
     for r in range(reps):
         img, w = _render_all_passes_jit(scene, config, r + 1, n_passes)
     jax.block_until_ready((img, w))
-    t1 = time.perf_counter()
+    dt = time.perf_counter() - t0
+    _emit("cornell_box_fwd_mrays_per_s",
+          rays_per_pass * n_passes * reps / dt / 1e6)
 
-    total_rays = rays_per_pass * n_passes * reps
-    mrays = total_rays / (t1 - t0) / 1e6
+    # ---- 2) Mesh gallery (~31k tris), forward: the BVH-bound path ---------
+    gallery = mesh_gallery(subdiv=4)
+    gcfg = mi.RenderConfig(width=256, height=256, spp=16, spp_per_pass=4,
+                           max_depth=3, rr_depth=8)
+    g_lanes = gcfg.width * gcfg.height * gcfg.spp_per_pass
+    g_rays_pass = g_lanes * (1 + 2 * (gcfg.max_depth - 1))
+    g_passes = gcfg.spp // gcfg.spp_per_pass
+
+    img, w = _render_all_passes_jit(gallery, gcfg, 0, g_passes)
+    jax.block_until_ready((img, w))
+    t0 = time.perf_counter()
+    g_reps = 2
+    for r in range(g_reps):
+        img, w = _render_all_passes_jit(gallery, gcfg, r + 1, g_passes)
+    jax.block_until_ready((img, w))
+    dt = time.perf_counter() - t0
+    _emit("mesh_gallery_fwd_mrays_per_s",
+          g_rays_pass * g_passes * g_reps / dt / 1e6)
+
+    # ---- 3) Cornell box, forward + adjoint --------------------------------
+    target = jnp.zeros((config.height, config.width, 3), jnp.float32)
+    out = render_l2_grad(scene, config, target, seed=0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = render_l2_grad(scene, config, target, seed=1)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    # forward pass + adjoint re-trace both traverse the full wavefront
+    _emit("cornell_box_fwd_adjoint_mrays_per_s",
+          2 * rays_per_pass * n_passes / dt / 1e6)
+
     signal.alarm(0)
-    print(json.dumps({
-        "metric": "cornell_box_fwd_mrays_per_s",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        # no published reference numbers exist (BASELINE.md); ratio vs the
-        # first recorded value of this bench once one exists
-        "vs_baseline": 1.0,
-    }))
 
 
 if __name__ == "__main__":

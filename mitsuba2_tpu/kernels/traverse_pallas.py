@@ -162,20 +162,29 @@ def _closest_hit_kernel(node_f, node_i, link_i, prim_f,
                .astype(jnp.int32) << 1)
             | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
                .astype(jnp.int32) << 2))
+    # Slice this block's octant link columns ONCE (dynamic-start slice).
+    # Per-node `li[0, octv]` dynamic scalar indexing is avoided: it
+    # miscompiled on real TPU (garbage links -> unterminated walk, chip
+    # wedge); a whole-column pl.ds slice is a supported pattern.
+    hit_col = link_i[:, pl.ds(octv, 1)]        # (B, 1)
+    miss_col = link_i[:, pl.ds(8 + octv, 1)]   # (B, 1)
+    # Fuel: a correct threaded walk visits each node at most once; the cap
+    # makes an unterminated loop (e.g. corrupted links) structurally
+    # impossible — a runaway device loop wedges the whole chip for hours.
+    fuel_cap = node_f.shape[0] + 64
 
     def cond(state):
-        node, _, _, _, _ = state
-        return node >= 0
+        node, fuel, _, _, _, _ = state
+        return (node >= 0) & (fuel < fuel_cap)
 
     def body(state):
-        node, t_best, best, bu, bv = state
+        node, fuel, t_best, best, bu, bv = state
         nf = node_f[pl.ds(node, 1), :]
         ni = node_i[pl.ds(node, 1), :]
-        li = link_i[pl.ds(node, 1), :]
         leaf_start = ni[0, 0]
         leaf_count = ni[0, 1]
-        hit_link = li[0, octv]
-        miss_link = li[0, 8 + octv]
+        hit_link = jax.lax.dynamic_slice(hit_col, (node, 0), (1, 1))[0, 0]
+        miss_link = jax.lax.dynamic_slice(miss_col, (node, 0), (1, 1))[0, 0]
         is_leaf = leaf_start >= 0
 
         hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
@@ -198,13 +207,13 @@ def _closest_hit_kernel(node_f, node_i, link_i, prim_f,
 
         nxt = jnp.where(is_leaf | jnp.logical_not(hit_any),
                         miss_link, hit_link)
-        return nxt, t_best, best, bu, bv
+        return nxt, fuel + 1, t_best, best, bu, bv
 
-    init = (jnp.int32(0), tmax[:],
+    init = (jnp.int32(0), jnp.int32(0), tmax[:],
             jnp.full((_SUB, _LANE), -1, jnp.int32),
             jnp.zeros((_SUB, _LANE), jnp.float32),
             jnp.zeros((_SUB, _LANE), jnp.float32))
-    _, t_best, best, bu, bv = jax.lax.while_loop(cond, body, init)
+    _, _, t_best, best, bu, bv = jax.lax.while_loop(cond, body, init)
     t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
     prim_out[:] = best
     u_out[:] = bu
@@ -223,14 +232,16 @@ def _any_hit_kernel(node_f, node_i, prim_f,
 
     ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
 
+    fuel_cap = node_f.shape[0] + 64  # see closest-hit kernel fuel note
+
     # occupancy carried as f32 0/1: Mosaic mis-lowers unrolled i1-vector
     # accumulation chains (vector<8x128x32xi1> internal failure on real TPU)
     def cond(state):
-        node, occ_f = state
-        return (node >= 0) & (jnp.min(occ_f) < 1.0)
+        node, fuel, occ_f = state
+        return (node >= 0) & (fuel < fuel_cap) & (jnp.min(occ_f) < 1.0)
 
     def body(state):
-        node, occ_f = state
+        node, fuel, occ_f = state
         nf = node_f[pl.ds(node, 1), :]
         ni = node_i[pl.ds(node, 1), :]
         leaf_start = ni[0, 0]
@@ -253,10 +264,11 @@ def _any_hit_kernel(node_f, node_i, prim_f,
         occ_f = jax.lax.cond(is_leaf & hit_any, leaf_tests,
                              lambda o: o, occ_f)
         nxt = jnp.where(is_leaf | jnp.logical_not(hit_any), miss, node + 1)
-        return nxt, occ_f
+        return nxt, fuel + 1, occ_f
 
-    init = (jnp.int32(0), jnp.zeros((_SUB, _LANE), jnp.float32))
-    _, occ_f = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), jnp.int32(0),
+            jnp.zeros((_SUB, _LANE), jnp.float32))
+    _, _, occ_f = jax.lax.while_loop(cond, body, init)
     occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
 
 
