@@ -39,6 +39,13 @@ class RenderConfig:
     integrator: str = "path"          # path | volpath
     remat: bool = False               # checkpoint each bounce (adjoint memory)
     compact: bool = False             # sort wavefront between bounces (kernels/compact.py)
+    # Reparameterized transport (diff/reparam.py, pathreparam branch /
+    # Loubet 2019): warp NEE + BSDF-sampled directions (and camera rays)
+    # so visibility discontinuities become stationary — geometry/pose
+    # gradients include the boundary term at EVERY bounce. Expensive
+    # (K_AUX auxiliary traces per reparameterized direction); off for
+    # forward rendering.
+    reparam: bool = False
     # The reference's `_double` variant family: "float64" renders with the
     # scene upcast to f64; JAX type promotion then carries f64 through the
     # shading/emission arithmetic (requires jax_enable_x64 — use

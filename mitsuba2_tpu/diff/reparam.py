@@ -167,43 +167,59 @@ def _radiance_at(scene, o, d, wavelengths, config):
     return swhere(si.valid, L_hit, L_env)
 
 
+def _reparam_pass(scene, config: RenderConfig, sppc: int, seed_p):
+    H, W = config.height, config.width
+    sg = jax.lax.stop_gradient
+    n = sppc * H * W
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    sampler = Sampler.seed(seed_p, lane_idx=lane)
+    pix = jnp.arange(n, dtype=jnp.int32) % (H * W)
+    x = (pix % W).astype(jnp.float32)
+    y = (pix // W).astype(jnp.float32)
+    jitter, sampler = sampler.next_2d()
+    uv = sensors.film_uv(x, y, jitter, W, H)
+    ray = sensors.sample_ray(scene, uv, None, None)
+    o, d = ray.o, ray.d
+
+    V, det = warp_and_divergence(scene, o, d)
+    # reparameterized direction: primal d, tangent follows the warp
+    d_rep = vnormalize(d + (V - sg(V)))
+
+    L = _radiance_at(scene, o, d_rep, None, config)
+    vals = (L * det).to_array()
+    return vals.reshape(sppc, H, W, -1).mean(0)
+
+
+@partial(jax.jit, static_argnames=("config", "sppc", "n_passes"))
+def _reparam_all_passes(scene, config, sppc, seed, n_passes):
+    seeds = (jnp.uint32(seed) * jnp.uint32(0x9E3779B1) +
+             jnp.arange(n_passes, dtype=jnp.uint32))
+
+    def body(acc, s):
+        return acc + _reparam_pass(scene, config, sppc, s), None
+
+    H, W = config.height, config.width
+    acc0 = jnp.zeros((H, W, config.n_image_channels), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, seeds)
+    return acc / n_passes
+
+
 def render_direct_reparam(scene, config: RenderConfig, seed: int = None
                           ) -> jnp.ndarray:
-    """Primary-visibility render with reparameterized camera rays.
+    """Primary-visibility render with reparameterized camera rays, fully
+    jitted (one dispatch; lax.scan over passes).
 
     Differentiable w.r.t. the scene's geometry tables INCLUDING the
     visibility boundary term. Forward value equals the plain direct
     render (the warp's primal part cancels; the det factor's primal is 1).
+
+    For boundary gradients at EVERY path vertex (NEE + BSDF directions),
+    use the full path integrator with RenderConfig(reparam=True) —
+    render/integrators.py wires this module's warp into each bounce.
     """
     if seed is None:
         seed = config.seed
-    H, W = config.height, config.width
     sppc = min(config.spp_per_pass, config.spp)
     n_passes = (config.spp + sppc - 1) // sppc
-    sg = jax.lax.stop_gradient
-
-    def one_pass(seed_p):
-        n = sppc * H * W
-        lane = jnp.arange(n, dtype=jnp.uint32)
-        sampler = Sampler.seed(seed_p, lane_idx=lane)
-        pix = jnp.arange(n, dtype=jnp.int32) % (H * W)
-        x = (pix % W).astype(jnp.float32)
-        y = (pix // W).astype(jnp.float32)
-        jitter, sampler = sampler.next_2d()
-        uv = sensors.film_uv(x, y, jitter, W, H)
-        ray = sensors.sample_ray(scene, uv, None, None)
-        o, d = ray.o, ray.d
-
-        V, det = warp_and_divergence(scene, o, d)
-        # reparameterized direction: primal d, tangent follows the warp
-        d_rep = vnormalize(d + (V - sg(V)))
-
-        L = _radiance_at(scene, o, d_rep, None, config)
-        vals = (L * det).to_array()
-        return vals.reshape(sppc, H, W, -1).mean(0)
-
-    acc = None
-    for p in range(n_passes):
-        img = one_pass(jnp.uint32((seed * 0x9E3779B1 + p) & 0xFFFFFFFF))
-        acc = img if acc is None else acc + img
-    return acc / n_passes
+    return _reparam_all_passes(scene, config, sppc, seed & 0xFFFFFFFF,
+                               n_passes)

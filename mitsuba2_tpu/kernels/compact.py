@@ -12,8 +12,11 @@ static (§7.3 item 3 — pack, don't shrink):
   converts into node-culling efficiency.
 
 Permuting EVERY per-lane state array (including the PCG32 sampler state)
-preserves each lane's computation bit-exactly; the integrator carries the
-original lane index and unsorts the radiance at the end.
+preserves each lane's sampling DECISIONS exactly (the PCG32 streams are
+untouched); the arithmetic results agree to allclose, not bit-exactly —
+XLA fuses the permuted pass differently, so float rounding can differ in
+the last ulp (tests/test_compact.py pins rtol=1e-5). The integrator
+carries the original lane index and unsorts the radiance at the end.
 
 MEASURED (Cornell 256x256 spp16 depth-8 + RR, one TPU v5-lite chip):
 compaction costs 100x (112 ms -> 11.8 s per 4-pass render): the Morton

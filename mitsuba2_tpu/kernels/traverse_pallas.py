@@ -162,16 +162,23 @@ def _closest_hit_kernel(node_f, node_i, link_i, prim_f,
                .astype(jnp.int32) << 1)
             | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
                .astype(jnp.int32) << 2))
-    # Slice this block's octant link columns ONCE (dynamic-start slice).
-    # Per-node `li[0, octv]` dynamic scalar indexing is avoided: it
-    # miscompiled on real TPU (garbage links -> unterminated walk, chip
-    # wedge); a whole-column pl.ds slice is a supported pattern.
-    hit_col = link_i[:, pl.ds(octv, 1)]        # (B, 1)
-    miss_col = link_i[:, pl.ds(8 + octv, 1)]   # (B, 1)
     # Fuel: a correct threaded walk visits each node at most once; the cap
     # makes an unterminated loop (e.g. corrupted links) structurally
     # impossible — a runaway device loop wedges the whole chip for hours.
     fuel_cap = node_f.shape[0] + 64
+
+    def _pick_links(li):
+        """Select this block's octant columns from a (1, 16) link row with
+        STATIC indices only: Mosaic miscompiles dynamic scalar indexing
+        (li[0, octv] read garbage on real TPU -> unterminated walk, chip
+        wedge), and lax.dynamic_slice on values has no TC lowering."""
+        hit = li[0, 0]
+        miss = li[0, 8]
+        for k in range(1, 8):
+            sel = octv == k
+            hit = jnp.where(sel, li[0, k], hit)
+            miss = jnp.where(sel, li[0, 8 + k], miss)
+        return hit, miss
 
     def cond(state):
         node, fuel, _, _, _, _ = state
@@ -183,8 +190,7 @@ def _closest_hit_kernel(node_f, node_i, link_i, prim_f,
         ni = node_i[pl.ds(node, 1), :]
         leaf_start = ni[0, 0]
         leaf_count = ni[0, 1]
-        hit_link = jax.lax.dynamic_slice(hit_col, (node, 0), (1, 1))[0, 0]
-        miss_link = jax.lax.dynamic_slice(miss_col, (node, 0), (1, 1))[0, 0]
+        hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
         is_leaf = leaf_start >= 0
 
         hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
@@ -296,6 +302,11 @@ def _grid_call(kernel, n_blocks, out_shapes, interpret, n_tables=3):
         out_specs=tuple(_ray_spec for _ in out_shapes),
         out_shape=tuple(out_shapes),
         interpret=interpret,
+        # the full-table in_specs get pipelined double buffers; with the
+        # octant link table the conservative scoped-vmem estimate exceeds
+        # the default 16M scoped limit — raise it toward the physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 

@@ -570,8 +570,13 @@ def pdf_direction_hit(scene, ref_p, si_hit, config) -> jnp.ndarray:
     dist2 = vdot(d_vec, d_vec)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
     cos_e = vdot(si_hit.n, d_vec * (-1.0 / dist))
-    pdf = (1.0 / E) * dist2 / jnp.maximum(cos_e * area, 1e-20)
-    return jnp.where(valid & (cos_e > 0), pdf, 0.0)
+    good = valid & (cos_e > 0)
+    # sanitize-then-divide: a where() AFTER an overflowing division leaks
+    # nan into the backward pass (f32 (1e20)^2 = inf inside mis_weight's
+    # vjp); masked lanes must never see the huge quotient at all
+    denom = jnp.where(good, cos_e * area, 1.0)
+    pdf = (1.0 / E) * jnp.where(good, dist2, 0.0) / jnp.maximum(denom, 1e-20)
+    return pdf
 
 
 def pdf_direction_env(scene, config, d_world) -> jnp.ndarray:

@@ -77,13 +77,26 @@ def _path_bounce(scene, config: RenderConfig, depth, carry):
                                           u_nee, u2_nee, config)
     nee_active = active & is_smooth & (ds.pdf > 0)
     shadow_ray = si.spawn_ray_d(ds.d, maxt=ds.dist * (1.0 - 1e-3))
+    d_nee = ds.d
+    det_nee = 1.0
+    if config.reparam:
+        # Reparameterize the NEE direction (Loubet 2019 / pathreparam):
+        # the warp follows moving occluder silhouettes so the shadow
+        # boundary is stationary in the sample domain; det carries the
+        # change-of-variables derivative (primal exactly 1).
+        from ..diff import reparam as reparam_mod
+        sgf = jax.lax.stop_gradient
+        Vn, det_nee = reparam_mod.warp_and_divergence(
+            scene, shadow_ray.o, ds.d)
+        from ..core.vec import vnormalize as _vnorm
+        d_nee = _vnorm(ds.d + (Vn - sgf(Vn)))
     occluded = scene_mod.ray_test(scene, shadow_ray)
-    wo_local = si.to_local(ds.d)
+    wo_local = si.to_local(d_nee)
     f_val = bsdf_mod.eval_(scene, si, wo_local, config)
     f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
     w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, f_pdf))
     contrib = throughput * e_val * f_val * \
-        (w_nee / jnp.maximum(ds.pdf, 1e-20))
+        ((det_nee * w_nee) / jnp.maximum(ds.pdf, 1e-20))
     result = result + contrib.masked(nee_active & ~occluded)
 
     # ----------------------------------------------------------------------
@@ -97,6 +110,17 @@ def _path_bounce(scene, config: RenderConfig, depth, carry):
 
     bounce_d = si.to_world(bs.wo)
     next_ray = si.spawn_ray_d(bounce_d)
+    if config.reparam:
+        # Reparameterize the BSDF-sampled continuation: det multiplies the
+        # throughput so the Jacobian chains into every later contribution.
+        from ..diff import reparam as reparam_mod
+        from ..core.vec import vnormalize as _vnorm
+        sgf = jax.lax.stop_gradient
+        Vb, det_b = reparam_mod.warp_and_divergence(
+            scene, next_ray.o, bounce_d)
+        bounce_d = _vnorm(bounce_d + (Vb - sgf(Vb)))
+        next_ray = next_ray.replace(d=bounce_d)
+        throughput = throughput * jnp.where(active, det_b, 1.0)
     # Kill rays of inactive lanes cheaply (maxt = 0 -> instant miss)
     next_ray = next_ray.replace(maxt=jnp.where(active, jnp.inf, 0.0))
     si_next = scene_mod.ray_intersect(scene, next_ray)
@@ -322,11 +346,22 @@ def render_pass(scene, config: RenderConfig, seed,
         ray = ray.scale_differential(1.0 / jnp.sqrt(jnp.float32(config.spp)))
     else:
         ray = sensors.sample_ray(scene, uv, u_lens, wavelengths=wl)
+    det_cam = None
+    if config.reparam:
+        # reparameterized camera rays: primary-visibility boundary term
+        from ..core.vec import vnormalize as _vnorm
+        from ..diff import reparam as reparam_mod
+        _sg = jax.lax.stop_gradient
+        Vc, det_cam = reparam_mod.warp_and_divergence(scene, ray.o, ray.d)
+        ray = ray.replace(d=_vnorm(ray.d + (Vc - _sg(Vc))))
+
     if config.integrator in ("volpath", "volpathmis") or scene.has_media:
         from .volpath import sample_path_vol
         spec, sampler = sample_path_vol(scene, ray, sampler, config)
     else:
         spec, sampler = sample_path(scene, ray, sampler, config)
+    if det_cam is not None:
+        spec = spec * det_cam
     if scene.cam_weight is not None:
         spec = spec * scene.cam_weight  # sensor importance (irradiancemeter)
 

@@ -589,19 +589,33 @@ def _want_sort(n_lanes: int) -> bool:
     return bool(_SORT_RAYS)
 
 
+def _coherence_key(scene, ray_o, ray_d, t_max=None):
+    """Wavefront sort key: origin Morton cell (major) + a 9-bit direction
+    bucket (3 bits/axis), so each 1024-lane packet covers a ~45-degree
+    cone from a compact region — much tighter traversal unions than the
+    octant-only key (direction spread, not origin spread, is what makes a
+    block sweep the whole tree). Dead lanes (maxt <= 0) sort to the back
+    so their packets exit at the root."""
+    from ..kernels import compact
+    morton = compact.morton3(ray_o, scene.bvh_min[0], scene.bvh_max[0])
+
+    def q3(c):  # direction component -> 3 bits
+        return jnp.clip(((c + 1.0) * 4.0), 0.0, 7.0).astype(jnp.uint32)
+
+    dbucket = (q3(ray_d.x) << 6) | (q3(ray_d.y) << 3) | q3(ray_d.z)
+    key = (((morton >> 9) << 9) | dbucket)  # 21 Morton bits + 9 dir bits
+    if t_max is not None:
+        key = jnp.where(t_max <= 0.0, jnp.uint32(0xFFFFFFFF), key)
+    return key
+
+
 def _sorted_pallas_intersect(scene, ray_o, ray_d, t_max):
-    from ..kernels import compact, traverse_pallas
+    from ..kernels import traverse_pallas
     ox, oy, oz = ray_o.x, ray_o.y, ray_o.z
     dx, dy, dz = ray_d.x, ray_d.y, ray_d.z
     n = ox.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    lo = scene.bvh_min[0]
-    hi = scene.bvh_max[0]
-    morton = compact.morton3(ray_o, lo, hi)
-    octant = ((dx < 0).astype(jnp.uint32)
-              | ((dy < 0).astype(jnp.uint32) << 1)
-              | ((dz < 0).astype(jnp.uint32) << 2))
-    key = ((morton >> 3) << 3) | octant  # 27 Morton bits + 3 octant bits
+    key = _coherence_key(scene, ray_o, ray_d, t_max)
     lane = jnp.arange(n, dtype=jnp.int32)
     key, ox, oy, oz, dx, dy, dz, t_max, lane = jax.lax.sort(
         (key, ox, oy, oz, dx, dy, dz, t_max, lane), num_keys=1)
@@ -610,6 +624,22 @@ def _sorted_pallas_intersect(scene, ray_o, ray_d, t_max):
     # unsort: original lane index as the sort key carries results back
     _, t, prim, u, v = jax.lax.sort((lane, t, prim, u, v), num_keys=1)
     return t, prim, u, v
+
+
+def _sorted_pallas_ray_test(scene, ray_o, ray_d, t_max):
+    from ..kernels import traverse_pallas
+    ox, oy, oz = ray_o.x, ray_o.y, ray_o.z
+    dx, dy, dz = ray_d.x, ray_d.y, ray_d.z
+    n = ox.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    key = _coherence_key(scene, ray_o, ray_d, t_max)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    key, ox, oy, oz, dx, dy, dz, t_max, lane = jax.lax.sort(
+        (key, ox, oy, oz, dx, dy, dz, t_max, lane), num_keys=1)
+    occ = traverse_pallas.ray_test(
+        scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
+    _, occ = jax.lax.sort((lane, occ.astype(jnp.int32)), num_keys=1)
+    return occ != 0
 
 
 def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
@@ -639,5 +669,7 @@ def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
     if backend == "brute":
         return brute.ray_test_brute(scene, ray.o, ray.d, ray.maxt)
     if backend == "pallas":
+        if _want_sort(jnp.shape(ray.o.x)[0]):
+            return _sorted_pallas_ray_test(scene, ray.o, ray.d, ray.maxt)
         return traverse_pallas.ray_test(scene, ray.o, ray.d, ray.maxt)
     return traverse_jnp.ray_test(scene, ray.o, ray.d, ray.maxt)
