@@ -78,6 +78,7 @@ BUMPMAP = 12
 MEASURED = 13
 POLARIZER = 14
 RETARDER = 15
+MEASURED_POLARIZED = 16
 
 _DIST_NAME = {"ggx": mf.GGX, "beckmann": mf.BECKMANN}
 
@@ -958,13 +959,22 @@ class Measured:
         data = np.zeros(MAT_W, np.float32)
         if "values" in props:
             table = np.asarray(props["values"], np.float32)
+        elif "filename" in props:
+            # RGL .bsdf capture (measured.cpp's input format): parse the
+            # tensor_file container + reconstruct onto the native grid
+            from . import rgl as rgl_mod
+            table = rgl_mod.load_rgl(
+                props["filename"], n_ti=int(props.get("n_ti", 32)),
+                n_to=int(props.get("n_to", 64)),
+                n_phi=int(props.get("n_phi", 64)))
         elif "bake" in props:
             table = measured_mod.bake_from_desc(
                 props["bake"], n_ti=int(props.get("n_ti", 32)),
                 n_to=int(props.get("n_to", 64)),
                 n_phi=int(props.get("n_phi", 64)))
         else:
-            raise ValueError("measured bsdf needs 'values' or 'bake'")
+            raise ValueError(
+                "measured bsdf needs 'filename' (.bsdf), 'values' or 'bake'")
         data[28] = measured_mod.stage_table(table)
         return data
 
@@ -1064,6 +1074,47 @@ class Retarder(_OpticalElement):
 
 
 NormalMap.param_spec = {"normalmap": ("slot", 2)}
+class MeasuredPolarized(Measured):
+    """measured_polarized (src/bsdfs/measured_polarized.cpp): a measured
+    intensity table + a per-cell Mueller polarization structure consumed
+    by the polarized transport integrator (render/stokes.py). The
+    radiometric path (eval/sample/pdf) is the plain measured machinery;
+    the Mueller table rides MeasuredData.mueller."""
+    id = MEASURED_POLARIZED
+
+    @staticmethod
+    def pack(props, build_child) -> np.ndarray:
+        from . import measured as measured_mod
+        data = np.zeros(MAT_W, np.float32)
+        n_ti = int(props.get("n_ti", 32))
+        n_to = int(props.get("n_to", 64))
+        n_phi = int(props.get("n_phi", 64))
+        if "values" in props:
+            table = np.asarray(props["values"], np.float32)
+        elif "filename" in props:
+            from . import rgl as rgl_mod
+            table = rgl_mod.load_rgl(props["filename"], n_ti, n_to, n_phi)
+        elif "bake" in props:
+            table = measured_mod.bake_from_desc(props["bake"], n_ti, n_to,
+                                                n_phi)
+        else:
+            raise ValueError("measured_polarized needs 'filename', "
+                             "'values' or 'bake'")
+        n_ti, n_to, n_phi = table.shape[:3]
+        if "mueller" in props:
+            mm = np.asarray(props["mueller"], np.float32)
+        elif "pbake_eta" in props:
+            eta = props["pbake_eta"]
+            mm = measured_mod.bake_mueller_conductor(
+                float(np.real(eta)), float(np.imag(eta)),
+                n_ti, n_to, n_phi)
+        else:
+            raise ValueError("measured_polarized needs 'mueller' "
+                             "(n_ti,n_to,n_phi,4,4) or 'pbake_eta'")
+        data[28] = measured_mod.stage_table(table, mueller=mm)
+        return data
+
+
 BumpMap.param_spec = {"bumpmap": ("slot", 2), "scale": ("scalar", 29)}
 
 LEAF_FAMILIES = {c.id: c for c in
@@ -1072,7 +1123,8 @@ LEAF_FAMILIES = {c.id: c for c in
                   Null, Polarizer, Retarder)}
 WRAPPER_FAMILIES = {Mask.id: Mask, Blend.id: Blend,
                     NormalMap.id: NormalMap, BumpMap.id: BumpMap,
-                    Measured.id: Measured}
+                    Measured.id: Measured,
+                    MeasuredPolarized.id: MeasuredPolarized}
 FAMILIES = {**LEAF_FAMILIES, **WRAPPER_FAMILIES}
 
 _BY_NAME = {"diffuse": Diffuse, "conductor": Conductor,
@@ -1083,6 +1135,7 @@ _BY_NAME = {"diffuse": Diffuse, "conductor": Conductor,
             "blendbsdf": Blend, "blend": Blend,
             "normalmap": NormalMap, "bumpmap": BumpMap,
             "measured": Measured,
+            "measured_polarized": MeasuredPolarized,
             "polarizer": Polarizer, "retarder": Retarder}
 
 

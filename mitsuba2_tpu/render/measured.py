@@ -37,6 +37,12 @@ class MeasuredData:
     weights: jnp.ndarray   # (T, n_ti, n_to, n_phi) sampling density (lum*sin)
     marg_cdf: jnp.ndarray  # (T, n_ti, n_to)
     cond_cdf: jnp.ndarray  # (T, n_ti, n_to, n_phi)
+    # measured_polarized (src/bsdfs/measured_polarized.cpp): per-cell
+    # intensity-normalized Mueller matrices (m00 = 1); None when the scene
+    # has no polarized captures. The intensity table above stays the
+    # radiometric/sampling authority, matching the reference's split of
+    # pBSDF data into a scalar spectrum and a polarization structure.
+    mueller: jnp.ndarray = None  # (T, n_ti, n_to, n_phi, 4, 4)
 
 
 # --- host build staging (scene.build_scene activates) -----------------------
@@ -55,10 +61,12 @@ def end_staging() -> list:
     return staged
 
 
-def stage_table(table: np.ndarray) -> int:
+def stage_table(table: np.ndarray, mueller: np.ndarray = None) -> int:
     if _STAGING is None:
         raise RuntimeError("measured bsdf outside scene build")
-    _STAGING.append(np.asarray(table, np.float32))
+    _STAGING.append((np.asarray(table, np.float32),
+                     None if mueller is None
+                     else np.asarray(mueller, np.float32)))
     return len(_STAGING) - 1
 
 
@@ -94,8 +102,10 @@ def bake_from_desc(desc: dict, n_ti=32, n_to=64, n_phi=64) -> np.ndarray:
 
 
 def build_measured(tables) -> MeasuredData:
-    """tables: list of (n_ti, n_to, n_phi, 3) arrays of f*cos values."""
-    vals = np.stack([np.asarray(t, np.float32) for t in tables])
+    """tables: list of (n_ti, n_to, n_phi, 3) f*cos arrays, or of
+    (values, mueller-or-None) staging tuples."""
+    entries = [(t, None) if not isinstance(t, tuple) else t for t in tables]
+    vals = np.stack([np.asarray(t, np.float32) for t, _ in entries])
     T, n_ti, n_to, n_phi, _ = vals.shape
     lum = vals @ np.array([0.2126, 0.7152, 0.0722], np.float32)
     theta_o = (np.arange(n_to) + 0.5) / n_to * (np.pi / 2)
@@ -103,9 +113,16 @@ def build_measured(tables) -> MeasuredData:
     w = np.maximum(w, 1e-12)
     cond = np.cumsum(w, axis=-1)
     marg = np.cumsum(cond[..., -1], axis=-1)
+    mueller = None
+    if any(m is not None for _, m in entries):
+        ident = np.zeros((n_ti, n_to, n_phi, 4, 4), np.float32)
+        ident[..., 0, 0] = 1.0  # pure depolarizer for unpolarized entries
+        mueller = jnp.asarray(np.stack(
+            [ident if m is None else np.asarray(m, np.float32)
+             for _, m in entries]))
     return MeasuredData(values=jnp.asarray(vals), weights=jnp.asarray(w),
                         marg_cdf=jnp.asarray(marg),
-                        cond_cdf=jnp.asarray(cond))
+                        cond_cdf=jnp.asarray(cond), mueller=mueller)
 
 
 def tabulate_bsdf(eval_fn, n_ti=32, n_to=64, n_phi=64) -> np.ndarray:
@@ -263,3 +280,53 @@ def sample_measured(md: MeasuredData, tid, wi, u2):
     pdf_sa = pdf_cell / (dto * dph * jnp.maximum(st, 1e-6))
     pdf_sa = jnp.where((total > 0) & (wi.z > 0), pdf_sa, 0.0)
     return wo, pdf_sa
+
+
+# ---------------------------------------------------------------------------
+# measured_polarized (src/bsdfs/measured_polarized.cpp): Mueller structure
+# ---------------------------------------------------------------------------
+
+def bake_mueller_conductor(eta_re: float, eta_im: float,
+                           n_ti=32, n_to=64, n_phi=64) -> np.ndarray:
+    """Intensity-normalized conductor-Fresnel Mueller matrices on the
+    measured grid, evaluated at the microfacet half angle of each
+    (theta_i, theta_o, phi_d) cell — the pBSDF-style polarization
+    structure for a metallic capture when no real pBSDF file is
+    available (the reference streams these from its polarized capture
+    setup; the offline stand-in derives them from the named conductor)."""
+    from . import mueller as mu
+    ti = (np.arange(n_ti) + 0.5) / n_ti * (np.pi / 2)
+    to = (np.arange(n_to) + 0.5) / n_to * (np.pi / 2)
+    ph = (np.arange(n_phi) + 0.5) / n_phi * (2 * np.pi)
+    TI, TO, PH = np.meshgrid(ti, to, ph, indexing="ij")
+    wi = np.stack([np.sin(TI), np.zeros_like(TI), np.cos(TI)], -1)
+    wo = np.stack([np.sin(TO) * np.cos(PH), np.sin(TO) * np.sin(PH),
+                   np.cos(TO)], -1)
+    h = wi + wo
+    h /= np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+    cos_h = np.clip(np.abs((wi * h).sum(-1)), 1e-4, 1.0)
+    m = np.asarray(mu.specular_reflection_conductor(
+        jnp.asarray(cos_h.reshape(-1), jnp.float32),
+        jnp.full(cos_h.size, eta_re, jnp.float32),
+        jnp.full(cos_h.size, eta_im, jnp.float32)))
+    m = m.reshape(n_ti, n_to, n_phi, 4, 4)
+    return (m / np.maximum(m[..., 0:1, 0:1], 1e-12)).astype(np.float32)
+
+
+def mueller_lookup(md: MeasuredData, tid, wi, wo):
+    """Nearest-cell Mueller structure (N, 4, 4) at (wi, wo) local dirs."""
+    n_ti, n_to, n_phi = _angles(md)
+    wi = wi if isinstance(wi, Vec3) else Vec3.from_array(wi)
+    wo = wo if isinstance(wo, Vec3) else Vec3.from_array(wo)
+    theta_i = jnp.arccos(jnp.clip(wi.z, 1e-6, 1.0))
+    theta_o = jnp.arccos(jnp.clip(wo.z, 0.0, 1.0))
+    phi_d = jnp.remainder(jnp.arctan2(wo.y, wo.x) -
+                          jnp.arctan2(wi.y, wi.x), 2 * jnp.pi)
+    i_ti = jnp.clip((theta_i / (jnp.pi / 2) * n_ti).astype(jnp.int32),
+                    0, n_ti - 1)
+    i_to = jnp.clip((theta_o / (jnp.pi / 2) * n_to).astype(jnp.int32),
+                    0, n_to - 1)
+    i_ph = jnp.remainder((phi_d / (2 * jnp.pi) * n_phi).astype(jnp.int32),
+                         n_phi)
+    idx = ((tid * n_ti + i_ti) * n_to + i_to) * n_phi + i_ph
+    return md.mueller.reshape(-1, 4, 4)[idx]  # row gather of (4,4) blocks

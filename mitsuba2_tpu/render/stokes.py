@@ -245,6 +245,16 @@ def _mueller_at_vertex(scene, si, d_cam, bounce_d, b_weight, config):
         m_ret = mu.rotated_element(theta, mu.linear_retarder(phase))
         out = jnp.where((mtype == bsdf_mod.RETARDER)[:, None, None, None],
                         m_ret[:, None], out)
+    if bsdf_mod.MEASURED_POLARIZED in fams and \
+            getattr(scene.measured, "mueller", None) is not None:
+        # pBSDF polarization structure: tabulated per-cell Mueller
+        # matrices (measured.py::mueller_lookup; already m00-normalized)
+        from . import measured as measured_mod
+        tid = mdata.col(28).astype(jnp.int32)
+        m_meas = measured_mod.mueller_lookup(
+            scene.measured, tid, si.wi, si.to_local(bounce_d))
+        sel = mtype == bsdf_mod.MEASURED_POLARIZED
+        out = jnp.where(sel[:, None, None, None], m_meas[:, None], out)
 
     # frame rotations (straight-through elements keep the canonical basis:
     # r_in/r_out are identity there since dir_in == dir_out)
