@@ -176,6 +176,164 @@ class Ray:
         return self.o + self.d * t
 
 
+# ---------------------------------------------------------------------------
+# AnimatedTransform (include/mitsuba/core/transform.h::AnimatedTransform)
+# ---------------------------------------------------------------------------
+
+def quat_from_matrix(R: "np.ndarray") -> "np.ndarray":
+    """3x3 rotation -> quaternion (x, y, z, w), host numpy (Shepperd)."""
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (R[k, j] - R[j, k]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        x, y, z, w = q
+    q = np.array([x, y, z, w])
+    return q / np.linalg.norm(q)
+
+
+def quat_slerp(q0, q1, t):
+    """Device slerp; q0/q1 (4,), t (...,) -> (..., 4)."""
+    q0 = jnp.asarray(q0, jnp.float32)
+    q1 = jnp.asarray(q1, jnp.float32)
+    d = jnp.sum(q0 * q1)
+    q1 = jnp.where(d < 0, -q1, q1)
+    d = jnp.clip(jnp.abs(d), -1.0, 1.0)
+    theta = jnp.arccos(d)
+    sin_t = jnp.sin(theta)
+    t = jnp.asarray(t, jnp.float32)[..., None]
+    small = sin_t < 1e-5
+    w0 = jnp.where(small, 1.0 - t[..., 0], jnp.sin((1 - t[..., 0]) * theta) /
+                   jnp.maximum(sin_t, 1e-9))
+    w1 = jnp.where(small, t[..., 0], jnp.sin(t[..., 0] * theta) /
+                   jnp.maximum(sin_t, 1e-9))
+    q = w0[..., None] * q0 + w1[..., None] * q1
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_rotate(q, v: Vec3) -> Vec3:
+    """Rotate planar Vec3 by per-lane quaternion q (..., 4):
+    v' = v + 2 q_xyz x (q_xyz x v + w v)."""
+    qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    tx = 2.0 * (qy * v.z - qz * v.y)
+    ty = 2.0 * (qz * v.x - qx * v.z)
+    tz = 2.0 * (qx * v.y - qy * v.x)
+    return Vec3(v.x + qw * tx + (qy * tz - qz * ty),
+                v.y + qw * ty + (qz * tx - qx * tz),
+                v.z + qw * tz + (qx * ty - qy * tx))
+
+
+@struct.dataclass
+class AnimatedTransform:
+    """Keyframed affine transform (transform.h::AnimatedTransform): each
+    key decomposed host-side into translation + rotation quaternion +
+    scale/shear 3x3 via polar decomposition (enoki transform_decompose);
+    eval lerps translation/scale and slerps rotation
+    (transform_compose(M) = T * R * S). Two-key linear shutter is the
+    common case (sensor motion blur); K keys supported via interval
+    search on the (small) key table."""
+    times: jnp.ndarray   # (K,)
+    trans: jnp.ndarray   # (K, 3)
+    quats: jnp.ndarray   # (K, 4) x,y,z,w
+    scales: jnp.ndarray  # (K, 3, 3)
+
+    @staticmethod
+    def from_keys(times, matrices) -> "AnimatedTransform":
+        times = np.asarray(times, np.float32)
+        mats = [np.asarray(m, np.float64).reshape(4, 4) for m in matrices]
+        tr, qu, sc = [], [], []
+        for m in mats:
+            A = m[:3, :3]
+            U, S, Vt = np.linalg.svd(A)
+            R = U @ Vt
+            if np.linalg.det(R) < 0:  # keep a proper rotation
+                U = U.copy()
+                U[:, -1] *= -1
+                S = S.copy()
+                S[-1] *= -1
+                R = U @ Vt
+            scale = Vt.T @ np.diag(S) @ Vt
+            tr.append(m[:3, 3])
+            qu.append(quat_from_matrix(R))
+            sc.append(scale)
+        # consistent quaternion hemisphere for shortest-path slerp
+        for i in range(1, len(qu)):
+            if np.dot(qu[i - 1], qu[i]) < 0:
+                qu[i] = -qu[i]
+        return AnimatedTransform(
+            times=jnp.asarray(times, jnp.float32),
+            trans=jnp.asarray(np.stack(tr), jnp.float32),
+            quats=jnp.asarray(np.stack(qu), jnp.float32),
+            scales=jnp.asarray(np.stack(sc), jnp.float32))
+
+    def interp(self, t):
+        """Per-lane interpolated (trans (...,3), quat (...,4),
+        scale (...,3,3)) at times t (...,)."""
+        K = self.times.shape[0]
+        t = jnp.asarray(t, jnp.float32)
+        if K == 1:
+            sh = t.shape
+            return (jnp.broadcast_to(self.trans[0], sh + (3,)),
+                    jnp.broadcast_to(self.quats[0], sh + (4,)),
+                    jnp.broadcast_to(self.scales[0], sh + (3, 3)))
+        # interval search over the small key table (unrolled selects)
+        i1 = jnp.full(t.shape, 1, jnp.int32)
+        for k in range(2, K):
+            i1 = jnp.where(t >= self.times[k - 1], k, i1)
+        i0 = i1 - 1
+        t0 = self.times[i0]
+        t1 = self.times[i1]
+        f = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+        tr = (self.trans[i0] * (1 - f)[..., None] +
+              self.trans[i1] * f[..., None])
+        sc = (self.scales[i0] * (1 - f)[..., None, None] +
+              self.scales[i1] * f[..., None, None])
+        # per-lane slerp between gathered keys
+        q0 = self.quats[i0]
+        q1 = self.quats[i1]
+        d = jnp.sum(q0 * q1, -1, keepdims=True)
+        q1 = jnp.where(d < 0, -q1, q1)
+        dd = jnp.clip(jnp.abs(d[..., 0]), 0.0, 1.0)
+        theta = jnp.arccos(dd)
+        sin_t = jnp.sin(theta)
+        small = sin_t < 1e-5
+        w0 = jnp.where(small, 1 - f, jnp.sin((1 - f) * theta) /
+                       jnp.maximum(sin_t, 1e-9))
+        w1 = jnp.where(small, f, jnp.sin(f * theta) /
+                       jnp.maximum(sin_t, 1e-9))
+        q = w0[..., None] * q0 + w1[..., None] * q1
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        return tr, q, sc
+
+    def apply_vector(self, t, v: Vec3) -> Vec3:
+        tr, q, sc = self.interp(t)
+        sv = Vec3(sc[..., 0, 0] * v.x + sc[..., 0, 1] * v.y + sc[..., 0, 2] * v.z,
+                  sc[..., 1, 0] * v.x + sc[..., 1, 1] * v.y + sc[..., 1, 2] * v.z,
+                  sc[..., 2, 0] * v.x + sc[..., 2, 1] * v.y + sc[..., 2, 2] * v.z)
+        return quat_rotate(q, sv)
+
+    def apply_point(self, t, p: Vec3) -> Vec3:
+        tr, _, _ = self.interp(t)
+        r = self.apply_vector(t, p)
+        return Vec3(r.x + tr[..., 0], r.y + tr[..., 1], r.z + tr[..., 2])
+
+    def translation(self, t) -> Vec3:
+        tr, _, _ = self.interp(t)
+        return Vec3(tr[..., 0], tr[..., 1], tr[..., 2])
+
+
 @struct.dataclass
 class RayDifferential(Ray):
     """Ray with the two offset rays of its pixel footprint

@@ -338,14 +338,23 @@ def render_pass(scene, config: RenderConfig, seed,
         u_lens, sampler = sampler.next_2d()
     else:
         u_lens = None
+    if scene.cam_motion is not None:
+        # camera motion blur: uniform shutter time over the key range
+        u_time, sampler = sampler.next_1d()
+        t0 = scene.cam_motion.times[0]
+        t1 = scene.cam_motion.times[-1]
+        cam_time = t0 + u_time * (t1 - t0)
+    else:
+        cam_time = None
     if scene.textures is not None and scene.cam_type in sensors.HAS_DIFFERENTIALS:
         # ray differentials for texture-LOD filtering; each sample covers
         # 1/spp of a pixel (integrator.cpp's diff_scale_factor)
         ray = sensors.sample_ray_differential(scene, uv, u_lens, W,
-                                              wavelengths=wl)
+                                              wavelengths=wl, time=cam_time)
         ray = ray.scale_differential(1.0 / jnp.sqrt(jnp.float32(config.spp)))
     else:
-        ray = sensors.sample_ray(scene, uv, u_lens, wavelengths=wl)
+        ray = sensors.sample_ray(scene, uv, u_lens, wavelengths=wl,
+                                 time=cam_time)
     det_cam = None
     if config.reparam:
         # reparameterized camera rays: primary-visibility boundary term

@@ -29,11 +29,20 @@ def _film_to_cam_xy(scene, uv: Vec2):
             (1.0 - 2.0 * uv.y) * tx)
 
 
-def perspective_ray(scene, uv, wavelengths=None) -> Ray:
-    """uv: planar Vec2 film positions in [0,1]^2 -> camera rays (N lanes)."""
-    mat = scene.cam_to_world
+def perspective_ray(scene, uv, wavelengths=None, time=None) -> Ray:
+    """uv: planar Vec2 film positions in [0,1]^2 -> camera rays (N lanes).
+
+    With a keyframed camera (scene.cam_motion) and per-lane shutter times,
+    rays originate from the time-interpolated pose — camera motion blur
+    (Sensor::sample_ray's `time` argument + AnimatedTransform eval)."""
     x, y = _film_to_cam_xy(scene, uv)
     z = jnp.ones_like(x)
+    if scene.cam_motion is not None and time is not None:
+        d_world = vnormalize(
+            scene.cam_motion.apply_vector(time, Vec3(x, y, z)))
+        o = scene.cam_motion.translation(time)
+        return Ray.make(o, d_world, time=time, wavelengths=wavelengths)
+    mat = scene.cam_to_world
     d_world = vnormalize(Vec3(
         mat[0, 0] * x + mat[0, 1] * y + mat[0, 2] * z,
         mat[1, 0] * x + mat[1, 1] * y + mat[1, 2] * z,
@@ -139,11 +148,11 @@ def distant_ray(scene, uv, wavelengths=None) -> Ray:
 NEEDS_APERTURE_SAMPLE = ("thinlens", "irradiancemeter")
 
 
-def sample_ray(scene, uv, u_lens, wavelengths=None) -> Ray:
+def sample_ray(scene, uv, u_lens, wavelengths=None, time=None) -> Ray:
     """Sensor::sample_ray dispatch (static on cam_type)."""
     kind = scene.cam_type
     if kind == "perspective":
-        return perspective_ray(scene, uv, wavelengths)
+        return perspective_ray(scene, uv, wavelengths, time=time)
     if kind == "thinlens":
         return thinlens_ray(scene, uv, u_lens, wavelengths)
     if kind == "orthographic":
@@ -162,7 +171,7 @@ HAS_DIFFERENTIALS = ("perspective", "thinlens", "orthographic")
 
 
 def sample_ray_differential(scene, uv, u_lens, film_width: int,
-                            wavelengths=None) -> Ray:
+                            wavelengths=None, time=None) -> Ray:
     """Sensor::sample_ray_differential (sensor.cpp): the main ray plus the
     rays through the film samples one pixel over in x and in y. film_uv
     scales BOTH uv axes by 1/film_width (square pixels), so a one-pixel
@@ -170,16 +179,16 @@ def sample_ray_differential(scene, uv, u_lens, film_width: int,
     footprint (meters, distant) return a plain Ray."""
     from ..core.geometry import RayDifferential
     kind = scene.cam_type
-    main = sample_ray(scene, uv, u_lens, wavelengths)
+    main = sample_ray(scene, uv, u_lens, wavelengths, time=time)
     if kind not in HAS_DIFFERENTIALS:
         return main
     duv = 1.0 / film_width
     uv_x = Vec2(uv.x + duv, uv.y)
     uv_y = Vec2(uv.x, uv.y + duv)
-    # offset rays reuse the SAME aperture sample (thinlens): the footprint
-    # is the film-plane derivative at fixed lens position
-    rx = sample_ray(scene, uv_x, u_lens, wavelengths)
-    ry = sample_ray(scene, uv_y, u_lens, wavelengths)
+    # offset rays reuse the SAME aperture sample (thinlens) and the same
+    # shutter time: the footprint is the film-plane derivative
+    rx = sample_ray(scene, uv_x, u_lens, wavelengths, time=time)
+    ry = sample_ray(scene, uv_y, u_lens, wavelengths, time=time)
     return RayDifferential(o=main.o, d=main.d, maxt=main.maxt,
                            time=main.time, wavelengths=main.wavelengths,
                            o_x=rx.o, o_y=ry.o, d_x=rx.d, d_y=ry.d)

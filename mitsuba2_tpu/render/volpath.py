@@ -99,17 +99,46 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     C = config.n_channels
 
     if scene.medium_grid is None:
-        sig_bar = sig.hmean() * scale
-        t_s = -jnp.log(jnp.maximum(1.0 - u, 1e-38)) / jnp.maximum(sig_bar, 1e-20)
-        med_event = in_med & (t_s < t_surf) & (sig_bar > 0)
-        t_col = jnp.where(med_event, t_s, t_surf)
         sig_rgb = sig * scale
-        t_cl = jnp.minimum(t_col, 1e20)
-        tr = (sig_rgb * (-t_cl)).map(jnp.exp)
-        pdf_med = sig_bar * jnp.exp(-sig_bar * t_s)
-        pdf_surf = jnp.exp(-sig_bar * jnp.minimum(t_surf, 1e20))
-        w_med = tr * sig_rgb / jnp.maximum(pdf_med, 1e-30)
-        w_surf = tr / jnp.maximum(pdf_surf, 1e-30)
+        if config.integrator == "volpathmis" and C > 1:
+            # volpathmis (src/integrators/volpathmis.cpp): SPECTRAL MIS for
+            # chromatic media. Pick one channel's extinction as the
+            # distance-sampling technique (uniform channel choice), then
+            # combine the C per-channel techniques with the balance
+            # heuristic: weight = Tr * sigma / mean_c pdf_c. The plain
+            # volpath below instead samples with the channel-MEAN rate —
+            # an acceptable proxy until the channels differ strongly,
+            # where its per-channel weights explode; the MIS estimator
+            # stays bounded (weight <= C for any chromaticity).
+            u_ch, sampler = sampler.next_1d()
+            k = jnp.minimum((u_ch * C).astype(jnp.int32), C - 1)
+            sig_k = sig_rgb.ch[0]
+            for c in range(1, C):
+                sig_k = jnp.where(k == c, sig_rgb.ch[c], sig_k)
+            t_s = -jnp.log(jnp.maximum(1.0 - u, 1e-38)) / \
+                jnp.maximum(sig_k, 1e-20)
+            med_event = in_med & (t_s < t_surf) & (sig_k > 0)
+            t_col = jnp.where(med_event, t_s, t_surf)
+            t_cl = jnp.minimum(t_col, 1e20)
+            tr = (sig_rgb * (-t_cl)).map(jnp.exp)
+            # balance-heuristic denominators, averaged over channels
+            pdf_med = (sig_rgb * tr).hmean()
+            pdf_surf = (sig_rgb * (-jnp.minimum(t_surf, 1e20))) \
+                .map(jnp.exp).hmean()
+            w_med = tr * sig_rgb / jnp.maximum(pdf_med, 1e-30)
+            w_surf = tr / jnp.maximum(pdf_surf, 1e-30)
+        else:
+            sig_bar = sig.hmean() * scale
+            t_s = -jnp.log(jnp.maximum(1.0 - u, 1e-38)) / \
+                jnp.maximum(sig_bar, 1e-20)
+            med_event = in_med & (t_s < t_surf) & (sig_bar > 0)
+            t_col = jnp.where(med_event, t_s, t_surf)
+            t_cl = jnp.minimum(t_col, 1e20)
+            tr = (sig_rgb * (-t_cl)).map(jnp.exp)
+            pdf_med = sig_bar * jnp.exp(-sig_bar * t_s)
+            pdf_surf = jnp.exp(-sig_bar * jnp.minimum(t_surf, 1e20))
+            w_med = tr * sig_rgb / jnp.maximum(pdf_med, 1e-30)
+            w_surf = tr / jnp.maximum(pdf_surf, 1e-30)
         w = swhere(med_event, w_med, w_surf)
         w = swhere(in_med, w, Spec.ones((), C))
         return t_col, med_event, w, sampler

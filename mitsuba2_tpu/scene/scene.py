@@ -83,6 +83,12 @@ class SceneData:
     # flat (B*8,) i32, node*8 + octant; None on scenes built before round 2
     bvh_hit8: jnp.ndarray = None
     bvh_miss8: jnp.ndarray = None
+    # --- sensor motion (core/geometry.py::AnimatedTransform) ------------------
+    # camera motion blur: keyframed to_world; rays sample a shutter time
+    # uniformly over the key range. None = static camera. Shape motion is
+    # out of scope (the accel structure is a static BVH; the reference's
+    # kd-tree likewise has no shape motion support in mitsuba2).
+    cam_motion: Any = None
     # --- media ---------------------------------------------------------------------
     med_type: jnp.ndarray = None      # (Md,) i32
     med_data: jnp.ndarray = None      # (Md, MED_W)
@@ -269,6 +275,17 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         emitter_area[e_idx] = cs[-1]
 
     # --- sensor -------------------------------------------------------------------
+    cam_motion = None
+    if "to_world_keys" in sensor:
+        # camera motion blur: keyframed to_world (AnimatedTransform).
+        # The static cam_to_world falls back to the first key (used by
+        # sensor types without motion support + scene introspection).
+        from ..core.geometry import AnimatedTransform
+        keys = sensor["to_world_keys"]
+        cam_motion = AnimatedTransform.from_keys(
+            [float(t) for t, _ in keys], [m for _, m in keys])
+        sensor = dict(sensor)
+        sensor["to_world"] = keys[0][1]
     cam_to_world = np.asarray(sensor["to_world"], np.float32).reshape(4, 4)
     fov_x = float(sensor.get("fov", 45.0))
     cam_type = sensor.get("type", "perspective")
@@ -380,6 +397,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         emitter_shape=dev(emitter_shapes), emitter_prims=dev(emitter_prims),
         emitter_prim_cdf=dev(emitter_cdf), emitter_area=dev(emitter_area),
         cam_to_world=dev(cam_to_world), cam_fov_x=jnp.float32(fov_x),
+        cam_motion=cam_motion,
         cam_data=dev(cam_data), cam_weight=jnp.float32(cam_weight),
         cam_type=cam_type,
         med_type=dev(np.asarray(med_types_l, np.int32)),

@@ -218,3 +218,40 @@ def test_spectral_medium_matches_rgb_gray():
     assert c_spec[2] > 2.0 * c_spec[0], c_spec
     # and the two modes agree within spectral-upsampling tolerance
     assert np.abs(c_spec - c_rgb).max() < 0.12, (c_rgb, c_spec)
+
+
+def test_volpathmis_spectral_mis_chromatic_medium():
+    """volpathmis (VERDICT.md round-2 item on making it a genuine second
+    integrator): for a strongly CHROMATIC absorber, the spectral-MIS
+    estimator (per-channel distance techniques, balance heuristic) must
+    agree with the analytic transmittance in every channel, and beat
+    volpath's mean-rate proxy on variance in the optically thick channel.
+    """
+    sigma = [0.2, 1.2, 3.0]          # strongly chromatic
+    thickness = 1.0
+    med = {"type": "homogeneous", "sigma_t": sigma, "albedo": 0.0}
+    expect = 2.0 * np.exp(-np.asarray(sigma) * thickness)
+
+    cfg = CFG.replace(spp=32, spp_per_pass=32)
+    cfg_mis = cfg.replace(integrator="volpathmis")
+
+    # per-seed central-region means -> estimator mean + variance
+    def stats(config, n_seeds=6):
+        vals = []
+        for s in range(n_seeds):
+            scene = _slab_scene(med)
+            img = np.asarray(render(scene, config, seed=s))
+            vals.append(img[6:10, 6:10].mean((0, 1)))
+        vals = np.stack(vals)
+        return vals.mean(0), vals.var(0)
+
+    mean_mis, var_mis = stats(cfg_mis)
+    mean_std, var_std = stats(cfg)
+
+    # both unbiased: agree with Beer-Lambert per channel
+    np.testing.assert_allclose(mean_mis, expect, rtol=0.15)
+    np.testing.assert_allclose(mean_std, expect, rtol=0.25)
+    # spectral MIS controls the chromatic-channel variance: the mean-rate
+    # proxy's weight explodes for the thick channel (sigma=3 vs mean 1.47)
+    assert var_mis[2] < var_std[2] * 1.05, (var_mis, var_std)
+    assert var_mis.sum() < var_std.sum() * 1.0 + 1e-9, (var_mis, var_std)
