@@ -335,9 +335,43 @@ def load_file(path: str, **params) -> Tuple[SceneData, RenderConfig]:
                       params)
 
 
+def _camel_to_snake(name: str) -> str:
+    out = []
+    for ch in name:
+        if ch.isupper():
+            out.append("_")
+            out.append(ch.lower())
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _upgrade_tree(root) -> None:
+    """Version upgrades (xml.cpp::upgrade_tree): scenes declaring
+    version < 2.0 use Mitsuba 0.5/0.6 conventions — camelCase property
+    names (`toWorld`, `filterType`, `fov_axis` as `fovAxis`, `lookAt`
+    tags) are rewritten in place to the 2.x snake_case forms. 2.x files
+    pass through untouched."""
+    ver = root.get("version", "2.0.0")
+    try:
+        major = int(str(ver).split(".")[0])
+    except ValueError:
+        major = 2
+    if major >= 2:
+        return
+    for node in root.iter():
+        if node.tag == "lookAt":
+            node.tag = "lookat"
+        n = node.get("name")
+        if n and any(c.isupper() for c in n):
+            node.set("name", _camel_to_snake(n))
+    root.set("version", "2.0.0")
+
+
 def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
     if root.tag != "scene":
         raise ValueError(f"expected <scene>, got <{root.tag}>")
+    _upgrade_tree(root)
     ctx = _Ctx({k: str(v) for k, v in params.items()}, base_dir)
 
     # pass 1: defaults (may be overridden by caller params)

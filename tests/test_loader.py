@@ -161,3 +161,30 @@ def test_shapegroup_instance_xml():
                                                max_depth=2)))
     left, right = img[:, :8].mean(), img[:, 8:].mean()
     assert abs(left - right) < 0.05
+
+
+def test_version_upgrade_camelcase():
+    """Scenes declaring version < 2.0 get xml.cpp::upgrade_tree treatment:
+    camelCase property names and <lookAt> rewritten to 2.x forms."""
+    xml = """
+    <scene version="0.5.0">
+      <sensor type="perspective">
+        <float name="fov" value="40"/>
+        <transform name="toWorld">
+          <lookAt origin="0, 0, 2.5" target="0, 0, 0" up="0, 1, 0"/>
+        </transform>
+      </sensor>
+      <shape type="rectangle">
+        <bsdf type="diffuse">
+          <rgb name="reflectance" value="0.5, 0.5, 0.5"/>
+        </bsdf>
+        <emitter type="area">
+          <rgb name="radiance" value="2, 2, 2"/>
+        </emitter>
+      </shape>
+    </scene>"""
+    scene, config = loader.load_string(xml)
+    assert scene.n_prims >= 2
+    img = np.asarray(render(scene, config.replace(width=8, height=8, spp=2,
+                                                  spp_per_pass=2)))
+    assert np.isfinite(img).all() and img.max() > 0
