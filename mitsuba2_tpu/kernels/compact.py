@@ -19,13 +19,18 @@ the last ulp (tests/test_compact.py pins rtol=1e-5). The integrator
 carries the original lane index and unsorts the radiance at the end.
 
 MEASURED (Cornell 256x256 spp16 depth-8 + RR, one TPU v5-lite chip):
-compaction costs 100x (112 ms -> 11.8 s per 4-pass render): the Morton
-argsort of 1M keys plus the full-carry gather-permute per bounce dwarf
-any coherence benefit, and the brute-force / block-packet intersectors
-get no divergence win from sorted rays anyway. Keep `config.compact`
-OFF on TPU with the current backends; it exists for the (round-2)
-per-lane walker, where aligned walk lengths would shorten the lockstep
-while_loop.
+full-carry compaction costs 100x (112 ms -> 11.8 s per 4-pass render):
+the Morton argsort of 1M keys plus the gather-permute of every carry
+array per bounce dwarf any coherence benefit. Keep `config.compact` OFF.
+
+ROUND-2 division of labor: the PRODUCTION coherence path is the
+per-traversal-call sort in scene/scene.py (`_sorted_pallas_intersect` /
+`_sorted_pallas_ray_test`), which permutes only the RAY arrays via a
+multi-operand lax.sort (payload-carrying sort, ~15 ms/M lanes — ~10x
+cheaper than gather-permute; see kernels/gather.py measured rules) using
+this module's `morton3` keys, and unsorts just the hit records. This
+module's full-carry permute remains for the AOV/debug path and as the
+reference point those measurements were taken against.
 """
 from __future__ import annotations
 
