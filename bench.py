@@ -42,9 +42,12 @@ def _emit(metric, value, unit="Mrays/s"):
 
 
 def main():
-    # fail fast instead of hanging the driver if the TPU runtime is wedged
+    # fail fast instead of hanging the driver if the TPU runtime is wedged.
+    # The alarm is RE-ARMED before each metric: first compiles of the big
+    # programs legitimately take many minutes on the tunneled runtime, but
+    # no single phase may stall longer than its budget.
     signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(900)
+    signal.alarm(1200)
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +55,9 @@ def main():
     from mitsuba2_tpu.diff.adjoint import render_l2_grad
     from mitsuba2_tpu.render.integrators import _render_all_passes_jit
     from mitsuba2_tpu.scene.presets import cornell_box, mesh_gallery
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-mitsuba2")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     # ---- 1) Cornell box, forward ------------------------------------------
     scene = cornell_box()
@@ -73,6 +79,31 @@ def main():
           rays_per_pass * n_passes * reps / dt / 1e6)
 
     # ---- 2) Mesh gallery (~31k tris), forward: the BVH-bound path ---------
+    # wrapped so a failure here still lets the remaining metrics print
+    signal.alarm(1200)
+    try:
+        _bench_gallery(jax, mi, _render_all_passes_jit, mesh_gallery)
+    except Exception as e:  # pragma: no cover - defensive for the driver
+        print(f"mesh_gallery metric failed: {e!r}", file=sys.stderr)
+
+    # ---- 3) Cornell box, forward + adjoint --------------------------------
+    signal.alarm(1200)
+    target = jnp.zeros((config.height, config.width, 3), jnp.float32)
+    out = render_l2_grad(scene, config, target, seed=0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = render_l2_grad(scene, config, target, seed=1)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    # forward pass + adjoint re-trace both traverse the full wavefront
+    _emit("cornell_box_fwd_adjoint_mrays_per_s",
+          2 * rays_per_pass * n_passes / dt / 1e6)
+
+    signal.alarm(0)
+
+
+def _bench_gallery(jax, mi, _render_all_passes_jit, mesh_gallery):
+    import time
     gallery = mesh_gallery(subdiv=4)
     gcfg = mi.RenderConfig(width=256, height=256, spp=16, spp_per_pass=4,
                            max_depth=3, rr_depth=8)
@@ -90,20 +121,6 @@ def main():
     dt = time.perf_counter() - t0
     _emit("mesh_gallery_fwd_mrays_per_s",
           g_rays_pass * g_passes * g_reps / dt / 1e6)
-
-    # ---- 3) Cornell box, forward + adjoint --------------------------------
-    target = jnp.zeros((config.height, config.width, 3), jnp.float32)
-    out = render_l2_grad(scene, config, target, seed=0)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = render_l2_grad(scene, config, target, seed=1)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    # forward pass + adjoint re-trace both traverse the full wavefront
-    _emit("cornell_box_fwd_adjoint_mrays_per_s",
-          2 * rays_per_pass * n_passes / dt / 1e6)
-
-    signal.alarm(0)
 
 
 if __name__ == "__main__":
