@@ -92,12 +92,14 @@ def main():
     out = render_l2_grad(scene, config, target, seed=0)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = render_l2_grad(scene, config, target, seed=1)
+    a_reps = 2
+    for r in range(a_reps):
+        out = render_l2_grad(scene, config, target, seed=r + 1)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     # forward pass + adjoint re-trace both traverse the full wavefront
     _emit("cornell_box_fwd_adjoint_mrays_per_s",
-          2 * rays_per_pass * n_passes / dt / 1e6)
+          a_reps * 2 * rays_per_pass * n_passes / dt / 1e6)
 
     signal.alarm(0)
 
