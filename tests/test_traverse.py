@@ -42,7 +42,8 @@ def test_bvh_matches_brute_force_cbox():
     np.testing.assert_array_equal(hit1, hit2)
     np.testing.assert_allclose(t1[hit1], t2[hit2], rtol=1e-4, atol=1e-5)
     # prim ids must match except where two prims are equidistant (quad diagonal)
-    close = np.abs(t1 - t2) <= 1e-5 + 1e-4 * np.abs(t2)
+    with np.errstate(invalid="ignore"):
+        close = np.abs(t1 - t2) <= 1e-5 + 1e-4 * np.abs(t2)
     assert close[hit1].mean() > 0.999
 
 
