@@ -278,6 +278,172 @@ def _any_hit_kernel(node_f, node_i, prim_f,
     occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
 
 
+# ===========================================================================
+# MXU leaf path: the node walk stops at CLUSTER_K-prim cluster roots
+# (scene/bvh.py::cluster_cut) and tests the whole cluster as FOUR matmuls
+# on the matrix unit. Möller–Trumbore separates into bilinear forms over a
+# 16-dim ray feature vector R = [d, o x d, o, 1, 0...] and per-triangle
+# feature rows (docs/TPU_TRAVERSAL.md "levers"):
+#     det   = -d.n                 rows [-n, 0, 0, 0]
+#     u_num =  (o x d).e2 + d.(p0 x e2)   rows [p0 x e2, e2, 0, 0]
+#     v_num = -(o x d).e1 - d.(p0 x e1)   rows [-(p0 x e1), -e1, 0, 0]
+#     t_num =  o.n - p0.n          rows [0, 0, n, -(p0.n)]
+# so one cluster visit = 4 x dot((128,16),(16,1024)) + a vectorized
+# epilogue, replacing 128 scalar-streamed VPU prim tests. Spheres are not
+# expressible as the bilinear form — scenes with spheres use the scalar
+# kernel (dispatch guard).
+# ===========================================================================
+
+CLUSTER_K = 128
+# Module switch (tests compare both paths). Default OFF until the kernel
+# is validated compiled on real TPU hardware — flipping this routes every
+# sphere-free TPU scene through the MXU path.
+MXU_LEAVES = False
+
+
+def _pack_mxu_tables(scene):
+    """(node_f, node_cl, link_i, feat (4*S,16) f32, prim_ids (S,1) i32)."""
+    node_f, node_i, link_i, _ = _pack_tables(scene)
+    B = scene.bvh_min.shape[0]
+    node_cl = jnp.stack(
+        [scene.bvh_cluster_slot, jnp.zeros(B, jnp.int32),
+         jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32)], -1)
+
+    sp = scene.cluster_slot_prim                       # (S,)
+    idx = jnp.maximum(sp, 0)
+    valid = (sp >= 0)[:, None].astype(jnp.float32)
+    p0 = scene.prim_p0[idx] * valid
+    e1 = scene.prim_e1[idx] * valid
+    e2 = scene.prim_e2[idx] * valid
+    n = jnp.cross(e1, e2)
+    p0xe2 = jnp.cross(p0, e2)
+    p0xe1 = jnp.cross(p0, e1)
+    p0n = jnp.sum(p0 * n, -1, keepdims=True)
+    S = sp.shape[0]
+    z3 = jnp.zeros((S, 3), jnp.float32)
+    z1 = jnp.zeros((S, 1), jnp.float32)
+    z6 = jnp.zeros((S, 6), jnp.float32)
+    det_rows = jnp.concatenate([-n, z3, z3, z1, z6], -1)
+    u_rows = jnp.concatenate([p0xe2, e2, z3, z1, z6], -1)
+    v_rows = jnp.concatenate([-p0xe1, -e1, z3, z1, z6], -1)
+    t_rows = jnp.concatenate([z3, z3, n, -p0n, z6], -1)
+    feat = jnp.concatenate([det_rows, u_rows, v_rows, t_rows], 0)
+    prim_ids = sp[:, None]
+    return node_f, node_cl, link_i, feat, prim_ids
+
+
+def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
+                            ox, oy, oz, dx, dy, dz, tmax,
+                            t_out, prim_out, u_out, v_out):
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                               jnp.where(d >= 0, 1e-20, -1e-20), d)
+
+    ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
+
+    half = jnp.float32(_SUB * _LANE) * 0.5
+    octv = ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
+            | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
+               .astype(jnp.int32) << 1)
+            | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
+               .astype(jnp.int32) << 2))
+    fuel_cap = node_f.shape[0] + 64
+
+    def _pick_links(li):
+        hit = li[0, 0]
+        miss = li[0, 8]
+        for k in range(1, 8):
+            sel = octv == k
+            hit = jnp.where(sel, li[0, k], hit)
+            miss = jnp.where(sel, li[0, 8 + k], miss)
+        return hit, miss
+
+    # the 16-dim ray features, rays flattened onto the lane axis (probed
+    # reshape (8,128)->(1,1024): supported by this Mosaic)
+    def row(a):
+        return a.reshape(1, _SUB * _LANE)
+
+    mxv = oyv * dzv - ozv * dyv
+    myv = ozv * dxv - oxv * dzv
+    mzv = oxv * dyv - oyv * dxv
+    rt = jnp.concatenate(
+        [row(dxv), row(dyv), row(dzv), row(mxv), row(myv), row(mzv),
+         row(oxv), row(oyv), row(ozv),
+         jnp.ones((1, _SUB * _LANE), jnp.float32),
+         jnp.zeros((6, _SUB * _LANE), jnp.float32)], axis=0)  # (16, 1024)
+
+    S = feat.shape[0] // 4
+    BIG = jnp.int32(1 << 30)
+
+    def cluster_test(base, t_best, best, bu, bv):
+        planes = []
+        for j in range(4):
+            A = feat[pl.ds(j * S + base, CLUSTER_K), :]          # (128, 16)
+            planes.append(jax.lax.dot_general(
+                A, rt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))             # (128, 1024)
+        det, unum, vnum, tnum = planes
+        inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        u = unum * inv
+        v = vnum * inv
+        t = tnum * inv
+        tb = row(t_best)
+        ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+              (t > 0.0) & (t < tb))
+        t_m = jnp.where(ok, t, jnp.inf)
+        t_c = jnp.min(t_m, axis=0, keepdims=True)                # (1, 1024)
+        win = ok & (t_m <= t_c)
+        pids = prim_ids[pl.ds(base, CLUSTER_K), :]               # (128, 1)
+        prim_c = jnp.min(jnp.where(win, pids, BIG), axis=0, keepdims=True)
+        # u/v from the SAME winner as prim_c (equidistant ties would
+        # otherwise mix barycentrics across prims)
+        win2 = win & (pids == prim_c)
+        u_c = jnp.min(jnp.where(win2, u, jnp.inf), axis=0, keepdims=True)
+        v_c = jnp.min(jnp.where(win2, v, jnp.inf), axis=0, keepdims=True)
+        closer = t_c < tb
+        nt = jnp.where(closer, t_c, tb).reshape(_SUB, _LANE)
+        nbest = jnp.where(closer, prim_c, row(best)).reshape(_SUB, _LANE)
+        nu = jnp.where(closer, u_c, row(bu)).reshape(_SUB, _LANE)
+        nv = jnp.where(closer, v_c, row(bv)).reshape(_SUB, _LANE)
+        return nt, nbest, nu, nv
+
+    def cond(state):
+        node, fuel = state[0], state[1]
+        return (node >= 0) & (fuel < fuel_cap)
+
+    def body(state):
+        node, fuel, t_best, best, bu, bv = state
+        nf = node_f[pl.ds(node, 1), :]
+        cl = node_cl[pl.ds(node, 1), :]
+        slot_base = cl[0, 0]
+        hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
+        is_cl = slot_base >= 0
+
+        hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
+
+        t_best, best, bu, bv = jax.lax.cond(
+            is_cl & hit_any,
+            lambda a: cluster_test(slot_base, *a),
+            lambda a: a, (t_best, best, bu, bv))
+
+        nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
+                        miss_link, hit_link)
+        return nxt, fuel + 1, t_best, best, bu, bv
+
+    init = (jnp.int32(0), jnp.int32(0), tmax[:],
+            jnp.full((_SUB, _LANE), -1, jnp.int32),
+            jnp.zeros((_SUB, _LANE), jnp.float32),
+            jnp.zeros((_SUB, _LANE), jnp.float32))
+    _, _, t_best, best, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
+    prim_out[:] = best
+    u_out[:] = bu
+    v_out[:] = bv
+
+
 def _blockify(x, n_pad):
     x = jnp.pad(x, (0, n_pad - x.shape[0]))
     return x.reshape(n_pad // BLOCK * _SUB, _LANE)
@@ -326,19 +492,26 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
     n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
     n_blocks = n_pad // BLOCK
 
-    node_f, node_i, link_i, prim_f = _pack_tables(scene)
     args = [_blockify(ox, n_pad), _blockify(oy, n_pad),
             _blockify(oz, n_pad), _blockify(dx, n_pad),
             _blockify(dy, n_pad), _blockify(dz, n_pad),
             _blockify(t_max, n_pad)]
     sh = (n_blocks * _SUB, _LANE)
-    outs = _grid_call(_closest_hit_kernel, n_blocks,
-                      [jax.ShapeDtypeStruct(sh, jnp.float32),
-                       jax.ShapeDtypeStruct(sh, jnp.int32),
-                       jax.ShapeDtypeStruct(sh, jnp.float32),
-                       jax.ShapeDtypeStruct(sh, jnp.float32)],
-                      interpret, n_tables=4)(node_f, node_i, link_i,
-                                             prim_f, *args)
+    out_shapes = [jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.int32),
+                  jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.float32)]
+    use_mxu = (MXU_LEAVES and not scene.has_spheres and
+               getattr(scene, "cluster_slot_prim", None) is not None)
+    if use_mxu:
+        tables = _pack_mxu_tables(scene)
+        outs = _grid_call(_closest_hit_mxu_kernel, n_blocks, out_shapes,
+                          interpret, n_tables=5)(*tables, *args)
+    else:
+        node_f, node_i, link_i, prim_f = _pack_tables(scene)
+        outs = _grid_call(_closest_hit_kernel, n_blocks, out_shapes,
+                          interpret, n_tables=4)(node_f, node_i, link_i,
+                                                 prim_f, *args)
     t, prim, u, v = (o.reshape(n_pad)[:N] for o in outs)
     return t, prim, u, v
 

@@ -47,6 +47,48 @@ def children(bvh: BVH):
     return left.astype(np.int32), right.astype(np.int32)
 
 
+def cluster_cut(bvh: BVH, max_prims: int = 128):
+    """Cut the BVH into disjoint CLUSTERS: the highest nodes whose subtree
+    holds <= max_prims primitives (every leaf is below exactly one cut
+    node, and DFS order makes each cluster's primitives CONTIGUOUS in
+    prim_order). The MXU leaf path (kernels/traverse_pallas.py) stops the
+    node walk at cluster roots and batch-tests the whole cluster on the
+    matrix unit, so the walked tree shrinks from ~P/2 nodes to
+    ~P/max_prims clusters.
+
+    Returns (cluster_id (N,) i32 — cluster index at cut nodes, -1
+    elsewhere; starts (C,) i64 prim start per cluster; counts (C,) i64).
+    """
+    n = bvh.miss.shape[0]
+    left, right = children(bvh)
+    inner = bvh.leaf_start < 0
+    # subtree prim counts + leftmost prim start, bottom-up (reverse DFS
+    # order works: children always have higher DFS indices than parents)
+    counts = np.where(inner, 0, bvh.leaf_count).astype(np.int64)
+    starts = np.where(inner, np.iinfo(np.int64).max,
+                      bvh.leaf_start).astype(np.int64)
+    for i in range(n - 1, -1, -1):
+        if inner[i]:
+            counts[i] = counts[left[i]] + counts[right[i]]
+            starts[i] = min(starts[left[i]], starts[right[i]])
+
+    cluster_id = np.full(n, -1, np.int32)
+    c_starts, c_counts = [], []
+    # DFS from the root; cut at the first node with <= max_prims
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if counts[i] <= max_prims:
+            cluster_id[i] = len(c_starts)
+            c_starts.append(starts[i])
+            c_counts.append(counts[i])
+        else:
+            stack.append(int(right[i]))
+            stack.append(int(left[i]))
+    return (cluster_id, np.asarray(c_starts, np.int64),
+            np.asarray(c_counts, np.int64))
+
+
 def build_octant_links(bvh: BVH):
     """Direction-ordered threaded links: for each of the 8 ray-direction
     octants, a DFS order that visits the NEAR child first (classic

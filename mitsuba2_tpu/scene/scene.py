@@ -83,6 +83,12 @@ class SceneData:
     # flat (B*8,) i32, node*8 + octant; None on scenes built before round 2
     bvh_hit8: jnp.ndarray = None
     bvh_miss8: jnp.ndarray = None
+    # --- MXU leaf clusters (bvh.py::cluster_cut; traverse_pallas MXU path) ----
+    # bvh_cluster_slot: (B,) i32 = cluster_index * CLUSTER_K at cut nodes,
+    # -1 elsewhere; cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id
+    # per padded cluster slot (-1 padding)
+    bvh_cluster_slot: jnp.ndarray = None
+    cluster_slot_prim: jnp.ndarray = None
     # --- sensor motion (core/geometry.py::AnimatedTransform) ------------------
     # camera motion blur: keyframed to_world; rays sample a shutter time
     # uniformly over the key range. None = static camera. Shape motion is
@@ -224,6 +230,13 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     bb_max = np.where(is_sph[:, None], p0 + r, tri_max)
     tree = bvh_mod.build_bvh(bb_min, bb_max)
     oct_hit8, oct_miss8 = bvh_mod.build_octant_links(tree)
+    # MXU leaf clusters (traverse_pallas CLUSTER_K-prim batched leaf tests)
+    CK = 128
+    cl_id, cl_starts, cl_counts = bvh_mod.cluster_cut(tree, max_prims=CK)
+    cl_slot = np.where(cl_id >= 0, cl_id * CK, -1).astype(np.int32)
+    slot_prim = np.full(max(len(cl_starts), 1) * CK, -1, np.int32)
+    for c, (s0, cnt) in enumerate(zip(cl_starts, cl_counts)):
+        slot_prim[c * CK: c * CK + cnt] = np.arange(s0, s0 + cnt)
     perm = tree.prim_order
     p0, e1, e2 = p0[perm], e1[perm], e2[perm]
     n0, n1, n2 = n0[perm], n1[perm], n2[perm]
@@ -388,6 +401,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         bvh_leaf_start=dev(tree.leaf_start), bvh_leaf_count=dev(tree.leaf_count),
         bvh_miss=dev(tree.miss),
         bvh_hit8=dev(oct_hit8), bvh_miss8=dev(oct_miss8),
+        bvh_cluster_slot=dev(cl_slot), cluster_slot_prim=dev(slot_prim),
         shape_mat=dev(np.asarray(shape_mat, np.int32)),
         shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
         mat_type=dev(np.asarray([mt[0] for mt in mats], np.int32)),

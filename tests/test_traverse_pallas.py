@@ -58,6 +58,39 @@ def test_any_hit_matches_oracle():
         np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_j))
 
 
+def test_mxu_leaf_path_matches_scalar_kernel(monkeypatch):
+    """The MXU cluster-leaf kernel (Möller–Trumbore as 4 feature-plane
+    matmuls over CLUSTER_K-prim BVH cuts) must agree with the scalar
+    streaming kernel on a triangle-only scene, whatever MXU_LEAVES
+    defaults to."""
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+    scene = mesh_gallery(subdiv=1)
+    assert not scene.has_spheres and scene.cluster_slot_prim is not None
+    o, d = random_rays(2048, seed=5, spread=2.5)
+    t_max = jnp.full(2048, jnp.inf)
+
+    monkeypatch.setattr(traverse_pallas, "MXU_LEAVES", False)
+    t_s, p_s, u_s, v_s = traverse_pallas.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    monkeypatch.setattr(traverse_pallas, "MXU_LEAVES", True)
+    t_m, p_m, u_m, v_m = traverse_pallas.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+
+    t_s, t_m = np.asarray(t_s), np.asarray(t_m)
+    hit_s, hit_m = np.isfinite(t_s), np.isfinite(t_m)
+    np.testing.assert_array_equal(hit_s, hit_m)
+    np.testing.assert_allclose(t_m[hit_m], t_s[hit_s], rtol=1e-4, atol=1e-5)
+    same = np.asarray(p_m) == np.asarray(p_s)
+    assert same[hit_s].mean() > 0.995        # equidistant ties only
+    np.testing.assert_allclose(t_m[hit_s & ~same], t_s[hit_s & ~same],
+                               rtol=1e-4, atol=1e-5)
+    sel = same & hit_s
+    np.testing.assert_allclose(np.asarray(u_m)[sel], np.asarray(u_s)[sel],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_m)[sel], np.asarray(v_s)[sel],
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_non_multiple_block_sizes():
     scene = cornell_box()
     o, d = random_rays(777, seed=2)
