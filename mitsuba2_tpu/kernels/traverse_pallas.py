@@ -288,10 +288,10 @@ def _any_hit_kernel(node_f, node_i, prim_f,
 #     u_num =  (o x d).e2 + d.(p0 x e2)   rows [p0 x e2, e2, 0, 0]
 #     v_num = -(o x d).e1 - d.(p0 x e1)   rows [-(p0 x e1), -e1, 0, 0]
 #     t_num =  o.n - p0.n          rows [0, 0, n, -(p0.n)]
-# so one cluster visit = 4 x dot((128,16),(16,1024)) + a vectorized
-# epilogue, replacing 128 scalar-streamed VPU prim tests. Spheres are not
-# expressible as the bilinear form — scenes with spheres use the scalar
-# kernel (dispatch guard).
+# so one cluster visit = one dot((4*128,16),(16,1024)) over DMA-streamed
+# feature rows + a vectorized epilogue, replacing 128 scalar-streamed VPU
+# prim tests. Spheres are not expressible as the bilinear form — scenes
+# with spheres use the scalar kernel (dispatch guard).
 # ===========================================================================
 
 CLUSTER_K = 128
@@ -334,7 +334,13 @@ def _pack_mxu_tables(scene):
 
 def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
                             ox, oy, oz, dx, dy, dz, tmax,
-                            t_out, prim_out, u_out, v_out):
+                            t_out, prim_out, u_out, v_out,
+                            feat_s, pid_s, sems):
+    """feat/prim_ids live in HBM (memory_space=ANY): a dynamic-start
+    multi-sublane VMEM load feeding the MXU hangs the chip at dispatch
+    (measured on the axon runtime, 2026-08-17), so each cluster visit
+    instead DMAs its rows into statically-shaped VMEM scratch and the
+    dot_general reads the scratch with static offsets only."""
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
 
@@ -377,15 +383,30 @@ def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
 
     S = feat.shape[0] // 4
     BIG = jnp.int32(1 << 30)
+    CK = CLUSTER_K
 
-    def cluster_test(base, t_best, best, bu, bv):
-        planes = []
-        for j in range(4):
-            A = feat[pl.ds(j * S + base, CLUSTER_K), :]          # (128, 16)
-            planes.append(jax.lax.dot_general(
-                A, rt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))             # (128, 1024)
-        det, unum, vnum, tnum = planes
+    def start_dma(base):
+        """Stream one cluster's feature rows + prim ids HBM -> scratch.
+        The four plane blocks are disjoint (CK,16) regions at j*S+base;
+        base is a multiple of CK (cluster_index * CLUSTER_K)."""
+        dmas = [pltpu.make_async_copy(
+            feat.at[pl.ds(j * S + base, CK), :],
+            feat_s.at[pl.ds(j * CK, CK), :], sems.at[j])
+            for j in range(4)]
+        dmas.append(pltpu.make_async_copy(
+            prim_ids.at[pl.ds(base, CK), :], pid_s, sems.at[4]))
+        for d in dmas:
+            d.start()
+        return dmas
+
+    def cluster_test(t_best, best, bu, bv):
+        res = jax.lax.dot_general(
+            feat_s[:], rt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (4*CK, 1024)
+        det = res[0 * CK:1 * CK]
+        unum = res[1 * CK:2 * CK]
+        vnum = res[2 * CK:3 * CK]
+        tnum = res[3 * CK:4 * CK]
         inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
         u = unum * inv
         v = vnum * inv
@@ -396,7 +417,7 @@ def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
         t_m = jnp.where(ok, t, jnp.inf)
         t_c = jnp.min(t_m, axis=0, keepdims=True)                # (1, 1024)
         win = ok & (t_m <= t_c)
-        pids = prim_ids[pl.ds(base, CLUSTER_K), :]               # (128, 1)
+        pids = pid_s[:]                                          # (128, 1)
         prim_c = jnp.min(jnp.where(win, pids, BIG), axis=0, keepdims=True)
         # u/v from the SAME winner as prim_c (equidistant ties would
         # otherwise mix barycentrics across prims)
@@ -424,9 +445,16 @@ def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
 
         hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
 
+        # DMA unconditionally (clamped base; ~40 KB, negligible next to
+        # the dot) — a DMA buried inside lax.cond is a novel lowering,
+        # the unconditional start/wait is the proven streaming shape.
+        dmas = start_dma(jnp.maximum(slot_base, 0))
+        for d in dmas:
+            d.wait()
+
         t_best, best, bu, bv = jax.lax.cond(
             is_cl & hit_any,
-            lambda a: cluster_test(slot_base, *a),
+            lambda a: cluster_test(*a),
             lambda a: a, (t_best, best, bu, bv))
 
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
@@ -458,6 +486,28 @@ def _components(v):
 _ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 _tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full table, replicated
+
+
+def _mxu_call(n_blocks, out_shapes, interpret):
+    """pallas_call for the MXU cluster-leaf kernel: node/link tables in
+    VMEM (scalar row loads), feat/prim_ids resident in HBM (ANY) and
+    DMA-streamed per cluster into VMEM scratch — so VMEM use is O(1) in
+    scene size and the dot_general sees only static offsets."""
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    return pl.pallas_call(
+        _closest_hit_mxu_kernel,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec, _tab_spec, _tab_spec, any_spec, any_spec] +
+                 [_ray_spec] * 7,
+        out_specs=tuple(_ray_spec for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
+                        pltpu.VMEM((CLUSTER_K, 1), jnp.int32),
+                        pltpu.SemaphoreType.DMA((5,))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
 
 
 def _grid_call(kernel, n_blocks, out_shapes, interpret, n_tables=3):
@@ -505,8 +555,7 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
                getattr(scene, "cluster_slot_prim", None) is not None)
     if use_mxu:
         tables = _pack_mxu_tables(scene)
-        outs = _grid_call(_closest_hit_mxu_kernel, n_blocks, out_shapes,
-                          interpret, n_tables=5)(*tables, *args)
+        outs = _mxu_call(n_blocks, out_shapes, interpret)(*tables, *args)
     else:
         node_f, node_i, link_i, prim_f = _pack_tables(scene)
         outs = _grid_call(_closest_hit_kernel, n_blocks, out_shapes,
