@@ -302,34 +302,19 @@ MXU_LEAVES = False
 
 
 def _pack_mxu_tables(scene):
-    """(node_f, node_cl, link_i, feat (4*S,16) f32, prim_ids (S,1) i32)."""
+    """(node_f, node_cl, link_i, feat (4*S,16) f32, prim_ids (S,1) i32).
+
+    feat is the HOST-precomputed Möller–Trumbore plane table
+    (scene/scene.py builds it once at scene-build time) — recomputing it
+    here would issue per-slot prim gathers inside jit, which hit the XLA
+    gather wall (~0.15 G elem/s on TPU) on every render dispatch."""
     node_f, node_i, link_i, _ = _pack_tables(scene)
     B = scene.bvh_min.shape[0]
     node_cl = jnp.stack(
         [scene.bvh_cluster_slot, jnp.zeros(B, jnp.int32),
          jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32)], -1)
-
-    sp = scene.cluster_slot_prim                       # (S,)
-    idx = jnp.maximum(sp, 0)
-    valid = (sp >= 0)[:, None].astype(jnp.float32)
-    p0 = scene.prim_p0[idx] * valid
-    e1 = scene.prim_e1[idx] * valid
-    e2 = scene.prim_e2[idx] * valid
-    n = jnp.cross(e1, e2)
-    p0xe2 = jnp.cross(p0, e2)
-    p0xe1 = jnp.cross(p0, e1)
-    p0n = jnp.sum(p0 * n, -1, keepdims=True)
-    S = sp.shape[0]
-    z3 = jnp.zeros((S, 3), jnp.float32)
-    z1 = jnp.zeros((S, 1), jnp.float32)
-    z6 = jnp.zeros((S, 6), jnp.float32)
-    det_rows = jnp.concatenate([-n, z3, z3, z1, z6], -1)
-    u_rows = jnp.concatenate([p0xe2, e2, z3, z1, z6], -1)
-    v_rows = jnp.concatenate([-p0xe1, -e1, z3, z1, z6], -1)
-    t_rows = jnp.concatenate([z3, z3, n, -p0n, z6], -1)
-    feat = jnp.concatenate([det_rows, u_rows, v_rows, t_rows], 0)
-    prim_ids = sp[:, None]
-    return node_f, node_cl, link_i, feat, prim_ids
+    return node_f, node_cl, link_i, scene.mxu_feat, \
+        scene.cluster_slot_prim[:, None]
 
 
 def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
@@ -552,7 +537,7 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
                   jax.ShapeDtypeStruct(sh, jnp.float32),
                   jax.ShapeDtypeStruct(sh, jnp.float32)]
     use_mxu = (MXU_LEAVES and not scene.has_spheres and
-               getattr(scene, "cluster_slot_prim", None) is not None)
+               getattr(scene, "mxu_feat", None) is not None)
     if use_mxu:
         tables = _pack_mxu_tables(scene)
         outs = _mxu_call(n_blocks, out_shapes, interpret)(*tables, *args)

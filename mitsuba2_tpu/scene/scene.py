@@ -86,9 +86,11 @@ class SceneData:
     # --- MXU leaf clusters (bvh.py::cluster_cut; traverse_pallas MXU path) ----
     # bvh_cluster_slot: (B,) i32 = cluster_index * CLUSTER_K at cut nodes,
     # -1 elsewhere; cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id
-    # per padded cluster slot (-1 padding)
+    # per padded cluster slot (-1 padding); mxu_feat: (4*C*CLUSTER_K, 16)
+    # f32 host-precomputed Möller–Trumbore plane rows
     bvh_cluster_slot: jnp.ndarray = None
     cluster_slot_prim: jnp.ndarray = None
+    mxu_feat: jnp.ndarray = None
     # --- sensor motion (core/geometry.py::AnimatedTransform) ------------------
     # camera motion blur: keyframed to_world; rays sample a shutter time
     # uniformly over the key range. None = static camera. Shape motion is
@@ -242,6 +244,26 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     n0, n1, n2 = n0[perm], n1[perm], n2[perm]
     uv0, uv1, uv2 = uv0[perm], uv1[perm], uv2[perm]
     ptype, pshape, parea = ptype[perm], pshape[perm], parea[perm]
+
+    # MXU feature table, host-built once: (4*S, 16) f32 plane rows for the
+    # Möller–Trumbore bilinear forms (kernels/traverse_pallas.py MXU path).
+    # Built here rather than at trace time — the per-slot prim gathers are
+    # pathological as XLA device ops (~0.15 G elem/s on TPU).
+    sidx = np.maximum(slot_prim, 0)
+    valid = (slot_prim >= 0)[:, None].astype(np.float32)
+    cp0 = p0[sidx] * valid
+    ce1 = e1[sidx] * valid
+    ce2 = e2[sidx] * valid
+    cn = np.cross(ce1, ce2)
+    Sn = slot_prim.shape[0]
+    feat = np.zeros((4 * Sn, 16), np.float32)
+    feat[0 * Sn:1 * Sn, 0:3] = -cn
+    feat[1 * Sn:2 * Sn, 0:3] = np.cross(cp0, ce2)
+    feat[1 * Sn:2 * Sn, 3:6] = ce2
+    feat[2 * Sn:3 * Sn, 0:3] = -np.cross(cp0, ce1)
+    feat[2 * Sn:3 * Sn, 3:6] = -ce1
+    feat[3 * Sn:4 * Sn, 6:9] = cn
+    feat[3 * Sn:4 * Sn, 9] = -np.sum(cp0 * cn, -1)
 
     # --- emitter tables ----------------------------------------------------------
     E = max(len(emitter_descs), 1)
@@ -402,6 +424,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         bvh_miss=dev(tree.miss),
         bvh_hit8=dev(oct_hit8), bvh_miss8=dev(oct_miss8),
         bvh_cluster_slot=dev(cl_slot), cluster_slot_prim=dev(slot_prim),
+        mxu_feat=dev(feat),
         shape_mat=dev(np.asarray(shape_mat, np.int32)),
         shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
         mat_type=dev(np.asarray([mt[0] for mt in mats], np.int32)),
