@@ -457,6 +457,114 @@ def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
     v_out[:] = bv
 
 
+def _any_hit_mxu_kernel(node_f, node_cl, link_i, feat,
+                        ox, oy, oz, dx, dy, dz, tmax,
+                        occ_out, feat_s, sems):
+    """Any-hit occlusion walk with MXU cluster-leaf tests. Same DMA
+    streaming scheme as _closest_hit_mxu_kernel; padded cluster slots have
+    all-zero feature rows -> det == 0 -> never counted as hits, so the
+    prim-id table is not needed. Early-exits once every lane is occluded."""
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    tmv = tmax[:]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                               jnp.where(d >= 0, 1e-20, -1e-20), d)
+
+    ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
+
+    half = jnp.float32(_SUB * _LANE) * 0.5
+    octv = ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
+            | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
+               .astype(jnp.int32) << 1)
+            | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
+               .astype(jnp.int32) << 2))
+    fuel_cap = node_f.shape[0] + 64
+
+    def _pick_links(li):
+        hit = li[0, 0]
+        miss = li[0, 8]
+        for k in range(1, 8):
+            sel = octv == k
+            hit = jnp.where(sel, li[0, k], hit)
+            miss = jnp.where(sel, li[0, 8 + k], miss)
+        return hit, miss
+
+    def row(a):
+        return a.reshape(1, _SUB * _LANE)
+
+    mxv = oyv * dzv - ozv * dyv
+    myv = ozv * dxv - oxv * dzv
+    mzv = oxv * dyv - oyv * dxv
+    rt = jnp.concatenate(
+        [row(dxv), row(dyv), row(dzv), row(mxv), row(myv), row(mzv),
+         row(oxv), row(oyv), row(ozv),
+         jnp.ones((1, _SUB * _LANE), jnp.float32),
+         jnp.zeros((6, _SUB * _LANE), jnp.float32)], axis=0)  # (16, 1024)
+
+    S = feat.shape[0] // 4
+    CK = CLUSTER_K
+
+    def start_dma(base):
+        dmas = [pltpu.make_async_copy(
+            feat.at[pl.ds(j * S + base, CK), :],
+            feat_s.at[pl.ds(j * CK, CK), :], sems.at[j])
+            for j in range(4)]
+        for d in dmas:
+            d.start()
+        return dmas
+
+    def cluster_test(occ_f):
+        res = jax.lax.dot_general(
+            feat_s[:], rt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (4*CK, 1024)
+        det = res[0 * CK:1 * CK]
+        unum = res[1 * CK:2 * CK]
+        vnum = res[2 * CK:3 * CK]
+        tnum = res[3 * CK:4 * CK]
+        inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        u = unum * inv
+        v = vnum * inv
+        t = tnum * inv
+        tb = row(tmv)
+        ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+              (t > 0.0) & (t <= tb))
+        hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
+        return jnp.maximum(occ_f, hit.reshape(_SUB, _LANE))
+
+    def cond(state):
+        node, fuel, occ_f = state
+        return (node >= 0) & (fuel < fuel_cap) & (jnp.min(occ_f) < 1.0)
+
+    def body(state):
+        node, fuel, occ_f = state
+        nf = node_f[pl.ds(node, 1), :]
+        cl = node_cl[pl.ds(node, 1), :]
+        slot_base = cl[0, 0]
+        hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
+        is_cl = slot_base >= 0
+
+        alive = occ_f < 1.0
+        hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, tmv)
+                          & alive)
+
+        dmas = start_dma(jnp.maximum(slot_base, 0))
+        for d in dmas:
+            d.wait()
+
+        occ_f = jax.lax.cond(is_cl & hit_any, cluster_test,
+                             lambda o: o, occ_f)
+        nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
+                        miss_link, hit_link)
+        return nxt, fuel + 1, occ_f
+
+    init = (jnp.int32(0), jnp.int32(0),
+            jnp.zeros((_SUB, _LANE), jnp.float32))
+    _, _, occ_f = jax.lax.while_loop(cond, body, init)
+    occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
+
+
 def _blockify(x, n_pad):
     x = jnp.pad(x, (0, n_pad - x.shape[0]))
     return x.reshape(n_pad // BLOCK * _SUB, _LANE)
@@ -489,6 +597,25 @@ def _mxu_call(n_blocks, out_shapes, interpret):
         scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
                         pltpu.VMEM((CLUSTER_K, 1), jnp.int32),
                         pltpu.SemaphoreType.DMA((5,))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+def _mxu_anyhit_call(n_blocks, out_shapes, interpret):
+    """Occlusion variant of _mxu_call: no prim-id stream (padded slots
+    are self-masking via their all-zero feature rows)."""
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    return pl.pallas_call(
+        _any_hit_mxu_kernel,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec, _tab_spec, _tab_spec, any_spec] +
+                 [_ray_spec] * 7,
+        out_specs=tuple(_ray_spec for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -564,15 +691,24 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
     n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
     n_blocks = n_pad // BLOCK
 
-    node_f, node_i, _, prim_f = _pack_tables(scene)
     args = [_blockify(ox, n_pad), _blockify(oy, n_pad),
             _blockify(oz, n_pad), _blockify(dx, n_pad),
             _blockify(dy, n_pad), _blockify(dz, n_pad),
             _blockify(t_max, n_pad)]
     sh = (n_blocks * _SUB, _LANE)
-    occ = _grid_call(_any_hit_kernel, n_blocks,
-                     [jax.ShapeDtypeStruct(sh, jnp.int32)],
-                     interpret)(node_f, node_i, prim_f, *args)
+    use_mxu = (MXU_LEAVES and not scene.has_spheres and
+               getattr(scene, "mxu_feat", None) is not None)
+    if use_mxu:
+        node_f, node_cl, link_i, feat, _ = _pack_mxu_tables(scene)
+        occ = _mxu_anyhit_call(n_blocks,
+                               [jax.ShapeDtypeStruct(sh, jnp.int32)],
+                               interpret)(node_f, node_cl, link_i, feat,
+                                          *args)
+    else:
+        node_f, node_i, _, prim_f = _pack_tables(scene)
+        occ = _grid_call(_any_hit_kernel, n_blocks,
+                         [jax.ShapeDtypeStruct(sh, jnp.int32)],
+                         interpret)(node_f, node_i, prim_f, *args)
     if isinstance(occ, (tuple, list)):
         occ = occ[0]
     return (occ.reshape(n_pad)[:N]) != 0

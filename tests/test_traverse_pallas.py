@@ -91,6 +91,20 @@ def test_mxu_leaf_path_matches_scalar_kernel(monkeypatch):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_mxu_any_hit_matches_scalar_kernel(monkeypatch):
+    """Occlusion (any-hit) MXU cluster kernel vs the scalar streaming
+    kernel, finite and infinite t_max."""
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+    scene = mesh_gallery(subdiv=1)
+    o, d = random_rays(2048, seed=7, spread=2.5)
+    for maxt in (jnp.full(2048, jnp.inf), jnp.full(2048, 0.4)):
+        monkeypatch.setattr(traverse_pallas, "MXU_LEAVES", False)
+        occ_s = traverse_pallas.ray_test(scene, o, d, maxt, interpret=True)
+        monkeypatch.setattr(traverse_pallas, "MXU_LEAVES", True)
+        occ_m = traverse_pallas.ray_test(scene, o, d, maxt, interpret=True)
+        np.testing.assert_array_equal(np.asarray(occ_m), np.asarray(occ_s))
+
+
 def test_non_multiple_block_sizes():
     scene = cornell_box()
     o, d = random_rays(777, seed=2)
