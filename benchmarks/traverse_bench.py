@@ -9,6 +9,7 @@ experiments are the TPU-wedge hazard class.
         [--subdiv 4] [--rounds 3] [--incoherent-only]
 """
 import argparse
+import functools
 import json
 import os
 import signal
@@ -25,7 +26,8 @@ def _watchdog(sig, frame):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--backend", default="jnp",
+                    choices=["jnp", "pallas", "mxu"])
     ap.add_argument("--n", type=int, default=262144)
     ap.add_argument("--subdiv", type=int, default=4)
     ap.add_argument("--rounds", type=int, default=3)
@@ -39,6 +41,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-mitsuba2")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     import numpy as np
 
@@ -51,6 +55,8 @@ def main():
           f"{jax.devices()[0].platform}", flush=True)
 
     mod = traverse_jnp if args.backend == "jnp" else traverse_pallas
+    if args.backend == "mxu":
+        traverse_pallas.MXU_LEAVES = True
     N = args.n
     rng = np.random.default_rng(0)
 
@@ -73,9 +79,13 @@ def main():
     for tag, o, d in (("coherent", o_coh, d_coh), ("incoherent", o_inc, d_inc)):
         o, d = jnp.asarray(o), jnp.asarray(d)
 
-        closest = jax.jit(lambda o, d: mod.ray_intersect_preliminary(
-            scene, o, d, jnp.inf))
-        anyhit = jax.jit(lambda o, d: mod.ray_test(scene, o, d, 2.0))
+        # scene passed as a jit ARGUMENT: closing over SceneData embeds MBs
+        # of constants in the HLO and stalls the remote compile service
+        closest = jax.jit(lambda sc, o, d: mod.ray_intersect_preliminary(
+            sc, o, d, jnp.inf))
+        anyhit = jax.jit(lambda sc, o, d: mod.ray_test(sc, o, d, 2.0))
+        closest = functools.partial(closest, scene)
+        anyhit = functools.partial(anyhit, scene)
 
         for name, fn in (("closest", closest), ("anyhit", anyhit)):
             t0 = time.perf_counter()
