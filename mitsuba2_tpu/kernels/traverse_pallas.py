@@ -366,20 +366,18 @@ def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
          jnp.ones((1, _SUB * _LANE), jnp.float32),
          jnp.zeros((6, _SUB * _LANE), jnp.float32)], axis=0)  # (16, 1024)
 
-    S = feat.shape[0] // 4
     BIG = jnp.int32(1 << 30)
     CK = CLUSTER_K
 
     def start_dma(base):
         """Stream one cluster's feature rows + prim ids HBM -> scratch.
-        The four plane blocks are disjoint (CK,16) regions at j*S+base;
-        base is a multiple of CK (cluster_index * CLUSTER_K)."""
+        feat is cluster-major (scene.py): cluster c owns the contiguous
+        rows [4*base, 4*base + 4*CK) (base = c*CK), so the whole visit is
+        ONE 32 KB contiguous copy plus the small prim-id row."""
         dmas = [pltpu.make_async_copy(
-            feat.at[pl.ds(j * S + base, CK), :],
-            feat_s.at[pl.ds(j * CK, CK), :], sems.at[j])
-            for j in range(4)]
-        dmas.append(pltpu.make_async_copy(
-            prim_ids.at[pl.ds(base, CK), :], pid_s, sems.at[4]))
+            feat.at[pl.ds(4 * base, 4 * CK), :], feat_s, sems.at[0]),
+            pltpu.make_async_copy(
+            prim_ids.at[pl.ds(base, CK), :], pid_s, sems.at[1])]
         for d in dmas:
             d.start()
         return dmas
@@ -503,17 +501,14 @@ def _any_hit_mxu_kernel(node_f, node_cl, link_i, feat,
          jnp.ones((1, _SUB * _LANE), jnp.float32),
          jnp.zeros((6, _SUB * _LANE), jnp.float32)], axis=0)  # (16, 1024)
 
-    S = feat.shape[0] // 4
     CK = CLUSTER_K
 
     def start_dma(base):
-        dmas = [pltpu.make_async_copy(
-            feat.at[pl.ds(j * S + base, CK), :],
-            feat_s.at[pl.ds(j * CK, CK), :], sems.at[j])
-            for j in range(4)]
-        for d in dmas:
-            d.start()
-        return dmas
+        # cluster-major feat: one contiguous (4*CK, 16) copy per visit
+        d = pltpu.make_async_copy(
+            feat.at[pl.ds(4 * base, 4 * CK), :], feat_s, sems.at[0])
+        d.start()
+        return [d]
 
     def cluster_test(occ_f):
         res = jax.lax.dot_general(
@@ -596,7 +591,7 @@ def _mxu_call(n_blocks, out_shapes, interpret):
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
                         pltpu.VMEM((CLUSTER_K, 1), jnp.int32),
-                        pltpu.SemaphoreType.DMA((5,))],
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -615,7 +610,7 @@ def _mxu_anyhit_call(n_blocks, out_shapes, interpret):
         out_specs=tuple(_ray_spec for _ in out_shapes),
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
-                        pltpu.SemaphoreType.DMA((4,))],
+                        pltpu.SemaphoreType.DMA((1,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

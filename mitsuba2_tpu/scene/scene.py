@@ -87,7 +87,9 @@ class SceneData:
     # bvh_cluster_slot: (B,) i32 = cluster_index * CLUSTER_K at cut nodes,
     # -1 elsewhere; cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id
     # per padded cluster slot (-1 padding); mxu_feat: (4*C*CLUSTER_K, 16)
-    # f32 host-precomputed Möller–Trumbore plane rows
+    # f32 host-precomputed Möller–Trumbore plane rows, CLUSTER-MAJOR:
+    # cluster c owns rows [4*K*c, 4*K*(c+1)) as four contiguous K-row
+    # plane blocks [det; u; v; t] — one cluster visit = one contiguous DMA
     bvh_cluster_slot: jnp.ndarray = None
     cluster_slot_prim: jnp.ndarray = None
     mxu_feat: jnp.ndarray = None
@@ -255,15 +257,18 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     ce1 = e1[sidx] * valid
     ce2 = e2[sidx] * valid
     cn = np.cross(ce1, ce2)
-    Sn = slot_prim.shape[0]
-    feat = np.zeros((4 * Sn, 16), np.float32)
-    feat[0 * Sn:1 * Sn, 0:3] = -cn
-    feat[1 * Sn:2 * Sn, 0:3] = np.cross(cp0, ce2)
-    feat[1 * Sn:2 * Sn, 3:6] = ce2
-    feat[2 * Sn:3 * Sn, 0:3] = -np.cross(cp0, ce1)
-    feat[2 * Sn:3 * Sn, 3:6] = -ce1
-    feat[3 * Sn:4 * Sn, 6:9] = cn
-    feat[3 * Sn:4 * Sn, 9] = -np.sum(cp0 * cn, -1)
+    Sn = slot_prim.shape[0]          # = C * CK, C >= 1
+    C = Sn // CK
+    # cluster-major: (C, 4 planes, CK slots, 16) -> (4*Sn, 16)
+    fv = np.zeros((C, 4, CK, 16), np.float32)
+    fv[:, 0, :, 0:3] = -cn.reshape(C, CK, 3)
+    fv[:, 1, :, 0:3] = np.cross(cp0, ce2).reshape(C, CK, 3)
+    fv[:, 1, :, 3:6] = ce2.reshape(C, CK, 3)
+    fv[:, 2, :, 0:3] = -np.cross(cp0, ce1).reshape(C, CK, 3)
+    fv[:, 2, :, 3:6] = -ce1.reshape(C, CK, 3)
+    fv[:, 3, :, 6:9] = cn.reshape(C, CK, 3)
+    fv[:, 3, :, 9] = -np.sum(cp0 * cn, -1).reshape(C, CK)
+    feat = fv.reshape(4 * Sn, 16)
 
     # --- emitter tables ----------------------------------------------------------
     E = max(len(emitter_descs), 1)
