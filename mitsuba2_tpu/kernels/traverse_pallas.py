@@ -420,18 +420,19 @@ def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
 
     def body(state):
         node, fuel, t_best, best, bu, bv = state
-        nf = node_f[pl.ds(node, 1), :]
         cl = node_cl[pl.ds(node, 1), :]
         slot_base = cl[0, 0]
+        # DMA unconditionally (clamped base) and START FIRST — a DMA
+        # buried inside lax.cond is a novel lowering, the unconditional
+        # start/wait is the proven streaming shape, and starting before
+        # the slab test overlaps the copy with the VPU work.
+        dmas = start_dma(jnp.maximum(slot_base, 0))
+
+        nf = node_f[pl.ds(node, 1), :]
         hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
         is_cl = slot_base >= 0
 
         hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
-
-        # DMA unconditionally (clamped base; ~40 KB, negligible next to
-        # the dot) — a DMA buried inside lax.cond is a novel lowering,
-        # the unconditional start/wait is the proven streaming shape.
-        dmas = start_dma(jnp.maximum(slot_base, 0))
         for d in dmas:
             d.wait()
 
@@ -534,17 +535,17 @@ def _any_hit_mxu_kernel(node_f, node_cl, link_i, feat,
 
     def body(state):
         node, fuel, occ_f = state
-        nf = node_f[pl.ds(node, 1), :]
         cl = node_cl[pl.ds(node, 1), :]
         slot_base = cl[0, 0]
+        dmas = start_dma(jnp.maximum(slot_base, 0))  # see closest-hit note
+
+        nf = node_f[pl.ds(node, 1), :]
         hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
         is_cl = slot_base >= 0
 
         alive = occ_f < 1.0
         hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, tmv)
                           & alive)
-
-        dmas = start_dma(jnp.maximum(slot_base, 0))
         for d in dmas:
             d.wait()
 
