@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.bvh import LEAF_K
+from ..scene.bvh import CLUSTER_K, LEAF_K
 
 BLOCK = 1024          # rays per grid step = one (8, 128) f32 tile
 _SUB, _LANE = 8, 128
@@ -294,7 +294,7 @@ def _any_hit_kernel(node_f, node_i, prim_f,
 # with spheres use the scalar kernel (dispatch guard).
 # ===========================================================================
 
-CLUSTER_K = 128
+# CLUSTER_K imported from scene/bvh.py (MI_CLUSTER_K env override).
 # Module switch (tests compare both paths). Default OFF until the kernel
 # is validated compiled on real TPU hardware — flipping this routes every
 # sphere-free TPU scene through the MXU path.

@@ -23,6 +23,13 @@ import dataclasses
 import numpy as np
 
 LEAF_K = 4        # max prims per leaf (traversal always tests LEAF_K slots)
+
+# MXU cluster-leaf size (traverse_pallas MXU path): prims per BVH-cut
+# cluster; one cluster visit = one (4*CLUSTER_K, 16) matmul. Env override
+# for hardware sweeps (scene tables are host-built, so it binds at scene
+# build time; pick powers of two >= 8 sublanes).
+import os as _os
+CLUSTER_K = int(_os.environ.get("MI_CLUSTER_K", "128"))
 N_BINS = 16       # SAH bins per axis
 
 

@@ -235,7 +235,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     tree = bvh_mod.build_bvh(bb_min, bb_max)
     oct_hit8, oct_miss8 = bvh_mod.build_octant_links(tree)
     # MXU leaf clusters (traverse_pallas CLUSTER_K-prim batched leaf tests)
-    CK = 128
+    CK = bvh_mod.CLUSTER_K
     cl_id, cl_starts, cl_counts = bvh_mod.cluster_cut(tree, max_prims=CK)
     cl_slot = np.where(cl_id >= 0, cl_id * CK, -1).astype(np.int32)
     slot_prim = np.full(max(len(cl_starts), 1) * CK, -1, np.int32)
