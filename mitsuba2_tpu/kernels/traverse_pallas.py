@@ -304,16 +304,17 @@ MXU_LEAVES = False
 def _pack_mxu_tables(scene):
     """(node_f, node_cl, link_i, feat (4*S,16) f32, prim_ids (S,1) i32).
 
-    feat is the HOST-precomputed Möller–Trumbore plane table
-    (scene/scene.py builds it once at scene-build time) — recomputing it
-    here would issue per-slot prim gathers inside jit, which hit the XLA
-    gather wall (~0.15 G elem/s on TPU) on every render dispatch."""
-    node_f, node_i, link_i, _ = _pack_tables(scene)
-    B = scene.bvh_min.shape[0]
+    All tables are HOST-precomputed at scene-build time (scene/scene.py):
+    the node/link tables are the PRUNED cut-tree (cut nodes + ancestors,
+    O(C) rows — below-cut nodes are unreachable for the cluster walk, so
+    shipping the full BVH would waste ~P/(2C)x the VMEM), and feat is the
+    Möller–Trumbore plane table (recomputing it here would issue per-slot
+    prim gathers inside jit — the XLA gather wall, ~0.15 G elem/s)."""
+    R = scene.mxu_slot.shape[0]
     node_cl = jnp.stack(
-        [scene.bvh_cluster_slot, jnp.zeros(B, jnp.int32),
-         jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32)], -1)
-    return node_f, node_cl, link_i, scene.mxu_feat, \
+        [scene.mxu_slot, jnp.zeros(R, jnp.int32),
+         jnp.zeros(R, jnp.int32), jnp.zeros(R, jnp.int32)], -1)
+    return scene.mxu_node_f, node_cl, scene.mxu_link, scene.mxu_feat, \
         scene.cluster_slot_prim[:, None]
 
 

@@ -96,6 +96,38 @@ def cluster_cut(bvh: BVH, max_prims: int = 128):
             np.asarray(c_counts, np.int64))
 
 
+def cut_tree_tables(bvh: BVH, cluster_id: np.ndarray,
+                    hit8: np.ndarray, miss8: np.ndarray):
+    """Compact the BVH to the nodes the MXU cluster walk can reach: cut
+    nodes and their ancestors (~2*C rows instead of ~P/2). The walk never
+    descends past a cut node, so below-cut rows are dead weight in VMEM —
+    pruning keeps the kernel's table footprint O(C) and makes million-tri
+    scenes feasible. Links are remapped to compact indices; a cut node's
+    hit links (which point below the cut and are never taken) remap to -1.
+
+    Returns (node_min (R,3), node_max (R,3), hit8c (R*8,), miss8c (R*8,),
+    cluster_id_c (R,)) with the root at compact index 0.
+    """
+    n = bvh.miss.shape[0]
+    left, right = children(bvh)
+    below = np.zeros(n, bool)
+    for i in range(n):  # DFS layout: parents precede children
+        if (cluster_id[i] >= 0 or below[i]) and left[i] >= 0:
+            below[left[i]] = True
+            below[right[i]] = True
+    keep_idx = np.nonzero(~below)[0]
+    remap = np.full(n, -1, np.int32)
+    remap[keep_idx] = np.arange(len(keep_idx), dtype=np.int32)
+
+    def rm(links):
+        l = links.reshape(n, 8)[keep_idx]
+        return np.where(l >= 0, remap[np.maximum(l, 0)], -1) \
+            .astype(np.int32).reshape(-1)
+
+    return (bvh.bounds_min[keep_idx], bvh.bounds_max[keep_idx],
+            rm(hit8), rm(miss8), cluster_id[keep_idx].astype(np.int32))
+
+
 def build_octant_links(bvh: BVH):
     """Direction-ordered threaded links: for each of the 8 ray-direction
     octants, a DFS order that visits the NEAR child first (classic

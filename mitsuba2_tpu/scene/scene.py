@@ -83,14 +83,20 @@ class SceneData:
     # flat (B*8,) i32, node*8 + octant; None on scenes built before round 2
     bvh_hit8: jnp.ndarray = None
     bvh_miss8: jnp.ndarray = None
-    # --- MXU leaf clusters (bvh.py::cluster_cut; traverse_pallas MXU path) ----
-    # bvh_cluster_slot: (B,) i32 = cluster_index * CLUSTER_K at cut nodes,
-    # -1 elsewhere; cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id
+    # --- MXU leaf clusters (bvh.py::cluster_cut + cut_tree_tables;
+    # traverse_pallas MXU path). The walk runs on the PRUNED cut-tree
+    # (cut nodes + ancestors, R ~ 2*C rows — O(C) VMEM, not O(P)):
+    # mxu_node_f: (R, 8) f32 [min.xyz, max.xyz, 0, 0];
+    # mxu_link: (R, 16) i32 [hit8 | miss8] compact-remapped octant links;
+    # mxu_slot: (R,) i32 = cluster_index * CLUSTER_K at cut nodes, -1
+    # elsewhere; cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id
     # per padded cluster slot (-1 padding); mxu_feat: (4*C*CLUSTER_K, 16)
     # f32 host-precomputed Möller–Trumbore plane rows, CLUSTER-MAJOR:
     # cluster c owns rows [4*K*c, 4*K*(c+1)) as four contiguous K-row
     # plane blocks [det; u; v; t] — one cluster visit = one contiguous DMA
-    bvh_cluster_slot: jnp.ndarray = None
+    mxu_node_f: jnp.ndarray = None
+    mxu_link: jnp.ndarray = None
+    mxu_slot: jnp.ndarray = None
     cluster_slot_prim: jnp.ndarray = None
     mxu_feat: jnp.ndarray = None
     # --- sensor motion (core/geometry.py::AnimatedTransform) ------------------
@@ -237,7 +243,14 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     # MXU leaf clusters (traverse_pallas CLUSTER_K-prim batched leaf tests)
     CK = bvh_mod.CLUSTER_K
     cl_id, cl_starts, cl_counts = bvh_mod.cluster_cut(tree, max_prims=CK)
-    cl_slot = np.where(cl_id >= 0, cl_id * CK, -1).astype(np.int32)
+    cut_min, cut_max, cut_hit8, cut_miss8, cl_id_c = \
+        bvh_mod.cut_tree_tables(tree, cl_id, oct_hit8, oct_miss8)
+    R = cut_min.shape[0]
+    mxu_node_f = np.concatenate(
+        [cut_min, cut_max, np.zeros((R, 2), np.float32)], -1)
+    mxu_link = np.concatenate(
+        [cut_hit8.reshape(R, 8), cut_miss8.reshape(R, 8)], -1)
+    mxu_slot = np.where(cl_id_c >= 0, cl_id_c * CK, -1).astype(np.int32)
     slot_prim = np.full(max(len(cl_starts), 1) * CK, -1, np.int32)
     for c, (s0, cnt) in enumerate(zip(cl_starts, cl_counts)):
         slot_prim[c * CK: c * CK + cnt] = np.arange(s0, s0 + cnt)
@@ -428,7 +441,9 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         bvh_leaf_start=dev(tree.leaf_start), bvh_leaf_count=dev(tree.leaf_count),
         bvh_miss=dev(tree.miss),
         bvh_hit8=dev(oct_hit8), bvh_miss8=dev(oct_miss8),
-        bvh_cluster_slot=dev(cl_slot), cluster_slot_prim=dev(slot_prim),
+        mxu_node_f=dev(mxu_node_f.astype(np.float32)),
+        mxu_link=dev(mxu_link.astype(np.int32)),
+        mxu_slot=dev(mxu_slot), cluster_slot_prim=dev(slot_prim),
         mxu_feat=dev(feat),
         shape_mat=dev(np.asarray(shape_mat, np.int32)),
         shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
