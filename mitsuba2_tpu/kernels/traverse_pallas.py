@@ -302,23 +302,21 @@ MXU_LEAVES = False
 
 
 def _pack_mxu_tables(scene):
-    """(node_f, node_cl, link_i, feat (4*S,16) f32, prim_ids (S,1) i32).
+    """(node_f (R,8), link_i (R,16), feat (4*S,16) f32, prim_ids (S,1)).
 
     All tables are HOST-precomputed at scene-build time (scene/scene.py):
     the node/link tables are the PRUNED cut-tree (cut nodes + ancestors,
     O(C) rows — below-cut nodes are unreachable for the cluster walk, so
     shipping the full BVH would waste ~P/(2C)x the VMEM), and feat is the
     Möller–Trumbore plane table (recomputing it here would issue per-slot
-    prim gathers inside jit — the XLA gather wall, ~0.15 G elem/s)."""
-    R = scene.mxu_slot.shape[0]
-    node_cl = jnp.stack(
-        [scene.mxu_slot, jnp.zeros(R, jnp.int32),
-         jnp.zeros(R, jnp.int32), jnp.zeros(R, jnp.int32)], -1)
-    return scene.mxu_node_f, node_cl, scene.mxu_link, scene.mxu_feat, \
+    prim gathers inside jit — the XLA gather wall, ~0.15 G elem/s).
+    The cluster slot rides node_f col 6 (f32-exact), so each walk step
+    loads just two scalar rows: node_f and the octant link row."""
+    return scene.mxu_node_f, scene.mxu_link, scene.mxu_feat, \
         scene.cluster_slot_prim[:, None]
 
 
-def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
+def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
                             ox, oy, oz, dx, dy, dz, tmax,
                             t_out, prim_out, u_out, v_out,
                             feat_s, pid_s, sems):
@@ -421,15 +419,14 @@ def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
 
     def body(state):
         node, fuel, t_best, best, bu, bv = state
-        cl = node_cl[pl.ds(node, 1), :]
-        slot_base = cl[0, 0]
+        nf = node_f[pl.ds(node, 1), :]
+        slot_base = nf[0, 6].astype(jnp.int32)
         # DMA unconditionally (clamped base) and START FIRST — a DMA
         # buried inside lax.cond is a novel lowering, the unconditional
         # start/wait is the proven streaming shape, and starting before
         # the slab test overlaps the copy with the VPU work.
         dmas = start_dma(jnp.maximum(slot_base, 0))
 
-        nf = node_f[pl.ds(node, 1), :]
         hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
         is_cl = slot_base >= 0
 
@@ -457,7 +454,7 @@ def _closest_hit_mxu_kernel(node_f, node_cl, link_i, feat, prim_ids,
     v_out[:] = bv
 
 
-def _any_hit_mxu_kernel(node_f, node_cl, link_i, feat,
+def _any_hit_mxu_kernel(node_f, link_i, feat,
                         ox, oy, oz, dx, dy, dz, tmax,
                         occ_out, feat_s, sems):
     """Any-hit occlusion walk with MXU cluster-leaf tests. Same DMA
@@ -536,11 +533,10 @@ def _any_hit_mxu_kernel(node_f, node_cl, link_i, feat,
 
     def body(state):
         node, fuel, occ_f = state
-        cl = node_cl[pl.ds(node, 1), :]
-        slot_base = cl[0, 0]
+        nf = node_f[pl.ds(node, 1), :]
+        slot_base = nf[0, 6].astype(jnp.int32)
         dmas = start_dma(jnp.maximum(slot_base, 0))  # see closest-hit note
 
-        nf = node_f[pl.ds(node, 1), :]
         hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
         is_cl = slot_base >= 0
 
@@ -587,7 +583,7 @@ def _mxu_call(n_blocks, out_shapes, interpret):
     return pl.pallas_call(
         _closest_hit_mxu_kernel,
         grid=(n_blocks,),
-        in_specs=[_tab_spec, _tab_spec, _tab_spec, any_spec, any_spec] +
+        in_specs=[_tab_spec, _tab_spec, any_spec, any_spec] +
                  [_ray_spec] * 7,
         out_specs=tuple(_ray_spec for _ in out_shapes),
         out_shape=tuple(out_shapes),
@@ -607,7 +603,7 @@ def _mxu_anyhit_call(n_blocks, out_shapes, interpret):
     return pl.pallas_call(
         _any_hit_mxu_kernel,
         grid=(n_blocks,),
-        in_specs=[_tab_spec, _tab_spec, _tab_spec, any_spec] +
+        in_specs=[_tab_spec, _tab_spec, any_spec] +
                  [_ray_spec] * 7,
         out_specs=tuple(_ray_spec for _ in out_shapes),
         out_shape=tuple(out_shapes),
@@ -696,11 +692,10 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
     use_mxu = (MXU_LEAVES and not scene.has_spheres and
                getattr(scene, "mxu_feat", None) is not None)
     if use_mxu:
-        node_f, node_cl, link_i, feat, _ = _pack_mxu_tables(scene)
+        node_f, link_i, feat, _ = _pack_mxu_tables(scene)
         occ = _mxu_anyhit_call(n_blocks,
                                [jax.ShapeDtypeStruct(sh, jnp.int32)],
-                               interpret)(node_f, node_cl, link_i, feat,
-                                          *args)
+                               interpret)(node_f, link_i, feat, *args)
     else:
         node_f, node_i, _, prim_f = _pack_tables(scene)
         occ = _grid_call(_any_hit_kernel, n_blocks,

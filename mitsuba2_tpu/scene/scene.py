@@ -246,11 +246,16 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     cut_min, cut_max, cut_hit8, cut_miss8, cl_id_c = \
         bvh_mod.cut_tree_tables(tree, cl_id, oct_hit8, oct_miss8)
     R = cut_min.shape[0]
+    mxu_slot = np.where(cl_id_c >= 0, cl_id_c * CK, -1).astype(np.int32)
+    assert len(cl_starts) * CK < (1 << 24), \
+        "cluster slot ids exceed f32 exact-integer range"
+    # slot rides node_f col 6 (exact in f32 up to 2^24) — one scalar row
+    # load per walk step instead of two
     mxu_node_f = np.concatenate(
-        [cut_min, cut_max, np.zeros((R, 2), np.float32)], -1)
+        [cut_min, cut_max, mxu_slot[:, None].astype(np.float32),
+         np.zeros((R, 1), np.float32)], -1)
     mxu_link = np.concatenate(
         [cut_hit8.reshape(R, 8), cut_miss8.reshape(R, 8)], -1)
-    mxu_slot = np.where(cl_id_c >= 0, cl_id_c * CK, -1).astype(np.int32)
     slot_prim = np.full(max(len(cl_starts), 1) * CK, -1, np.int32)
     for c, (s0, cnt) in enumerate(zip(cl_starts, cl_counts)):
         slot_prim[c * CK: c * CK + cnt] = np.arange(s0, s0 + cnt)
