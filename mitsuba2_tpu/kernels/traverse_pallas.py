@@ -28,6 +28,7 @@ Memory layout (host-packed once per scene, cached by id):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -299,6 +300,10 @@ def _any_hit_kernel(node_f, node_i, prim_f,
 # is validated compiled on real TPU hardware — flipping this routes every
 # sphere-free TPU scene through the MXU path.
 MXU_LEAVES = False
+# Rays per MXU kernel grid step (multiple of 128). Bigger blocks amortize
+# the scalar walk + per-visit DMA over more rays, at the cost of a larger
+# block union of visited nodes — a hardware sweep knob.
+MXU_BLOCK = int(os.environ.get("MI_MXU_BLOCK", "1024"))
 
 
 def _pack_mxu_tables(scene):
@@ -327,6 +332,7 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
     dot_general reads the scratch with static offsets only."""
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    msub = oxv.shape[0]   # MXU_BLOCK // _LANE sublanes per ray block
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
@@ -334,7 +340,7 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
 
     ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
 
-    half = jnp.float32(_SUB * _LANE) * 0.5
+    half = jnp.float32(msub * _LANE) * 0.5
     octv = ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
             | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
                .astype(jnp.int32) << 1)
@@ -354,7 +360,7 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
     # the 16-dim ray features, rays flattened onto the lane axis (probed
     # reshape (8,128)->(1,1024): supported by this Mosaic)
     def row(a):
-        return a.reshape(1, _SUB * _LANE)
+        return a.reshape(1, msub * _LANE)
 
     mxv = oyv * dzv - ozv * dyv
     myv = ozv * dxv - oxv * dzv
@@ -362,8 +368,8 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
     rt = jnp.concatenate(
         [row(dxv), row(dyv), row(dzv), row(mxv), row(myv), row(mzv),
          row(oxv), row(oyv), row(ozv),
-         jnp.ones((1, _SUB * _LANE), jnp.float32),
-         jnp.zeros((6, _SUB * _LANE), jnp.float32)], axis=0)  # (16, 1024)
+         jnp.ones((1, msub * _LANE), jnp.float32),
+         jnp.zeros((6, msub * _LANE), jnp.float32)], axis=0)  # (16, B)
 
     BIG = jnp.int32(1 << 30)
     CK = CLUSTER_K
@@ -407,10 +413,10 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
         u_c = jnp.min(jnp.where(win2, u, jnp.inf), axis=0, keepdims=True)
         v_c = jnp.min(jnp.where(win2, v, jnp.inf), axis=0, keepdims=True)
         closer = t_c < tb
-        nt = jnp.where(closer, t_c, tb).reshape(_SUB, _LANE)
-        nbest = jnp.where(closer, prim_c, row(best)).reshape(_SUB, _LANE)
-        nu = jnp.where(closer, u_c, row(bu)).reshape(_SUB, _LANE)
-        nv = jnp.where(closer, v_c, row(bv)).reshape(_SUB, _LANE)
+        nt = jnp.where(closer, t_c, tb).reshape(msub, _LANE)
+        nbest = jnp.where(closer, prim_c, row(best)).reshape(msub, _LANE)
+        nu = jnp.where(closer, u_c, row(bu)).reshape(msub, _LANE)
+        nv = jnp.where(closer, v_c, row(bv)).reshape(msub, _LANE)
         return nt, nbest, nu, nv
 
     def cond(state):
@@ -444,9 +450,9 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
         return nxt, fuel + 1, t_best, best, bu, bv
 
     init = (jnp.int32(0), jnp.int32(0), tmax[:],
-            jnp.full((_SUB, _LANE), -1, jnp.int32),
-            jnp.zeros((_SUB, _LANE), jnp.float32),
-            jnp.zeros((_SUB, _LANE), jnp.float32))
+            jnp.full((msub, _LANE), -1, jnp.int32),
+            jnp.zeros((msub, _LANE), jnp.float32),
+            jnp.zeros((msub, _LANE), jnp.float32))
     _, _, t_best, best, bu, bv = jax.lax.while_loop(cond, body, init)
     t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
     prim_out[:] = best
@@ -464,6 +470,7 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     tmv = tmax[:]
+    msub = oxv.shape[0]
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
@@ -471,7 +478,7 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
 
     ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
 
-    half = jnp.float32(_SUB * _LANE) * 0.5
+    half = jnp.float32(msub * _LANE) * 0.5
     octv = ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
             | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
                .astype(jnp.int32) << 1)
@@ -489,7 +496,7 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         return hit, miss
 
     def row(a):
-        return a.reshape(1, _SUB * _LANE)
+        return a.reshape(1, msub * _LANE)
 
     mxv = oyv * dzv - ozv * dyv
     myv = ozv * dxv - oxv * dzv
@@ -497,8 +504,8 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     rt = jnp.concatenate(
         [row(dxv), row(dyv), row(dzv), row(mxv), row(myv), row(mzv),
          row(oxv), row(oyv), row(ozv),
-         jnp.ones((1, _SUB * _LANE), jnp.float32),
-         jnp.zeros((6, _SUB * _LANE), jnp.float32)], axis=0)  # (16, 1024)
+         jnp.ones((1, msub * _LANE), jnp.float32),
+         jnp.zeros((6, msub * _LANE), jnp.float32)], axis=0)  # (16, B)
 
     CK = CLUSTER_K
 
@@ -525,7 +532,7 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
               (t > 0.0) & (t <= tb))
         hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
-        return jnp.maximum(occ_f, hit.reshape(_SUB, _LANE))
+        return jnp.maximum(occ_f, hit.reshape(msub, _LANE))
 
     def cond(state):
         node, fuel, occ_f = state
@@ -553,14 +560,14 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         return nxt, fuel + 1, occ_f
 
     init = (jnp.int32(0), jnp.int32(0),
-            jnp.zeros((_SUB, _LANE), jnp.float32))
+            jnp.zeros((msub, _LANE), jnp.float32))
     _, _, occ_f = jax.lax.while_loop(cond, body, init)
     occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
 
 
 def _blockify(x, n_pad):
     x = jnp.pad(x, (0, n_pad - x.shape[0]))
-    return x.reshape(n_pad // BLOCK * _SUB, _LANE)
+    return x.reshape(n_pad // _LANE, _LANE)
 
 
 def _components(v):
@@ -574,18 +581,23 @@ _ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
 _tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full table, replicated
 
 
-def _mxu_call(n_blocks, out_shapes, interpret):
+def _mxu_ray_spec(msub):
+    return pl.BlockSpec((msub, _LANE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _mxu_call(n_blocks, msub, out_shapes, interpret):
     """pallas_call for the MXU cluster-leaf kernel: node/link tables in
     VMEM (scalar row loads), feat/prim_ids resident in HBM (ANY) and
     DMA-streamed per cluster into VMEM scratch — so VMEM use is O(1) in
     scene size and the dot_general sees only static offsets."""
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    rs = _mxu_ray_spec(msub)
     return pl.pallas_call(
         _closest_hit_mxu_kernel,
         grid=(n_blocks,),
-        in_specs=[_tab_spec, _tab_spec, any_spec, any_spec] +
-                 [_ray_spec] * 7,
-        out_specs=tuple(_ray_spec for _ in out_shapes),
+        in_specs=[_tab_spec, _tab_spec, any_spec, any_spec] + [rs] * 7,
+        out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
                         pltpu.VMEM((CLUSTER_K, 1), jnp.int32),
@@ -596,16 +608,16 @@ def _mxu_call(n_blocks, out_shapes, interpret):
     )
 
 
-def _mxu_anyhit_call(n_blocks, out_shapes, interpret):
+def _mxu_anyhit_call(n_blocks, msub, out_shapes, interpret):
     """Occlusion variant of _mxu_call: no prim-id stream (padded slots
     are self-masking via their all-zero feature rows)."""
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    rs = _mxu_ray_spec(msub)
     return pl.pallas_call(
         _any_hit_mxu_kernel,
         grid=(n_blocks,),
-        in_specs=[_tab_spec, _tab_spec, any_spec] +
-                 [_ray_spec] * 7,
-        out_specs=tuple(_ray_spec for _ in out_shapes),
+        in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
+        out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
                         pltpu.SemaphoreType.DMA((1,))],
@@ -644,23 +656,25 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     N = jnp.shape(oz)[0]
-    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
-    n_blocks = n_pad // BLOCK
+    use_mxu = (MXU_LEAVES and not scene.has_spheres and
+               getattr(scene, "mxu_feat", None) is not None)
+    blk = MXU_BLOCK if use_mxu else BLOCK
+    n_pad = max(-(-N // blk) * blk, blk)
+    n_blocks = n_pad // blk
 
     args = [_blockify(ox, n_pad), _blockify(oy, n_pad),
             _blockify(oz, n_pad), _blockify(dx, n_pad),
             _blockify(dy, n_pad), _blockify(dz, n_pad),
             _blockify(t_max, n_pad)]
-    sh = (n_blocks * _SUB, _LANE)
+    sh = (n_pad // _LANE, _LANE)
     out_shapes = [jax.ShapeDtypeStruct(sh, jnp.float32),
                   jax.ShapeDtypeStruct(sh, jnp.int32),
                   jax.ShapeDtypeStruct(sh, jnp.float32),
                   jax.ShapeDtypeStruct(sh, jnp.float32)]
-    use_mxu = (MXU_LEAVES and not scene.has_spheres and
-               getattr(scene, "mxu_feat", None) is not None)
     if use_mxu:
         tables = _pack_mxu_tables(scene)
-        outs = _mxu_call(n_blocks, out_shapes, interpret)(*tables, *args)
+        outs = _mxu_call(n_blocks, blk // _LANE, out_shapes,
+                         interpret)(*tables, *args)
     else:
         node_f, node_i, link_i, prim_f = _pack_tables(scene)
         outs = _grid_call(_closest_hit_kernel, n_blocks, out_shapes,
@@ -681,19 +695,20 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     N = jnp.shape(oz)[0]
-    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
-    n_blocks = n_pad // BLOCK
+    use_mxu = (MXU_LEAVES and not scene.has_spheres and
+               getattr(scene, "mxu_feat", None) is not None)
+    blk = MXU_BLOCK if use_mxu else BLOCK
+    n_pad = max(-(-N // blk) * blk, blk)
+    n_blocks = n_pad // blk
 
     args = [_blockify(ox, n_pad), _blockify(oy, n_pad),
             _blockify(oz, n_pad), _blockify(dx, n_pad),
             _blockify(dy, n_pad), _blockify(dz, n_pad),
             _blockify(t_max, n_pad)]
-    sh = (n_blocks * _SUB, _LANE)
-    use_mxu = (MXU_LEAVES and not scene.has_spheres and
-               getattr(scene, "mxu_feat", None) is not None)
+    sh = (n_pad // _LANE, _LANE)
     if use_mxu:
         node_f, link_i, feat, _ = _pack_mxu_tables(scene)
-        occ = _mxu_anyhit_call(n_blocks,
+        occ = _mxu_anyhit_call(n_blocks, blk // _LANE,
                                [jax.ShapeDtypeStruct(sh, jnp.int32)],
                                interpret)(node_f, link_i, feat, *args)
     else:
