@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 import time
 
@@ -27,8 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("-D", "--define", action="append", default=[],
                     metavar="key=value", help="XML $parameter substitution")
     ap.add_argument("-m", "--mode", default=None,
-                    choices=["mono", "rgb", "spectral"],
-                    help="color mode (variant analog)")
+                    metavar="{mono,rgb,spectral}[_polarized][_double]",
+                    help="variant string, e.g. rgb, spectral_polarized, "
+                         "rgb_double (the reference's variant switcher)")
     ap.add_argument("-s", "--spp", type=int, default=None,
                     help="override samples per pixel")
     ap.add_argument("-a", "--aov", action="append", default=[],
@@ -42,6 +44,13 @@ def main(argv=None) -> int:
     log = logging.getLogger("mitsuba2_tpu")
 
     import jax
+
+    # this environment's jaxlib ignores the JAX_PLATFORMS env var (axon
+    # platform plugin); honor it explicitly so `JAX_PLATFORMS=cpu
+    # python -m mitsuba2_tpu ...` works as documented
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
 
     from .core import io_bitmap
     from .render.integrators import render, render_aovs
@@ -57,7 +66,15 @@ def main(argv=None) -> int:
     log.info("loaded %s (%d prims) in %.2fs", args.scene, scene.n_prims,
              time.time() - t0)
     if args.mode:
-        config = config.replace(color_mode=args.mode)
+        mode = args.mode
+        kw = {}
+        if mode.endswith("_double"):
+            mode, kw["dtype"] = mode[:-len("_double")], "float64"
+        if mode.endswith("_polarized"):
+            mode, kw["polarized"] = mode[:-len("_polarized")], True
+        config = config.replace(color_mode=mode, **kw)
+    if config.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     if args.spp:
         config = config.replace(spp=args.spp,
                                 spp_per_pass=min(config.spp_per_pass, args.spp))
