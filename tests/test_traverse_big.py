@@ -144,3 +144,26 @@ def test_children_recovery(small_gallery):
         assert (arr >= 0).all() and (arr < len(tree.miss)).all()
     assert (tree.bounds_min[inner] <= tree.bounds_min[left[inner]] + 1e-6).all()
     assert (tree.bounds_max[inner] >= tree.bounds_max[right[inner]] - 1e-6).all()
+
+
+def test_mxu_cut_tree_matches_brute(small_gallery):
+    """MXU cluster path (pruned cut-tree walk + feature-plane matmuls,
+    interpret mode) against the brute-force oracle on the ~1.9k-prim
+    gallery — full ladder: brute -> jnp walker -> scalar Pallas -> MXU."""
+    from mitsuba2_tpu.kernels import traverse_pallas as tp
+    scene = small_gallery
+    o, d = _random_rays(scene, 4096, seed=11)
+    tb, pb, _, _ = brute.ray_intersect_brute(scene, o, d, jnp.inf)
+    old = tp.MXU_LEAVES
+    try:
+        tp.MXU_LEAVES = True
+        tm, pm, _, _ = tp.ray_intersect_preliminary(
+            scene, o, d, jnp.full(4096, jnp.inf), interpret=True)
+    finally:
+        tp.MXU_LEAVES = old
+    tb, tm = np.asarray(tb), np.asarray(tm)
+    hb, hm = np.isfinite(tb), np.isfinite(tm)
+    np.testing.assert_array_equal(hb, hm)
+    np.testing.assert_allclose(tm[hm], tb[hb], rtol=1e-4, atol=1e-5)
+    same = np.asarray(pb) == np.asarray(pm)
+    assert same[hb].mean() > 0.99  # equidistant ties only
