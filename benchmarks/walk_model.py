@@ -1,0 +1,138 @@
+"""Host-side cost model for the MXU cluster-leaf traversal.
+
+Simulates the block-synchronous cut-tree walk (traverse_pallas MXU path)
+in numpy and reports, per wavefront type and block size, the number of
+walk steps and cluster (matmul) visits per block. Hardware wall time is
+then  steps * t_step + visits * t_visit  with the two constants measured
+once on the chip — this lets CLUSTER_K / MXU_BLOCK be chosen without
+burning TPU time (the axon chip wedges for hours on bad experiments).
+
+Bounds instead of exact t-culling: the walk's per-lane t_best shrinkage
+is bracketed by running the walk with t_best = +inf (no leaf shrinkage,
+upper bound on visits) and t_best = final closest-hit t (oracle-tight,
+lower bound). The true ordered walk lands between.
+
+    python benchmarks/walk_model.py [--subdiv 4] [--blocks 1024 2048 4096]
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _wavefronts(scene, n, rng):
+    lo = np.asarray(scene.bvh_min)[0]
+    hi = np.asarray(scene.bvh_max)[0]
+    center = 0.5 * (lo + hi)
+    eye = center + np.asarray([0, 0.2, -2.8], np.float32)
+    targets = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    d = targets - eye
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    coh = (np.broadcast_to(eye, (n, 3)).astype(np.float32), d)
+    o2 = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    d2 = rng.normal(size=(n, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    return {"coherent": coh, "incoherent": (o2, d2)}
+
+
+def _sort_morton_octant(o, d, lo, hi):
+    """Same coherence sort as scene.py's wavefront presort (host re-impl)."""
+    q = np.clip((o - lo) / np.maximum(hi - lo, 1e-9), 0, 0.999)
+    cell = (q * 32).astype(np.int64)  # 5 bits/axis
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    morton = (spread(cell[:, 0]) | (spread(cell[:, 1]) << 1)
+              | (spread(cell[:, 2]) << 2))
+    octant = ((d[:, 0] < 0).astype(np.int64)
+              | ((d[:, 1] < 0).astype(np.int64) << 1)
+              | ((d[:, 2] < 0).astype(np.int64) << 2))
+    key = (morton << 3) | octant
+    return np.argsort(key, kind="stable")
+
+
+def walk_counts(scene, o, d, t_best, block):
+    """(steps, cluster_visits) totals over all blocks of the wavefront."""
+    nf = np.asarray(scene.mxu_node_f)
+    link = np.asarray(scene.mxu_link)
+    hit8 = link[:, :8]
+    miss8 = link[:, 8:]
+    slot = nf[:, 6].astype(np.int64)
+    n = o.shape[0]
+    inv = 1.0 / np.where(np.abs(d) < 1e-20, 1e-20, d)
+    steps = visits = 0
+    for b0 in range(0, n, block):
+        sl = slice(b0, b0 + block)
+        ob, ib, tb = o[sl], inv[sl], t_best[sl]
+        octv = int(((ib[:, 0] < 0).mean() > 0.5)
+                   | (int((ib[:, 1] < 0).mean() > 0.5) << 1)
+                   | (int((ib[:, 2] < 0).mean() > 0.5) << 2))
+        node = 0
+        fuel = nf.shape[0] + 64
+        while node >= 0 and fuel > 0:
+            fuel -= 1
+            steps += 1
+            t0 = (nf[node, 0:3] - ob) * ib
+            t1 = (nf[node, 3:6] - ob) * ib
+            tmin = np.minimum(t0, t1).max(1)
+            tmax = np.maximum(t0, t1).min(1)
+            hit_any = bool(((tmin <= tmax) & (tmax > 0) & (tmin < tb)).any())
+            is_cl = slot[node] >= 0
+            if is_cl and hit_any:
+                visits += 1
+            node = int(miss8[node, octv] if (is_cl or not hit_any)
+                       else hit8[node, octv])
+    return steps, visits
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdiv", type=int, default=4)
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--blocks", type=int, nargs="+",
+                    default=[1024, 2048, 4096])
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from mitsuba2_tpu.kernels import traverse_jnp
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+    import jax.numpy as jnp
+
+    scene = mesh_gallery(subdiv=args.subdiv)
+    lo = np.asarray(scene.bvh_min)[0]
+    hi = np.asarray(scene.bvh_max)[0]
+    C = int(np.asarray(scene.cluster_slot_prim).shape[0]) // \
+        int(np.asarray(scene.mxu_feat).shape[0] // 4 //
+            np.asarray(scene.cluster_slot_prim).shape[0] or 1)
+    print(f"# {int(scene.n_prims)} prims, cut-tree rows "
+          f"{scene.mxu_slot.shape[0]}, clusters "
+          f"{int((np.asarray(scene.mxu_slot) >= 0).sum())}")
+    rng = np.random.default_rng(0)
+    for tag, (o, d) in _wavefronts(scene, args.n, rng).items():
+        perm = _sort_morton_octant(o, d, lo, hi)
+        o, d = o[perm], d[perm]
+        t_true, _, _, _ = traverse_jnp.ray_intersect_preliminary(
+            scene, jnp.asarray(o), jnp.asarray(d), jnp.inf)
+        t_true = np.asarray(t_true)
+        for block in args.blocks:
+            nb = args.n // block
+            for bound, tb in (("upper", np.full(args.n, np.inf, np.float32)),
+                              ("lower", t_true)):
+                steps, visits = walk_counts(scene, o, d, tb, block)
+                print(f"{tag:10s} block={block:5d} {bound}: "
+                      f"steps/block {steps/nb:7.1f}  "
+                      f"visits/block {visits/nb:6.1f}  "
+                      f"(x{block} rays)")
+
+
+if __name__ == "__main__":
+    main()
