@@ -123,3 +123,45 @@ def test_checkpoint_resume_equivalence(scene, mesh, tmp_path):
     np.testing.assert_allclose(np.asarray(s_c.mat_data),
                                np.asarray(s_a.mat_data), rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(float(loss_c), float(loss_a), rtol=1e-5)
+
+
+def test_pallas_kernel_under_shard_map():
+    """The big-scene traversal kernels (incl. the MXU cluster path) must
+    compose with shard_map — the multi-chip big-scene render rides
+    pallas_call inside per-device shards (SURVEY.md §2.6 P5)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from mitsuba2_tpu.core.vec import Vec3
+    from mitsuba2_tpu.kernels import traverse_pallas as tp
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+
+    scene = mesh_gallery(subdiv=1)
+    rng = np.random.default_rng(3)
+    n = 4096
+    o = rng.uniform(-1, 3, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = Vec3(*map(jnp.asarray, o.T))
+    dv = Vec3(*map(jnp.asarray, d.T))
+    tm = jnp.full(n, jnp.inf)
+
+    mesh = Mesh(np.array(jax.devices()), ("rays",))
+    old = tp.MXU_LEAVES
+    try:
+        tp.MXU_LEAVES = True
+
+        def local(sc, ox, oy, oz, dx, dy, dz, t):
+            return tp.ray_intersect_preliminary(
+                sc, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t,
+                interpret=True)[0]
+
+        f = shard_map(local, mesh=mesh, in_specs=(P(),) + (P("rays"),) * 7,
+                      out_specs=P("rays"), check_rep=False)
+        t_sh = jax.jit(f)(scene, ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tm)
+        t_un = tp.ray_intersect_preliminary(scene, ov, dv, tm,
+                                            interpret=True)[0]
+    finally:
+        tp.MXU_LEAVES = old
+    np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_un),
+                               rtol=1e-5, atol=1e-6)
