@@ -324,7 +324,7 @@ def _pack_mxu_tables(scene):
 def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
                             ox, oy, oz, dx, dy, dz, tmax,
                             t_out, prim_out, u_out, v_out,
-                            feat_s, pid_s, sems):
+                            feat_s, pid_s, sem_feat, sem_pid):
     """feat/prim_ids live in HBM (memory_space=ANY): a dynamic-start
     multi-sublane VMEM load feeding the MXU hangs the chip at dispatch
     (measured on the axon runtime, 2026-08-17), so each cluster visit
@@ -380,9 +380,9 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
         rows [4*base, 4*base + 4*CK) (base = c*CK), so the whole visit is
         ONE 32 KB contiguous copy plus the small prim-id row."""
         dmas = [pltpu.make_async_copy(
-            feat.at[pl.ds(4 * base, 4 * CK), :], feat_s, sems.at[0]),
+            feat.at[pl.ds(4 * base, 4 * CK), :], feat_s, sem_feat),
             pltpu.make_async_copy(
-            prim_ids.at[pl.ds(base, CK), :], pid_s, sems.at[1])]
+            prim_ids.at[pl.ds(base, CK), :], pid_s, sem_pid)]
         for d in dmas:
             d.start()
         return dmas
@@ -462,7 +462,7 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
 
 def _any_hit_mxu_kernel(node_f, link_i, feat,
                         ox, oy, oz, dx, dy, dz, tmax,
-                        occ_out, feat_s, sems):
+                        occ_out, feat_s, sem_feat):
     """Any-hit occlusion walk with MXU cluster-leaf tests. Same DMA
     streaming scheme as _closest_hit_mxu_kernel; padded cluster slots have
     all-zero feature rows -> det == 0 -> never counted as hits, so the
@@ -512,7 +512,7 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     def start_dma(base):
         # cluster-major feat: one contiguous (4*CK, 16) copy per visit
         d = pltpu.make_async_copy(
-            feat.at[pl.ds(4 * base, 4 * CK), :], feat_s, sems.at[0])
+            feat.at[pl.ds(4 * base, 4 * CK), :], feat_s, sem_feat)
         d.start()
         return [d]
 
@@ -601,7 +601,7 @@ def _mxu_call(n_blocks, msub, out_shapes, interpret):
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
                         pltpu.VMEM((CLUSTER_K, 1), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -620,7 +620,7 @@ def _mxu_anyhit_call(n_blocks, msub, out_shapes, interpret):
         out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
-                        pltpu.SemaphoreType.DMA((1,))],
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
