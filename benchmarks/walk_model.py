@@ -110,12 +110,9 @@ def main():
     scene = mesh_gallery(subdiv=args.subdiv)
     lo = np.asarray(scene.bvh_min)[0]
     hi = np.asarray(scene.bvh_max)[0]
-    C = int(np.asarray(scene.cluster_slot_prim).shape[0]) // \
-        int(np.asarray(scene.mxu_feat).shape[0] // 4 //
-            np.asarray(scene.cluster_slot_prim).shape[0] or 1)
+    slot = np.asarray(scene.mxu_node_f)[:, 6]
     print(f"# {int(scene.n_prims)} prims, cut-tree rows "
-          f"{scene.mxu_slot.shape[0]}, clusters "
-          f"{int((np.asarray(scene.mxu_slot) >= 0).sum())}")
+          f"{slot.shape[0]}, clusters {int((slot >= 0).sum())}")
     rng = np.random.default_rng(0)
     for tag, (o, d) in _wavefronts(scene, args.n, rng).items():
         perm = _sort_morton_octant(o, d, lo, hi)

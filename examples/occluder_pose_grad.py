@@ -66,9 +66,13 @@ def main():
                           max_depth=2)
 
     def loss(theta, reparam):
+        from mitsuba2_tpu.scene.scene import refresh_mxu_feat
         shift = jnp.stack([theta, jnp.zeros_like(theta),
                            jnp.zeros_like(theta)])
         s = scene.replace(prim_p0=scene.prim_p0.at[occ_rows].add(shift))
+        # derived rebuild: keep the MXU traversal tables in sync with the
+        # moved vertices (scene.replace does not track them)
+        s = refresh_mxu_feat(s)
         return jnp.mean(render(s, cfg.replace(reparam=reparam)))
 
     eps = 0.04

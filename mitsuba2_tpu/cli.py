@@ -38,6 +38,13 @@ def main(argv=None) -> int:
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
+    if args.mode is not None:
+        import re as _re
+        if not _re.fullmatch(
+                r"(mono|rgb|spectral)(_polarized)?(_double)?", args.mode):
+            ap.error(f"invalid -m variant {args.mode!r}: expected "
+                     "{mono,rgb,spectral}[_polarized][_double]")
+
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(levelname).1s %(message)s")
@@ -83,7 +90,16 @@ def main(argv=None) -> int:
              config.width, config.height, config.spp, config.max_depth,
              config.color_mode, jax.devices()[0].platform)
     t0 = time.time()
-    img = render(scene, config)
+    stokes_img = None
+    if config.polarized:
+        # polarized variant: full Mueller transport; the film image is S0
+        # (the reference's *_polarized variants develop intensity; Stokes
+        # components export as _s1.._s3 planes alongside)
+        from .render.stokes import render_polarized
+        stokes_img = render_polarized(scene, config)   # (H, W, C, 4)
+        img = stokes_img[..., 0]
+    else:
+        img = render(scene, config)
     img.block_until_ready()
     dt = time.time() - t0
     n_rays = config.width * config.height * config.spp * \
@@ -93,6 +109,12 @@ def main(argv=None) -> int:
     out = args.output or (args.scene.rsplit(".", 1)[0] + ".exr")
     io_bitmap.write(out, __import__("numpy").asarray(img))
     log.info("wrote %s", out)
+    if stokes_img is not None:
+        import numpy as _np
+        for i in (1, 2, 3):
+            path = out.rsplit(".", 1)[0] + f"_s{i}.exr"
+            io_bitmap.write_exr(path, _np.asarray(stokes_img[..., i]))
+            log.info("wrote %s", path)
 
     for aov in args.aov:
         aovs = render_aovs(scene, config, aovs=(aov,))

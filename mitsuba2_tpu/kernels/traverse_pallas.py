@@ -74,6 +74,60 @@ def _pack_tables(scene):
     return node_f, node_i, link_i, prim_f
 
 
+def _safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                           jnp.where(d >= 0, 1e-20, -1e-20), d)
+
+
+def _octant_vote(dxv, dyv, dzv):
+    """Majority direction octant of the block (per-axis vote): with the
+    wavefront sorted by (position, octant) all lanes agree; mixed blocks
+    still get a usable order (correctness is octant-independent — only
+    the culling efficiency varies)."""
+    half = jnp.float32(dxv.size) * 0.5
+    return ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
+            | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
+               .astype(jnp.int32) << 1)
+            | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
+               .astype(jnp.int32) << 2))
+
+
+def _link_picker(octv):
+    """Select this block's octant columns from a (1, 16) link row with
+    STATIC indices only: Mosaic miscompiles dynamic scalar indexing
+    (li[0, octv] read garbage on real TPU -> unterminated walk, chip
+    wedge), and lax.dynamic_slice on values has no TC lowering."""
+    def pick(li):
+        hit = li[0, 0]
+        miss = li[0, 8]
+        for k in range(1, 8):
+            sel = octv == k
+            hit = jnp.where(sel, li[0, k], hit)
+            miss = jnp.where(sel, li[0, 8 + k], miss)
+        return hit, miss
+    return pick
+
+
+def _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv):
+    """The (16, B) ray-feature matrix R = [d, o x d, o, 1, 0...] of the
+    Möller–Trumbore bilinear forms, rays flattened onto the lane axis
+    (probed reshape (8,128)->(1,1024): supported by this Mosaic)."""
+    msub = oxv.shape[0]
+
+    def row(a):
+        return a.reshape(1, msub * _LANE)
+
+    mxv = oyv * dzv - ozv * dyv
+    myv = ozv * dxv - oxv * dzv
+    mzv = oxv * dyv - oyv * dxv
+    rt = jnp.concatenate(
+        [row(dxv), row(dyv), row(dzv), row(mxv), row(myv), row(mzv),
+         row(oxv), row(oyv), row(ozv),
+         jnp.ones((1, msub * _LANE), jnp.float32),
+         jnp.zeros((6, msub * _LANE), jnp.float32)], axis=0)
+    return rt, row
+
+
 def _slab(nf, ox, oy, oz, ix, iy, iz, t_best):
     """Vectorized AABB slab test of one node against the lane block."""
     t0x = (nf[0, 0] - ox) * ix
@@ -146,40 +200,12 @@ def _closest_hit_kernel(node_f, node_i, link_i, prim_f,
                         t_out, prim_out, u_out, v_out):
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
-                               jnp.where(d >= 0, 1e-20, -1e-20), d)
-
-    ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
-
-    # Majority direction octant of the block (per-axis vote): with the
-    # wavefront sorted by (position, octant) all lanes agree; mixed blocks
-    # still get a usable order (correctness is octant-independent — only
-    # the culling efficiency varies).
-    half = jnp.float32(_SUB * _LANE) * 0.5
-    octv = ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
-            | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
-               .astype(jnp.int32) << 1)
-            | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
-               .astype(jnp.int32) << 2))
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
     # Fuel: a correct threaded walk visits each node at most once; the cap
     # makes an unterminated loop (e.g. corrupted links) structurally
     # impossible — a runaway device loop wedges the whole chip for hours.
     fuel_cap = node_f.shape[0] + 64
-
-    def _pick_links(li):
-        """Select this block's octant columns from a (1, 16) link row with
-        STATIC indices only: Mosaic miscompiles dynamic scalar indexing
-        (li[0, octv] read garbage on real TPU -> unterminated walk, chip
-        wedge), and lax.dynamic_slice on values has no TC lowering."""
-        hit = li[0, 0]
-        miss = li[0, 8]
-        for k in range(1, 8):
-            sel = octv == k
-            hit = jnp.where(sel, li[0, k], hit)
-            miss = jnp.where(sel, li[0, 8 + k], miss)
-        return hit, miss
 
     def cond(state):
         node, fuel, _, _, _, _ = state
@@ -232,12 +258,7 @@ def _any_hit_kernel(node_f, node_i, prim_f,
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     tmv = tmax[:]
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
-                               jnp.where(d >= 0, 1e-20, -1e-20), d)
-
-    ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
 
     fuel_cap = node_f.shape[0] + 64  # see closest-hit kernel fuel note
 
@@ -304,6 +325,8 @@ MXU_LEAVES = False
 # the scalar walk + per-visit DMA over more rays, at the cost of a larger
 # block union of visited nodes — a hardware sweep knob.
 MXU_BLOCK = int(os.environ.get("MI_MXU_BLOCK", "1024"))
+assert MXU_BLOCK > 0 and MXU_BLOCK % _LANE == 0, \
+    f"MI_MXU_BLOCK={MXU_BLOCK}: must be a positive multiple of {_LANE}"
 
 
 def _pack_mxu_tables(scene):
@@ -333,43 +356,10 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     msub = oxv.shape[0]   # MXU_BLOCK // _LANE sublanes per ray block
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
-                               jnp.where(d >= 0, 1e-20, -1e-20), d)
-
-    ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
-
-    half = jnp.float32(msub * _LANE) * 0.5
-    octv = ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
-            | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
-               .astype(jnp.int32) << 1)
-            | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
-               .astype(jnp.int32) << 2))
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
+    rt, row = _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv)
     fuel_cap = node_f.shape[0] + 64
-
-    def _pick_links(li):
-        hit = li[0, 0]
-        miss = li[0, 8]
-        for k in range(1, 8):
-            sel = octv == k
-            hit = jnp.where(sel, li[0, k], hit)
-            miss = jnp.where(sel, li[0, 8 + k], miss)
-        return hit, miss
-
-    # the 16-dim ray features, rays flattened onto the lane axis (probed
-    # reshape (8,128)->(1,1024): supported by this Mosaic)
-    def row(a):
-        return a.reshape(1, msub * _LANE)
-
-    mxv = oyv * dzv - ozv * dyv
-    myv = ozv * dxv - oxv * dzv
-    mzv = oxv * dyv - oyv * dxv
-    rt = jnp.concatenate(
-        [row(dxv), row(dyv), row(dzv), row(mxv), row(myv), row(mzv),
-         row(oxv), row(oyv), row(ozv),
-         jnp.ones((1, msub * _LANE), jnp.float32),
-         jnp.zeros((6, msub * _LANE), jnp.float32)], axis=0)  # (16, B)
 
     BIG = jnp.int32(1 << 30)
     CK = CLUSTER_K
@@ -471,41 +461,10 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     tmv = tmax[:]
     msub = oxv.shape[0]
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
-                               jnp.where(d >= 0, 1e-20, -1e-20), d)
-
-    ixv, iyv, izv = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
-
-    half = jnp.float32(msub * _LANE) * 0.5
-    octv = ((jnp.sum((dxv < 0).astype(jnp.float32)) > half).astype(jnp.int32)
-            | ((jnp.sum((dyv < 0).astype(jnp.float32)) > half)
-               .astype(jnp.int32) << 1)
-            | ((jnp.sum((dzv < 0).astype(jnp.float32)) > half)
-               .astype(jnp.int32) << 2))
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
+    rt, row = _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv)
     fuel_cap = node_f.shape[0] + 64
-
-    def _pick_links(li):
-        hit = li[0, 0]
-        miss = li[0, 8]
-        for k in range(1, 8):
-            sel = octv == k
-            hit = jnp.where(sel, li[0, k], hit)
-            miss = jnp.where(sel, li[0, 8 + k], miss)
-        return hit, miss
-
-    def row(a):
-        return a.reshape(1, msub * _LANE)
-
-    mxv = oyv * dzv - ozv * dyv
-    myv = ozv * dxv - oxv * dzv
-    mzv = oxv * dyv - oyv * dxv
-    rt = jnp.concatenate(
-        [row(dxv), row(dyv), row(dzv), row(mxv), row(myv), row(mzv),
-         row(oxv), row(oyv), row(ozv),
-         jnp.ones((1, msub * _LANE), jnp.float32),
-         jnp.zeros((6, msub * _LANE), jnp.float32)], axis=0)  # (16, B)
 
     CK = CLUSTER_K
 

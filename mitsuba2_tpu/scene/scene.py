@@ -86,17 +86,16 @@ class SceneData:
     # --- MXU leaf clusters (bvh.py::cluster_cut + cut_tree_tables;
     # traverse_pallas MXU path). The walk runs on the PRUNED cut-tree
     # (cut nodes + ancestors, R ~ 2*C rows — O(C) VMEM, not O(P)):
-    # mxu_node_f: (R, 8) f32 [min.xyz, max.xyz, 0, 0];
+    # mxu_node_f: (R, 8) f32 [min.xyz, max.xyz, slot, 0] where slot (col
+    # 6, f32-exact) = cluster_index * CLUSTER_K at cut nodes, -1 else;
     # mxu_link: (R, 16) i32 [hit8 | miss8] compact-remapped octant links;
-    # mxu_slot: (R,) i32 = cluster_index * CLUSTER_K at cut nodes, -1
-    # elsewhere; cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id
-    # per padded cluster slot (-1 padding); mxu_feat: (4*C*CLUSTER_K, 16)
-    # f32 host-precomputed Möller–Trumbore plane rows, CLUSTER-MAJOR:
+    # cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id per padded
+    # cluster slot (-1 padding); mxu_feat: (4*C*CLUSTER_K, 16) f32
+    # host-precomputed Möller–Trumbore plane rows, CLUSTER-MAJOR:
     # cluster c owns rows [4*K*c, 4*K*(c+1)) as four contiguous K-row
     # plane blocks [det; u; v; t] — one cluster visit = one contiguous DMA
     mxu_node_f: jnp.ndarray = None
     mxu_link: jnp.ndarray = None
-    mxu_slot: jnp.ndarray = None
     cluster_slot_prim: jnp.ndarray = None
     mxu_feat: jnp.ndarray = None
     # --- sensor motion (core/geometry.py::AnimatedTransform) ------------------
@@ -448,7 +447,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         bvh_hit8=dev(oct_hit8), bvh_miss8=dev(oct_miss8),
         mxu_node_f=dev(mxu_node_f.astype(np.float32)),
         mxu_link=dev(mxu_link.astype(np.int32)),
-        mxu_slot=dev(mxu_slot), cluster_slot_prim=dev(slot_prim),
+        cluster_slot_prim=dev(slot_prim),
         mxu_feat=dev(feat),
         shape_mat=dev(np.asarray(shape_mat, np.int32)),
         shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
@@ -483,6 +482,45 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
 # Device: two-phase intersection (Shape::ray_intersect ->
 # compute_surface_interaction, shape.cpp/mesh.cpp)
 # ---------------------------------------------------------------------------
+
+def refresh_mxu_feat(scene: SceneData) -> SceneData:
+    """Derived rebuild of the MXU Möller–Trumbore plane table from the
+    CURRENT prim tables. `mxu_feat` is host-precomputed at scene build
+    and does NOT track `scene.replace(prim_p0=...)` — call this after
+    functionally updating geometry (vertex optimization steps) or the
+    MXU traversal path would intersect stale triangles. Traced-safe
+    plain jnp (per-slot gathers: ~1 ms per 45k slots on TPU — per
+    optimizer step, not per ray); detached (intersection is
+    stop_gradient territory)."""
+    if scene.mxu_feat is None:
+        return scene
+    sg = jax.lax.stop_gradient
+    sp = scene.cluster_slot_prim
+    idx = jnp.maximum(sp, 0)
+    valid = (sp >= 0)[:, None].astype(jnp.float32)
+    p0 = sg(scene.prim_p0)[idx] * valid
+    e1 = sg(scene.prim_e1)[idx] * valid
+    e2 = sg(scene.prim_e2)[idx] * valid
+    n = jnp.cross(e1, e2)
+    S = sp.shape[0]
+    CK = bvh_mod.CLUSTER_K
+    C = S // CK
+
+    def blk(rows3, cols):
+        # place (S, 3) rows at column offset `cols` of a (C, CK, 16) block
+        pad_l = jnp.zeros((S, cols), jnp.float32)
+        pad_r = jnp.zeros((S, 16 - cols - 3), jnp.float32)
+        return jnp.concatenate([pad_l, rows3, pad_r], -1).reshape(C, CK, 16)
+
+    det = blk(-n, 0)
+    u = blk(jnp.cross(p0, e2), 0) + blk(e2, 3)
+    v = blk(-jnp.cross(p0, e1), 0) + blk(-e1, 3)
+    p0n = jnp.sum(p0 * n, -1, keepdims=True)
+    t = blk(n, 6)
+    t = t.at[:, :, 9].set(-p0n.reshape(C, CK))
+    feat = jnp.stack([det, u, v, t], axis=1).reshape(4 * S, 16)
+    return scene.replace(mxu_feat=feat)
+
 
 def compute_surface_interaction(scene: SceneData, ray: Ray,
                                 pi: PreliminaryIntersection) -> SurfaceInteraction:

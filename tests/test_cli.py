@@ -43,3 +43,14 @@ def _run(tmp_path, mode):
 def test_cli_variant_strings(tmp_path):
     _run(tmp_path, "rgb")
     _run(tmp_path, "mono_polarized")
+    # polarized variants must run the Mueller transport and export the
+    # Stokes planes, not silently fall back to scalar transport
+    assert (tmp_path / "out_mono_polarized_s1.exr").exists()
+
+
+def test_cli_rejects_bad_variant(tmp_path, capsys):
+    scene = tmp_path / "s.xml"
+    scene.write_text(XML)
+    import pytest
+    with pytest.raises(SystemExit):
+        cli.main([str(scene), "-m", "rgb_duble"])

@@ -114,3 +114,44 @@ def test_non_multiple_block_sizes():
     t_j, _, _, _ = traverse_jnp.ray_intersect_preliminary(scene, o, d, t_max)
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_j),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_refresh_mxu_feat_tracks_geometry(monkeypatch):
+    """scene.replace on vertex tables + refresh_mxu_feat must reproduce
+    the host-built feature table; without the refresh the MXU path would
+    intersect stale geometry (derived-rebuild contract)."""
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+    from mitsuba2_tpu.scene.scene import refresh_mxu_feat
+    scene = mesh_gallery(subdiv=1)
+    # identity update: refreshed table == host-built table
+    ref = refresh_mxu_feat(scene)
+    np.testing.assert_allclose(np.asarray(ref.mxu_feat),
+                               np.asarray(scene.mxu_feat),
+                               rtol=1e-6, atol=1e-6)
+    # real update: shift all vertices; the refreshed table must equal an
+    # independent numpy evaluation of the plane formulas on the MOVED
+    # geometry. (Kernel-level equivalence under large shifts is out of
+    # contract: BVH *bounds* are not refit by scene.replace, and stale
+    # boxes cull the full tree and the cut-tree differently.)
+    shift = jnp.asarray([0.0, 0.3, 0.0])
+    moved = refresh_mxu_feat(scene.replace(prim_p0=scene.prim_p0 + shift))
+    sp = np.asarray(scene.cluster_slot_prim)
+    valid = (sp >= 0)[:, None].astype(np.float32)
+    p0 = (np.asarray(scene.prim_p0) + np.asarray(shift))[np.maximum(sp, 0)]
+    e1 = np.asarray(scene.prim_e1)[np.maximum(sp, 0)] * valid
+    e2 = np.asarray(scene.prim_e2)[np.maximum(sp, 0)] * valid
+    p0 = p0 * valid
+    n = np.cross(e1, e2)
+    S = sp.shape[0]
+    CK = traverse_pallas.CLUSTER_K
+    C = S // CK
+    exp = np.zeros((C, 4, CK, 16), np.float32)
+    exp[:, 0, :, 0:3] = -n.reshape(C, CK, 3)
+    exp[:, 1, :, 0:3] = np.cross(p0, e2).reshape(C, CK, 3)
+    exp[:, 1, :, 3:6] = e2.reshape(C, CK, 3)
+    exp[:, 2, :, 0:3] = -np.cross(p0, e1).reshape(C, CK, 3)
+    exp[:, 2, :, 3:6] = -e1.reshape(C, CK, 3)
+    exp[:, 3, :, 6:9] = n.reshape(C, CK, 3)
+    exp[:, 3, :, 9] = -np.sum(p0 * n, -1).reshape(C, CK)
+    np.testing.assert_allclose(np.asarray(moved.mxu_feat),
+                               exp.reshape(4 * S, 16), rtol=1e-5, atol=1e-5)
