@@ -1,0 +1,34 @@
+#!/bin/bash
+# Phased MXU-kernel hardware validation (docs/TPU_TRAVERSAL.md "MXU
+# cluster-leaf path"). Each phase is its own python process under
+# `timeout`; the sequence aborts on first failure/hang so a wedged chip
+# is never hit twice (wedge protocol: tiny compiled test first, one
+# novel construct at a time).
+#
+# Run when the axon chip is healthy:  bash benchmarks/mxu_hw_seq.sh
+# After phase 3 succeeds and numbers look right, flip MXU_LEAVES=True in
+# kernels/traverse_pallas.py and rerun bench.py.
+set -e
+cd "$(dirname "$0")/.."
+LOG=${MXU_SEQ_LOG:-/tmp/mxu_hw_seq.log}
+filter() { grep -v "xla_bridge\|cpu_aot" ; }
+
+echo "=== $(date) phase 1: tiny compiled DMA+dot probe" | tee -a "$LOG"
+timeout 420 python benchmarks/probe_mxu_dma.py 2>&1 | tail -4 | tee -a "$LOG"
+
+echo "=== $(date) phase 2: tiny compiled MXU kernel (gallery subdiv=1, 4k rays)" | tee -a "$LOG"
+timeout 600 python benchmarks/traverse_bench.py --backend mxu --n 4096 --subdiv 1 --rounds 2 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+
+echo "=== $(date) phase 2b: on-TPU MXU vs scalar correctness" | tee -a "$LOG"
+timeout 600 python benchmarks/mxu_hw_check.py 2>&1 | filter | tee -a "$LOG"
+
+echo "=== $(date) phase 3: full gallery (subdiv=4, 262k rays) mxu vs pallas" | tee -a "$LOG"
+timeout 600 python benchmarks/traverse_bench.py --backend mxu --n 262144 --subdiv 4 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+timeout 600 python benchmarks/traverse_bench.py --backend pallas --n 262144 --subdiv 4 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+
+echo "=== $(date) phase 4: knob sweeps (block size, cluster size; walk_model.py predicts block=4096 + CK=128-256 best)" | tee -a "$LOG"
+for e in "MI_MXU_BLOCK=2048" "MI_MXU_BLOCK=4096" "MI_CLUSTER_K=64" "MI_CLUSTER_K=256"; do
+  echo "--- $e" | tee -a "$LOG"
+  env $e timeout 600 python benchmarks/traverse_bench.py --backend mxu --n 262144 --subdiv 4 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+done
+echo "=== $(date) done" | tee -a "$LOG"
