@@ -155,3 +155,19 @@ def test_refresh_mxu_feat_tracks_geometry(monkeypatch):
     exp[:, 3, :, 9] = -np.sum(p0 * n, -1).reshape(C, CK)
     np.testing.assert_allclose(np.asarray(moved.mxu_feat),
                                exp.reshape(4 * S, 16), rtol=1e-5, atol=1e-5)
+
+
+def test_mxu_flag_sphere_scene_falls_back(monkeypatch):
+    """Spheres are inexpressible as the MT bilinear form: with
+    MXU_LEAVES=True a sphere scene must still dispatch the scalar kernel
+    and match the oracle (the dispatch guard, not the kernel)."""
+    scene = furnace()
+    assert scene.has_spheres
+    o, d = random_rays(512, seed=13, spread=2.0)
+    t_max = jnp.full(512, jnp.inf)
+    monkeypatch.setattr(traverse_pallas, "MXU_LEAVES", True)
+    t_p, _, _, _ = traverse_pallas.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    t_j, _, _, _ = traverse_jnp.ray_intersect_preliminary(scene, o, d, t_max)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_j),
+                               rtol=1e-4, atol=1e-5)
