@@ -93,12 +93,55 @@ def walk_counts(scene, o, d, t_best, block):
     return steps, visits
 
 
+def walk_counts_full(scene, o, d, t_best, block):
+    """(steps, leaf_visits) of the SCALAR packet kernel's full-tree walk
+    (traverse_pallas._closest_hit_kernel): same block-synchronous octant
+    walk, but over the full octant-linked BVH with LEAF_K-prim leaves.
+    Per-step cost = 2-3 scalar row loads + one slab test across the block;
+    per leaf visit adds LEAF_K scalar prim-row streams + vector tests —
+    so (steps, leaf_visits) against (t_step, t_leaf) calibrated once on
+    hardware predicts the MI_PACKET_BLOCK sweep."""
+    nmin = np.asarray(scene.bvh_min)
+    nmax = np.asarray(scene.bvh_max)
+    hit8 = np.asarray(scene.bvh_hit8).reshape(nmin.shape[0], 8)
+    miss8 = np.asarray(scene.bvh_miss8).reshape(nmin.shape[0], 8)
+    leaf_start = np.asarray(scene.bvh_leaf_start)
+    n = o.shape[0]
+    inv = 1.0 / np.where(np.abs(d) < 1e-20, 1e-20, d)
+    steps = leaves = 0
+    for b0 in range(0, n, block):
+        sl = slice(b0, b0 + block)
+        ob, ib, tb = o[sl], inv[sl], t_best[sl]
+        octv = int(((ib[:, 0] < 0).mean() > 0.5)
+                   | (int((ib[:, 1] < 0).mean() > 0.5) << 1)
+                   | (int((ib[:, 2] < 0).mean() > 0.5) << 2))
+        node = 0
+        fuel = nmin.shape[0] + 64
+        while node >= 0 and fuel > 0:
+            fuel -= 1
+            steps += 1
+            t0 = (nmin[node] - ob) * ib
+            t1 = (nmax[node] - ob) * ib
+            tmin = np.minimum(t0, t1).max(1)
+            tmax = np.maximum(t0, t1).min(1)
+            hit_any = bool(((tmin <= tmax) & (tmax > 0) & (tmin < tb)).any())
+            is_leaf = leaf_start[node] >= 0
+            if is_leaf and hit_any:
+                leaves += 1
+            node = int(miss8[node, octv] if (is_leaf or not hit_any)
+                       else hit8[node, octv])
+    return steps, leaves
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subdiv", type=int, default=4)
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--blocks", type=int, nargs="+",
                     default=[1024, 2048, 4096])
+    ap.add_argument("--full-tree", action="store_true",
+                    help="also model the scalar kernel's full-tree walk "
+                         "(MI_PACKET_BLOCK sweep)")
     args = ap.parse_args()
 
     import jax
@@ -129,6 +172,11 @@ def main():
                       f"steps/block {steps/nb:7.1f}  "
                       f"visits/block {visits/nb:6.1f}  "
                       f"(x{block} rays)")
+                if args.full_tree:
+                    fsteps, fleaves = walk_counts_full(scene, o, d, tb, block)
+                    print(f"{tag:10s} block={block:5d} {bound}: "
+                          f"full-tree steps/block {fsteps/nb:7.1f}  "
+                          f"leaf-visits/block {fleaves/nb:6.1f}")
 
 
 if __name__ == "__main__":

@@ -39,8 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.bvh import CLUSTER_K, LEAF_K
 
-BLOCK = 1024          # rays per grid step = one (8, 128) f32 tile
 _SUB, _LANE = 8, 128
+# Rays per scalar-kernel grid step (multiple of 128; default one (8, 128)
+# f32 tile). The walk model (benchmarks/walk_model.py) shows the block's
+# union of visited nodes is nearly scale-free, so wider blocks amortize the
+# scalar node walk over more lanes (~3x fewer steps/ray at 4096) at the
+# cost of proportionally more VPU work per step — a hardware sweep knob.
+BLOCK = int(os.environ.get("MI_PACKET_BLOCK", "1024"))
+assert BLOCK > 0 and BLOCK % _LANE == 0, \
+    f"MI_PACKET_BLOCK={BLOCK}: must be a positive multiple of {_LANE}"
 
 
 def _pack_tables(scene):
@@ -242,10 +249,11 @@ def _closest_hit_kernel(node_f, node_i, link_i, prim_f,
                         miss_link, hit_link)
         return nxt, fuel + 1, t_best, best, bu, bv
 
+    msub = oxv.shape[0]   # BLOCK // _LANE sublanes per ray block
     init = (jnp.int32(0), jnp.int32(0), tmax[:],
-            jnp.full((_SUB, _LANE), -1, jnp.int32),
-            jnp.zeros((_SUB, _LANE), jnp.float32),
-            jnp.zeros((_SUB, _LANE), jnp.float32))
+            jnp.full((msub, _LANE), -1, jnp.int32),
+            jnp.zeros((msub, _LANE), jnp.float32),
+            jnp.zeros((msub, _LANE), jnp.float32))
     _, _, t_best, best, bu, bv = jax.lax.while_loop(cond, body, init)
     t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
     prim_out[:] = best
@@ -295,7 +303,7 @@ def _any_hit_kernel(node_f, node_i, prim_f,
         return nxt, fuel + 1, occ_f
 
     init = (jnp.int32(0), jnp.int32(0),
-            jnp.zeros((_SUB, _LANE), jnp.float32))
+            jnp.zeros(oxv.shape, jnp.float32))
     _, _, occ_f = jax.lax.while_loop(cond, body, init)
     occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
 
@@ -319,8 +327,9 @@ def _any_hit_kernel(node_f, node_i, prim_f,
 # CLUSTER_K imported from scene/bvh.py (MI_CLUSTER_K env override).
 # Module switch (tests compare both paths). Default OFF until the kernel
 # is validated compiled on real TPU hardware — flipping this routes every
-# sphere-free TPU scene through the MXU path.
-MXU_LEAVES = False
+# sphere-free TPU scene through the MXU path. MI_MXU_LEAVES=1 flips it
+# from the environment (hardware-validation sweeps, bench runs).
+MXU_LEAVES = os.environ.get("MI_MXU_LEAVES", "0").lower() in ("1", "true")
 # Rays per MXU kernel grid step (multiple of 128). Bigger blocks amortize
 # the scalar walk + per-visit DMA over more rays, at the cost of a larger
 # block union of visited nodes — a hardware sweep knob.
@@ -535,7 +544,7 @@ def _components(v):
     return v[:, 0], v[:, 1], v[:, 2]
 
 
-_ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+_ray_spec = pl.BlockSpec((BLOCK // _LANE, _LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 _tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full table, replicated
 

@@ -27,9 +27,11 @@ def test_closest_hit_matches_oracle_cbox():
     hit_p, hit_j = np.isfinite(t_p), np.isfinite(t_j)
     np.testing.assert_array_equal(hit_p, hit_j)
     np.testing.assert_allclose(t_p[hit_p], t_j[hit_j], rtol=1e-4, atol=1e-5)
-    # prim ids equal except equidistant ties (quad diagonals)
+    # prim ids equal except equidistant ties (quad diagonals); the tie
+    # rate shifts with MI_PACKET_BLOCK (block-majority octant changes
+    # the link walk order), so the guard allows 1%
     same = np.asarray(p_p) == np.asarray(p_j)
-    assert same[hit_p].mean() > 0.995
+    assert same[hit_p].mean() > 0.99
     # wherever prim ids differ the hit distances must still agree (ties)
     tie = hit_p & ~same
     np.testing.assert_allclose(t_p[tie], t_j[tie], rtol=1e-4, atol=1e-5)
