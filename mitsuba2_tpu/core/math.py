@@ -8,13 +8,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Float epsilons mirroring mitsuba's math::RayEpsilon / ShadowEpsilon discipline
 # (include/mitsuba/core/math.h). We use float32 everywhere on TPU.
-EPSILON = float(jnp.finfo(jnp.float32).eps) / 2  # machine epsilon / 2
+# Module-level constants MUST be host (numpy) values: a jnp op here would
+# initialize the accelerator backend at import time (and hang the import
+# when the TPU tunnel is down).
+EPSILON = float(np.finfo(np.float32).eps) / 2  # machine epsilon / 2
 RAY_EPSILON = EPSILON * 1500.0
 SHADOW_EPSILON = RAY_EPSILON * 10.0
-ONE_MINUS_EPSILON = float(jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+ONE_MINUS_EPSILON = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
 INF = float("inf")
 
 

@@ -76,8 +76,11 @@ def pack_medium(desc: dict) -> Tuple[int, np.ndarray, Optional[dict]]:
 
     homogeneous: {"type": "homogeneous", "sigma_t": rgb, "albedo": rgb,
                   "g": float} or {"sigma_s": rgb, "sigma_a": rgb}
-    heterogeneous: {"type": "heterogeneous", "density": (D,H,W) array,
-                    "bbox_min", "bbox_max", "sigma_t", "albedo", "scale"}
+    heterogeneous: {"type": "heterogeneous", "density": (D,H,W) array
+                    or a Mitsuba .vol filename (also accepted under
+                    "filename"), "bbox_min", "bbox_max" (default: the
+                    .vol header bbox, else the unit cube), "sigma_t",
+                    "albedo", "scale"}
     """
     row = np.zeros(MED_W, np.float32)
     t = desc.get("type", "homogeneous")
@@ -103,10 +106,26 @@ def pack_medium(desc: dict) -> Tuple[int, np.ndarray, Optional[dict]]:
     if t == "homogeneous":
         return MEDIUM_HOMOGENEOUS, row, None
     if t == "heterogeneous":
+        density = desc.get("density", desc.get("filename"))
+        bmn = desc.get("bbox_min")
+        bmx = desc.get("bbox_max")
+        if isinstance(density, str):  # Mitsuba .vol file (gridvolume)
+            from ..core.io_vol import read_vol
+            density, fmn, fmx = read_vol(density)
+            if density.ndim == 4:  # multi-channel grid: mean density
+                density = density.mean(-1)
+            bmn = fmn if bmn is None else bmn
+            bmx = fmx if bmx is None else bmx
+        if density is None:
+            raise ValueError("heterogeneous medium needs a 'density' grid "
+                             "or a .vol 'filename'")
+        density = np.asarray(density, np.float32)
+        if density.ndim == 0:  # constvolume density
+            density = np.full((2, 2, 2), float(density), np.float32)
         return MEDIUM_HETEROGENEOUS, row, {
-            "density": np.asarray(desc["density"], np.float32),
-            "bbox_min": np.asarray(desc.get("bbox_min", [0, 0, 0]), np.float32),
-            "bbox_max": np.asarray(desc.get("bbox_max", [1, 1, 1]), np.float32)}
+            "density": density,
+            "bbox_min": np.asarray([0, 0, 0] if bmn is None else bmn, np.float32),
+            "bbox_max": np.asarray([1, 1, 1] if bmx is None else bmx, np.float32)}
     raise ValueError(f"unknown medium type {t!r}")
 
 

@@ -27,11 +27,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..core import pcg32, qmc
 
-_GOLDEN = jnp.uint32(0x9E3779B9)
+# numpy, not jnp: a device constant at module level would initialize the
+# accelerator backend at import time
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def _hash3(a, b, c):

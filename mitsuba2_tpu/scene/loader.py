@@ -142,6 +142,17 @@ def _collect_props(node, ctx) -> dict:
             props[name] = _parse_transform(child, ctx.params)
         elif tag == "texture":
             props[name] = _parse_texture(child, ctx)
+        elif tag == "volume":
+            # src/media XML: <volume name="density" type="gridvolume">
+            # (a .vol file, resolved) or type="constvolume" (a value)
+            vtype = _attr(child, "type", ctx.params)
+            vprops = _collect_props(child, ctx)
+            if vtype == "gridvolume":
+                props[name] = ctx.resolve(vprops["filename"])
+            elif vtype == "constvolume":
+                props[name] = vprops.get("value", 1.0)
+            else:
+                raise ValueError(f"unknown volume type {vtype!r}")
         elif tag == "ref":
             rid = _attr(child, "id", ctx.params)
             if rid not in ctx.refs:
@@ -205,6 +216,10 @@ def _parse_shape(node, ctx) -> shapes_mod.MeshData:
     for c in node:
         if c.tag == "emitter":
             emitter = _parse_emitter(c, ctx)
+        elif c.tag == "bsdf":
+            # inline child bsdf (the common scene idiom) — overrides a
+            # <ref name="bsdf"> if both are present
+            bsdf = _parse_bsdf(c, ctx)
         elif c.tag == "medium":
             if _attr(c, "name", ctx.params, "interior") == "interior":
                 mprops = _collect_props(c, ctx)

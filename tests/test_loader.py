@@ -188,3 +188,26 @@ def test_version_upgrade_camelcase():
     img = np.asarray(render(scene, config.replace(width=8, height=8, spp=2,
                                                   spp_per_pass=2)))
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_inline_shape_bsdf():
+    """A <bsdf> child nested directly inside <shape> (the common scene
+    idiom, vs a <ref>) must bind to that shape — regression: it was
+    silently dropped, leaving the default diffuse."""
+    from mitsuba2_tpu.render import bsdf as bsdf_mod
+    xml = """<scene version="2.0.0">
+      <sensor type="perspective"/>
+      <shape type="sphere">
+        <bsdf type="conductor"/>
+      </shape>
+      <shape type="rectangle">
+        <bsdf type="twosided">
+          <bsdf type="diffuse"><rgb name="reflectance" value="0.9 0.1 0.1"/></bsdf>
+        </bsdf>
+      </shape>
+    </scene>"""
+    scene, _ = loader.load_string(xml)
+    mat0 = int(np.asarray(scene.mat_type)[np.asarray(scene.shape_mat)[0]])
+    mat1 = int(np.asarray(scene.mat_type)[np.asarray(scene.shape_mat)[1]])
+    assert mat0 == bsdf_mod.Conductor.id
+    assert mat1 == bsdf_mod.Diffuse.id  # twosided unwraps to the child
