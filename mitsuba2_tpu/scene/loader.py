@@ -99,6 +99,21 @@ def _parse_transform(node, params) -> np.ndarray:
     return np.asarray(t.matrix, np.float32)
 
 
+def _read_spd(path: str):
+    """Two-column spectral-data text file (wavelength_nm value per line,
+    '#' comments) — the reference's .spd format (resources/data/ior)."""
+    wls, vals = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            a, b = line.split()[:2]
+            wls.append(float(a))
+            vals.append(float(b))
+    return wls, vals
+
+
 def _xyz_attrs(node, params, default: float) -> np.ndarray:
     v = _attr(node, "value", params)
     if v is not None:
@@ -128,14 +143,26 @@ def _collect_props(node, ctx) -> dict:
         elif tag == "rgb":
             props[name] = _parse_vec(_attr(child, "value", ctx.params)).tolist()
         elif tag == "spectrum":
-            v = _attr(child, "value", ctx.params)
-            if "," in v or ":" in v:
-                # wavelength:value pairs -> average into rgb-ish scalar
-                pairs = [p.split(":") for p in re.split(r"[,\s]+", v) if ":" in p]
-                mean = float(np.mean([float(b) for _, b in pairs]))
-                props[name] = [mean] * 3
+            fn = _attr(child, "filename", ctx.params)
+            if fn:
+                # .spd file (two-column "wavelength value" text, the
+                # reference's resources/data/ior format) -> irregular
+                # spectrum dict, exact CIE projection in pack_color
+                wls, vals = _read_spd(ctx.resolve(fn))
+                props[name] = {"type": "irregular",
+                               "wavelengths": wls, "values": vals}
             else:
-                props[name] = [float(v)] * 3
+                v = _attr(child, "value", ctx.params)
+                if ":" in v:
+                    # "400:0.1, 500:0.2" wavelength:value pairs
+                    pairs = [p.split(":")
+                             for p in re.split(r"[,\s]+", v) if ":" in p]
+                    props[name] = {
+                        "type": "irregular",
+                        "wavelengths": [float(a) for a, _ in pairs],
+                        "values": [float(b) for _, b in pairs]}
+                else:
+                    props[name] = [float(v)] * 3
         elif tag in ("point", "vector"):
             props[name] = _xyz_attrs(child, ctx.params, 0.0).tolist()
         elif tag == "transform":

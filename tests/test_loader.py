@@ -211,3 +211,36 @@ def test_inline_shape_bsdf():
     mat1 = int(np.asarray(scene.mat_type)[np.asarray(scene.shape_mat)[1]])
     assert mat0 == bsdf_mod.Conductor.id
     assert mat1 == bsdf_mod.Diffuse.id  # twosided unwraps to the child
+
+
+def test_spectrum_pairs_and_spd_files(tmp_path):
+    """<spectrum value="wl:v, ..."/> and <spectrum filename="x.spd"/> load
+    as tabulated (irregular) spectra, not flat means — a green-peaked
+    emitter must come out green through the exact CIE projection."""
+    spd = tmp_path / "green.spd"
+    spd.write_text("# green-peaked SPD\n400 0.0\n500 0.2\n540 1.0\n"
+                   "580 0.2\n700 0.0\n")
+    xml = f"""<scene version="2.0.0">
+      <sensor type="perspective"/>
+      <shape type="rectangle">
+        <emitter type="area">
+          <spectrum name="radiance" filename="{spd.name}"/>
+        </emitter>
+      </shape>
+      <shape type="sphere">
+        <bsdf type="diffuse">
+          <spectrum name="reflectance" value="400:0.9, 500:0.5, 700:0.1"/>
+        </bsdf>
+      </shape>
+    </scene>"""
+    p = tmp_path / "scene.xml"
+    p.write_text(xml)
+    scene, _ = loader.load_file(str(p))
+    # emitter slot: CIE-projected RGB of the 540nm-peaked SPD -> green
+    # dominates both other channels
+    r, g, b = np.asarray(scene.emitter_data)[0][:3]
+    assert g > 5 * r and g > 5 * b
+    # reflectance slot: short-wavelength-heavy downslope (0.9 @ 400nm,
+    # 0.1 @ 700nm) -> blue > green > red
+    mat = np.asarray(scene.mat_data)[np.asarray(scene.shape_mat)[1]]
+    assert mat[2] > mat[1] > mat[0]
