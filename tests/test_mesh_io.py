@@ -123,3 +123,51 @@ f -4/-4/-1 -2/-2/-1 -1/-1/-1
         np.sort(m_native.uvs[m_native.faces].reshape(-1, 6), axis=0),
         np.sort(m_py.uvs[m_py.faces].reshape(-1, 6), axis=0), atol=1e-6)
     np.testing.assert_allclose(m_native.normals, [[0, 0, 1]] * len(m_native.normals))
+
+
+def test_ply_uniform_fast_path_quad_order(tmp_path):
+    """The vectorized uniform-list PLY path must emit fan triangles in
+    the same per-row order as the general row loop (prim indices are
+    load-bearing for area CDFs and golden renders)."""
+    import numpy as np
+    nv, nf = 64, 37
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(nv, 3)).astype("<f4")
+    q = rng.integers(0, nv, (nf, 4)).astype("<i4")
+    hdr = ("ply\nformat binary_little_endian 1.0\n"
+           f"element vertex {nv}\nproperty float x\nproperty float y\n"
+           f"property float z\nelement face {nf}\n"
+           "property list uchar int vertex_indices\nend_header\n")
+    p = tmp_path / "quads.ply"
+    with open(p, "wb") as fh:
+        fh.write(hdr.encode())
+        fh.write(v.tobytes())
+        rows = np.empty(nf, dtype=[("c", "u1"), ("i", "<i4", (4,))])
+        rows["c"] = 4
+        rows["i"] = q
+        fh.write(rows.tobytes())
+    m = mesh_io.load_ply(str(p))
+    expect = []
+    for row in q:
+        for k in range(1, 3):
+            expect.append([row[0], row[k], row[k + 1]])
+    np.testing.assert_array_equal(m.faces, np.asarray(expect, np.int32))
+
+
+def test_ply_mixed_arity_falls_back(tmp_path):
+    """Mixed tri/quad rows can't take the uniform fast path; the row
+    loop must still parse them."""
+    import numpy as np
+    v = np.zeros((8, 3), "<f4")
+    hdr = ("ply\nformat binary_little_endian 1.0\n"
+           "element vertex 8\nproperty float x\nproperty float y\n"
+           "property float z\nelement face 2\n"
+           "property list uchar int vertex_indices\nend_header\n")
+    p = tmp_path / "mixed.ply"
+    with open(p, "wb") as fh:
+        fh.write(hdr.encode())
+        fh.write(v.tobytes())
+        fh.write(np.uint8(3).tobytes() + np.array([0, 1, 2], "<i4").tobytes())
+        fh.write(np.uint8(4).tobytes() + np.array([3, 4, 5, 6], "<i4").tobytes())
+    m = mesh_io.load_ply(str(p))
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2], [3, 4, 5], [3, 5, 6]])
