@@ -47,7 +47,13 @@ from . import ior as ior_mod
 from . import microfacet as mf
 from .spectra import (LaneRows, SLOT_W, eval_spectrum_slot, pack_color)
 
-MAT_W = 32
+MAT_W = 40
+# cols [0:24]: three 8-wide spectrum/texture slots (class-specific)
+# cols [24:32]: class-specific scalars (alphas, IOR ratios, child ids…)
+# cols [32:40]: ALPHA_SLOT — optional roughness texture for the rough_*
+#   families (src/bsdfs/roughconductor.cpp et al. accept Texture alpha);
+#   all-zero when the material's roughness is the scalar in its alpha col
+ALPHA_SLOT = 32
 
 # --- BSDFFlags (include/mitsuba/render/bsdf.h) ------------------------------
 F_NULL = 1 << 0
@@ -112,6 +118,34 @@ def _spec(data, i, si, config) -> Spec:
 
 def _rgb_slot(rgb_or_desc, illuminant=False) -> np.ndarray:
     return pack_color(rgb_or_desc, illuminant=illuminant)
+
+
+def _pack_alpha(data, props, key="alpha", default=0.1) -> float:
+    """Host: scalar roughness straight to its column; a texture dict
+    packs into ALPHA_SLOT (isotropic, shared by alpha_u/v) and the column
+    gets the texture's mean as the fallback/heuristic value."""
+    a = props.get(key, default)
+    if isinstance(a, dict):
+        slot = _rgb_slot(a)
+        data[ALPHA_SLOT:ALPHA_SLOT + SLOT_W] = slot
+        return float(np.mean(slot[0:3]))
+    return float(a)
+
+
+def _alpha_tex(data, si, au, av):
+    """Device: when ALPHA_SLOT carries a texture (kind col != 0), the
+    per-lane roughness is the texture's channel mean at si.uv (the
+    reference's Texture::eval_1), replacing both alphas isotropically."""
+    if si.tex is None:
+        return au, av
+    kind = data.col(ALPHA_SLOT + 7).astype(jnp.int32)
+    is_tex = kind >= 2  # SLOT_TEX_BASE
+    from . import texture as texture_mod
+    tid = jnp.maximum((kind - 2) // 2, 0)
+    duv = ((si.duv_dx, si.duv_dy) if si.duv_dx is not None else None)
+    rgb = texture_mod.eval_rgb(si.tex, tid, si.uv, duv=duv)
+    a = jnp.maximum(sum(rgb.ch) / len(rgb.ch), 1e-4)
+    return jnp.where(is_tex, a, au), jnp.where(is_tex, a, av)
 
 
 # ===========================================================================
@@ -215,21 +249,22 @@ class RoughConductor:
     @staticmethod
     def pack(props, build_child) -> np.ndarray:
         data = Conductor.pack(props, build_child)
-        a = float(props.get("alpha", 0.1))
-        data[24] = float(props.get("alpha_u", a))
-        data[25] = float(props.get("alpha_v", a))
+        a = _pack_alpha(data, props)
+        data[24] = _pack_alpha(data, props, "alpha_u", a)
+        data[25] = _pack_alpha(data, props, "alpha_v", a)
         data[26] = _DIST_NAME[props.get("distribution", "ggx")]
         return data
 
     @staticmethod
-    def _params(data):
-        return (jnp.maximum(data.col(24), 1e-4),
-                jnp.maximum(data.col(25), 1e-4),
+    def _params(data, si):
+        return (*_alpha_tex(data, si,
+                            jnp.maximum(data.col(24), 1e-4),
+                            jnp.maximum(data.col(25), 1e-4)),
                 data.col(26).astype(jnp.int32))
 
     @staticmethod
     def sample(data, si, u1, u2, config):
-        au, av, dist = RoughConductor._params(data)
+        au, av, dist = RoughConductor._params(data, si)
         cos_i = Frame.cos_theta(si.wi)
         m_dir, pdf_m = mf.sample(dist, si.wi, au, av, u2)
         wo = fr.reflect_m(si.wi, m_dir)
@@ -247,7 +282,7 @@ class RoughConductor:
 
     @staticmethod
     def eval(data, si, wo, config):
-        au, av, dist = RoughConductor._params(data)
+        au, av, dist = RoughConductor._params(data, si)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         h = vnormalize(si.wi + wo)
@@ -261,7 +296,7 @@ class RoughConductor:
 
     @staticmethod
     def pdf(data, si, wo, config):
-        au, av, dist = RoughConductor._params(data)
+        au, av, dist = RoughConductor._params(data, si)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         h = vnormalize(si.wi + wo)
@@ -367,20 +402,23 @@ class RoughDielectric:
     @staticmethod
     def pack(props, build_child) -> np.ndarray:
         data = Dielectric.pack(props, build_child)
-        a = float(props.get("alpha", 0.1))
-        data[25] = float(props.get("alpha_u", a))
-        data[26] = float(props.get("alpha_v", a))
+        a = _pack_alpha(data, props)
+        data[25] = _pack_alpha(data, props, "alpha_u", a)
+        data[26] = _pack_alpha(data, props, "alpha_v", a)
         data[27] = _DIST_NAME[props.get("distribution", "ggx")]
         return data
 
     @staticmethod
-    def _params(data):
-        return (data.col(24), jnp.maximum(data.col(25), 1e-4),
-                jnp.maximum(data.col(26), 1e-4), data.col(27).astype(jnp.int32))
+    def _params(data, si):
+        return (data.col(24),
+                *_alpha_tex(data, si,
+                            jnp.maximum(data.col(25), 1e-4),
+                            jnp.maximum(data.col(26), 1e-4)),
+                data.col(27).astype(jnp.int32))
 
     @staticmethod
     def sample(data, si, u1, u2, config):
-        eta, au, av, dist = RoughDielectric._params(data)
+        eta, au, av, dist = RoughDielectric._params(data, si)
         cos_i = Frame.cos_theta(si.wi)
         # m stays in the upper hemisphere; the SIGNED dot(wi, m) tells
         # fresnel which side we approach from (roughdielectric.cpp)
@@ -429,7 +467,7 @@ class RoughDielectric:
 
     @staticmethod
     def eval(data, si, wo, config):
-        eta, au, av, dist = RoughDielectric._params(data)
+        eta, au, av, dist = RoughDielectric._params(data, si)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         is_reflect = cos_i * cos_o > 0
@@ -466,7 +504,7 @@ class RoughDielectric:
 
     @staticmethod
     def pdf(data, si, wo, config):
-        eta, au, av, dist = RoughDielectric._params(data)
+        eta, au, av, dist = RoughDielectric._params(data, si)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         is_reflect = cos_i * cos_o > 0
@@ -597,13 +635,14 @@ class RoughPlastic:
     @staticmethod
     def pack(props, build_child) -> np.ndarray:
         data = Plastic.pack(props, build_child)
-        data[29] = float(props.get("alpha", 0.1))
+        data[29] = _pack_alpha(data, props)
         data[30] = _DIST_NAME[props.get("distribution", "ggx")]
         return data
 
     @staticmethod
-    def _params(data):
-        return jnp.maximum(data.col(29), 1e-4), data.col(30).astype(jnp.int32)
+    def _params(data, si):
+        au, _ = _alpha_tex(data, si, jnp.maximum(data.col(29), 1e-4), 0.0)
+        return au, data.col(30).astype(jnp.int32)
 
     @staticmethod
     def sample(data, si, u1, u2, config):
@@ -611,7 +650,7 @@ class RoughPlastic:
         active = cos_i > 0
         _, prob_spec = Plastic._probs(data, cos_i)
         pick_spec = u1 < prob_spec
-        au, dist = RoughPlastic._params(data)
+        au, dist = RoughPlastic._params(data, si)
 
         m_dir, _ = mf.sample(dist, si.wi, au, au, u2)
         wo_s = fr.reflect_m(si.wi, m_dir)
@@ -633,7 +672,7 @@ class RoughPlastic:
     @staticmethod
     def eval(data, si, wo, config):
         eta = data.col(24)
-        au, dist = RoughPlastic._params(data)
+        au, dist = RoughPlastic._params(data, si)
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         active = (cos_i > 0) & (cos_o > 0)
@@ -661,7 +700,7 @@ class RoughPlastic:
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
         _, prob_spec = Plastic._probs(data, cos_i)
-        au, dist = RoughPlastic._params(data)
+        au, dist = RoughPlastic._params(data, si)
         h = vnormalize(si.wi + wo)
         pdf_m = mf.pdf(dist, si.wi, h, au, au)
         pdf_spec = pdf_m / jnp.maximum(4.0 * jnp.abs(vdot(si.wi, h)), 1e-20)

@@ -119,3 +119,42 @@ def test_spectral_textured_matches_rgb_roughly():
     # spectral upsampling + hero-wavelength MC: loose agreement
     mask = img_rgb.max(-1) > 0.05
     assert np.abs(img_spec - img_rgb)[mask].mean() < 0.08
+
+
+def test_textured_roughness_checkerboard():
+    """rough* BSDFs accept a texture for `alpha` (the reference's
+    spatially-varying roughness): a checkerboard-alpha render must equal
+    the uniform-alpha render of the matching cell value at EVERY pixel
+    (same seed => identical rays; alpha is the only difference)."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.core.geometry import Transform4
+    from mitsuba2_tpu.scene import shapes
+    from mitsuba2_tpu.scene.scene import build_scene
+    from mitsuba2_tpu.render.integrators import render
+
+    def make(alpha):
+        rect = shapes.rectangle(bsdf={"type": "roughconductor",
+                                      "alpha": alpha, "material": "Al"})
+        light = shapes.rectangle(
+            bsdf={"type": "diffuse", "reflectance": [0, 0, 0]},
+            emitter={"type": "area", "radiance": [8, 8, 8]}).transformed(
+            np.asarray((Transform4.translate([0.9, 0.9, 1.6])
+                        @ Transform4.rotate([1, 0, 0], 180.0)
+                        @ Transform4.scale([0.15, 0.15, 1.0])).matrix))
+        cam = Transform4.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                 up=[0, 1, 0])
+        return build_scene([rect, light],
+                           {"type": "perspective",
+                            "to_world": np.asarray(cam.matrix), "fov": 35.0})
+
+    cfg = mi.RenderConfig(width=32, height=32, spp=16, max_depth=2, seed=7)
+    checker = {"type": "checkerboard", "color0": [0.04] * 3,
+               "color1": [0.45] * 3}
+    a = np.asarray(render(make(checker), cfg))
+    b = np.asarray(render(make(0.04), cfg))
+    c = np.asarray(render(make(0.45), cfg))
+    close_b = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(-1)
+    close_c = np.isclose(a, c, rtol=1e-4, atol=1e-5).all(-1)
+    assert (close_b | close_c).all()
+    assert close_b.any() and close_c.any()      # both cells present
+    assert not np.allclose(b, c)                # roughness matters
