@@ -35,6 +35,8 @@ def main(argv=None) -> int:
                     help="override samples per pixel")
     ap.add_argument("-a", "--aov", action="append", default=[],
                     help="also write AOV images (depth, sh_normal, ...)")
+    ap.add_argument("--sensor", type=int, default=0,
+                    help="render the Nth <sensor> of the scene (default 0)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -69,7 +71,8 @@ def main(argv=None) -> int:
         params[k] = v
 
     t0 = time.time()
-    scene, config = loader.load_file(args.scene, **params)
+    scene, config = loader.load_file(args.scene, sensor_index=args.sensor,
+                                     **params)
     log.info("loaded %s (%d prims) in %.2fs", args.scene, scene.n_prims,
              time.time() - t0)
     if args.mode:

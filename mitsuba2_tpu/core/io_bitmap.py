@@ -375,6 +375,59 @@ def read_bmp(path: str) -> np.ndarray:
 _HDR_EXT = {".exr", ".pfm", ".hdr", ".rgbe"}
 
 
+def write_ppm(path: str, img: np.ndarray) -> None:
+    """Binary PPM (P6) / PGM (P5 for single-channel), 8-bit sRGB-encoded
+    (Bitmap's PPM path in src/libcore/bitmap.cpp)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    ldr = np.clip(linear_to_srgb(np.clip(img, 0, 1)) * 255 + 0.5,
+                  0, 255).astype(np.uint8)
+    h, w, c = ldr.shape
+    if c == 1:
+        magic, data = b"P5", ldr[..., 0]
+    else:
+        magic, data = b"P6", ldr[..., :3]
+    with open(path, "wb") as f:
+        f.write(magic + b"\n%d %d\n255\n" % (w, h))
+        f.write(np.ascontiguousarray(data).tobytes())
+
+
+def read_ppm(path: str) -> np.ndarray:
+    """PPM/PGM: P6/P5 binary and P3/P2 ascii, 8- or 16-bit maxval.
+    Returns the raw (sRGB-encoded) values in [0, 1] like the other LDR
+    readers."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    magic = blob[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError(f"{path}: not a PPM/PGM file")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    toks, pos = [], 2
+    while len(toks) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(blob) and not blob[end:end + 1].isspace():
+            end += 1
+        toks.append(int(blob[pos:end]))
+        pos = end
+    w, h, maxval = toks
+    pos += 1  # single whitespace after maxval
+    nch = 3 if magic in (b"P3", b"P6") else 1
+    n = w * h * nch
+    if magic in (b"P5", b"P6"):
+        dt = ">u2" if maxval > 255 else "u1"
+        data = np.frombuffer(blob, dt, n, pos).astype(np.float32)
+    else:
+        data = np.asarray(blob[pos:].split()[:n], np.float32)
+    img = (data / float(maxval)).reshape(h, w, nch)
+    return img
+
+
 def read(path: str) -> np.ndarray:
     """Read any supported image -> (H, W, C) float32. HDR formats return
     linear data; LDR formats return the raw (sRGB-encoded) values in [0,1]
@@ -390,6 +443,8 @@ def read(path: str) -> np.ndarray:
         return read_tga(path)
     if ext == ".bmp":
         return read_bmp(path)
+    if ext in (".ppm", ".pgm", ".pnm"):
+        return read_ppm(path)
     import imageio.v3 as iio
     img = np.asarray(iio.imread(path))
     if img.dtype == np.uint8:
@@ -414,6 +469,8 @@ def write(path: str, img: np.ndarray) -> None:
         return write_tga(path, img)
     if ext == ".bmp":
         return write_bmp(path, img)
+    if ext in (".ppm", ".pgm", ".pnm"):
+        return write_ppm(path, img)
     import imageio.v3 as iio
     ldr = np.clip(linear_to_srgb(np.clip(img, 0, 1)) * 255 + 0.5, 0, 255)
     iio.imwrite(path, ldr.astype(np.uint8))

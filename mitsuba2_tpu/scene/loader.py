@@ -414,6 +414,8 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
     if root.tag != "scene":
         raise ValueError(f"expected <scene>, got <{root.tag}>")
     _upgrade_tree(root)
+    params = dict(params)
+    sel_sensor = params.pop("sensor_index", 0)  # reserved, not a $var
     ctx = _Ctx({k: str(v) for k, v in params.items()}, base_dir)
 
     # pass 1: defaults (may be overridden by caller params)
@@ -434,7 +436,7 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
 
     shape_list: List[shapes_mod.MeshData] = []
     emitters: List[dict] = []
-    sensor = None
+    sensors: List[tuple] = []
     overrides: dict = {}
 
     for node in nodes:
@@ -443,14 +445,20 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
             _parse_bsdf(node, ctx)  # registers id for later <ref>
         elif tag == "texture":
             _parse_texture(node, ctx)
+        elif tag == "alias":
+            # xml.cpp: <alias id="existing" as="new"/> re-registers a
+            # named object under a second id
+            src = _attr(node, "id", ctx.params)
+            if src not in ctx.refs:
+                raise ValueError(f"<alias id={src!r}>: undefined reference")
+            ctx.refs[_attr(node, "as", ctx.params)] = ctx.refs[src]
         elif tag == "shape":
             sh = _parse_shape(node, ctx)
             shape_list.extend(sh if isinstance(sh, list) else [sh])
         elif tag == "emitter":
             emitters.append(_parse_emitter(node, ctx))
         elif tag == "sensor":
-            sensor, sensor_overrides = _parse_sensor(node, ctx)
-            overrides.update(sensor_overrides)
+            sensors.append(_parse_sensor(node, ctx))
         elif tag == "integrator":
             ip = _collect_props(node, ctx)
             ityp = _attr(node, "type", ctx.params, "path")
@@ -468,7 +476,17 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
         else:
             raise ValueError(f"unknown top-level tag <{tag}>")
 
-    if sensor is None:
+    # sensor selection (Scene holds a sensor LIST in the reference;
+    # render uses sensors[0] unless told otherwise). Reserved loader
+    # param `sensor_index` picks another one: load_file(p, sensor_index=1)
+    if sensors:
+        idx = int(sel_sensor)
+        if not 0 <= idx < len(sensors):
+            raise ValueError(f"sensor_index {idx} out of range "
+                             f"({len(sensors)} sensors)")
+        sensor, sensor_overrides = sensors[idx]
+        overrides.update(sensor_overrides)
+    else:
         sensor = {"type": "perspective",
                   "to_world": np.eye(4, dtype=np.float32), "fov": 45.0}
     scene = build_scene(shape_list, sensor, emitters=emitters)

@@ -82,3 +82,27 @@ def test_tga_bmp_roundtrip(tmp_path):
         assert back.shape == img.shape
         # 8-bit sRGB quantization round trip
         np.testing.assert_allclose(io.srgb_to_linear(back), img, atol=0.01)
+
+
+def test_ppm_pgm_roundtrip(tmp_path):
+    """P6/P5 write + P6/P5/P3 read (8-bit sRGB, like the other LDR
+    codecs)."""
+    from mitsuba2_tpu.core import io_bitmap as io
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (7, 5, 3)).astype(np.float32)
+    p = str(tmp_path / "x.ppm")
+    io.write(p, img)
+    back = io.read(p)
+    assert back.shape == (7, 5, 3)
+    np.testing.assert_allclose(io.srgb_to_linear(back), img, atol=1.5 / 255)
+    # single channel -> PGM
+    g = str(tmp_path / "g.pgm")
+    io.write(g, img[..., :1])
+    bg = io.read(g)
+    assert bg.shape == (7, 5, 1)
+    # ascii P3 with comments
+    a = tmp_path / "a.ppm"
+    a.write_text("P3\n# comment\n2 1\n255\n255 0 0  0 255 0\n")
+    ba = io.read(str(a))
+    np.testing.assert_allclose(ba[0, 0], [1, 0, 0])
+    np.testing.assert_allclose(ba[0, 1], [0, 1, 0])

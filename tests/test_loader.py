@@ -244,3 +244,30 @@ def test_spectrum_pairs_and_spd_files(tmp_path):
     # 0.1 @ 700nm) -> blue > green > red
     mat = np.asarray(scene.mat_data)[np.asarray(scene.shape_mat)[1]]
     assert mat[2] > mat[1] > mat[0]
+
+
+def test_alias_and_multi_sensor():
+    """<alias> re-registers a named bsdf; multiple <sensor> tags keep
+    reference semantics (sensors[0] default, sensor_index selects)."""
+    xml = """<scene version="2.0.0">
+      <bsdf type="conductor" id="metal"/>
+      <alias id="metal" as="shiny"/>
+      <shape type="sphere"><ref id="shiny"/></shape>
+      <sensor type="perspective">
+        <film type="hdrfilm"><integer name="width" value="16"/>
+        <integer name="height" value="16"/></film>
+      </sensor>
+      <sensor type="perspective">
+        <film type="hdrfilm"><integer name="width" value="48"/>
+        <integer name="height" value="48"/></film>
+      </sensor>
+    </scene>"""
+    from mitsuba2_tpu.render import bsdf as bsdf_mod
+    scene, cfg = loader.load_string(xml)
+    assert (cfg.width, cfg.height) == (16, 16)   # first sensor wins
+    mat0 = int(np.asarray(scene.mat_type)[np.asarray(scene.shape_mat)[0]])
+    assert mat0 == bsdf_mod.Conductor.id          # alias resolved
+    _, cfg2 = loader.load_string(xml, sensor_index=1)
+    assert (cfg2.width, cfg2.height) == (48, 48)
+    with pytest.raises(ValueError, match="sensor_index"):
+        loader.load_string(xml, sensor_index=5)
