@@ -93,8 +93,12 @@ def main(argv=None) -> int:
              config.width, config.height, config.spp, config.max_depth,
              config.color_mode, jax.devices()[0].platform)
     t0 = time.time()
+    import numpy as np
+
+    from .render.integrators import render_any
     stokes_img = None
-    if config.polarized:
+    sidecars = {}   # suffix -> array, written next to the main output
+    if config.polarized and config.integrator not in ("stokes",):
         # polarized variant: full Mueller transport; the film image is S0
         # (the reference's *_polarized variants develop intensity; Stokes
         # components export as _s1.._s3 planes alongside)
@@ -102,7 +106,19 @@ def main(argv=None) -> int:
         stokes_img = render_polarized(scene, config)   # (H, W, C, 4)
         img = stokes_img[..., 0]
     else:
-        img = render(scene, config)
+        out_any = render_any(scene, config)
+        if isinstance(out_any, dict):          # aov integrator
+            img = out_any.pop("image")
+            sidecars.update(out_any)
+        elif isinstance(out_any, tuple):       # moment: (mean, variance)
+            img, sidecars["variance"] = out_any
+        elif out_any.ndim == 3 and out_any.shape[-1] == 4 \
+                and config.integrator == "stokes":
+            img = out_any[..., 0:1]
+            for i in (1, 2, 3):
+                sidecars[f"s{i}"] = out_any[..., i:i + 1]
+        else:
+            img = out_any
     img.block_until_ready()
     dt = time.time() - t0
     n_rays = config.width * config.height * config.spp * \
@@ -110,14 +126,15 @@ def main(argv=None) -> int:
     log.info("rendered in %.2fs (%.2f Mrays/s incl. compile)", dt, n_rays / dt / 1e6)
 
     out = args.output or (args.scene.rsplit(".", 1)[0] + ".exr")
-    io_bitmap.write(out, __import__("numpy").asarray(img))
+    io_bitmap.write(out, np.asarray(img))
     log.info("wrote %s", out)
     if stokes_img is not None:
-        import numpy as _np
         for i in (1, 2, 3):
-            path = out.rsplit(".", 1)[0] + f"_s{i}.exr"
-            io_bitmap.write_exr(path, _np.asarray(stokes_img[..., i]))
-            log.info("wrote %s", path)
+            sidecars[f"s{i}"] = stokes_img[..., i]
+    for suffix, arr in sidecars.items():
+        path = out.rsplit(".", 1)[0] + f"_{suffix}.exr"
+        io_bitmap.write_exr(path, np.asarray(arr))
+        log.info("wrote %s", path)
 
     for aov in args.aov:
         aovs = render_aovs(scene, config, aovs=(aov,))

@@ -36,7 +36,13 @@ class RenderConfig:
     crop_y: int = 0
     hide_emitters: bool = False
     sampler: str = "independent"
-    integrator: str = "path"          # path | volpath
+    # full integrator family (L3 plugins): path | volpath | volpathmis |
+    # direct | depth | aov | moment | stokes. render() runs the transport
+    # integrators directly; integrators.render_any dispatches the rest.
+    integrator: str = "path"
+    # `aov` integrator: the output channels and the wrapped child
+    aovs: tuple = ()
+    aov_child: str = "path"
     remat: bool = False               # checkpoint each bounce (adjoint memory)
     compact: bool = False             # sort wavefront between bounces (kernels/compact.py)
     # Reparameterized transport (diff/reparam.py, pathreparam branch /
@@ -58,6 +64,9 @@ class RenderConfig:
             raise ValueError(f"unknown color_mode {self.color_mode!r}")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unknown dtype {self.dtype!r}")
+        if self.integrator not in ("path", "volpath", "volpathmis", "direct",
+                                   "depth", "aov", "moment", "stokes"):
+            raise ValueError(f"unknown integrator {self.integrator!r}")
 
     @property
     def float_dtype(self):

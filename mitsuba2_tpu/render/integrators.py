@@ -433,7 +433,39 @@ def render(scene, config: RenderConfig, seed: int = None) -> jnp.ndarray:
 def render_direct(scene, config: RenderConfig, seed: int = None) -> jnp.ndarray:
     """`direct` integrator (src/integrators/direct.cpp): one-bounce MIS
     direct illumination == the path tracer truncated at depth 2."""
-    return render(scene, config.replace(max_depth=2), seed)
+    return render(scene, config.replace(max_depth=2, integrator="path"), seed)
+
+
+def render_any(scene, config: RenderConfig, seed: int = None):
+    """Top-level integrator dispatch on `config.integrator` — the loader/
+    CLI entry point (the reference instantiates the XML's integrator
+    plugin; here the plugin set is this switch).
+
+    Returns, by integrator:
+      path|volpath|volpathmis  (H, W, C) image
+      direct                   (H, W, C) image (depth-2 path)
+      depth                    (H, W, 1) primary-hit distance
+      aov                      {"image": (H, W, C), <name>: (H, W, Ck)...}
+      moment                   (mean, variance) pair
+      stokes                   (H, W, 4) Stokes image
+    """
+    it = config.integrator
+    if it == "direct":
+        return render_direct(scene, config, seed)
+    if it == "depth":
+        return render_aovs(scene, config, aovs=("depth",), seed=seed)["depth"]
+    if it == "aov":
+        names = tuple(config.aovs) or ("depth", "sh_normal", "position")
+        out = dict(render_aovs(scene, config, aovs=names, seed=seed))
+        child = config.replace(integrator=config.aov_child)
+        out["image"] = render_any(scene, child, seed)
+        return out
+    if it == "moment":
+        return render_with_variance(scene, config, seed)
+    if it == "stokes":
+        from .stokes import render_stokes
+        return render_stokes(scene, config.replace(polarized=True), seed)
+    return render(scene, config, seed)
 
 
 def render_with_variance(scene, config: RenderConfig, seed: int = None):

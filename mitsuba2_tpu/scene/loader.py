@@ -410,6 +410,17 @@ def _upgrade_tree(root) -> None:
     root.set("version", "2.0.0")
 
 
+def _integrator_props(ip: dict, overrides: dict) -> None:
+    """Shared MonteCarloIntegrator properties -> RenderConfig overrides."""
+    if "max_depth" in ip:
+        md = int(ip["max_depth"])
+        overrides["max_depth"] = md if md > 0 else 16
+    if "rr_depth" in ip:
+        overrides["rr_depth"] = int(ip["rr_depth"])
+    if "hide_emitters" in ip:
+        overrides["hide_emitters"] = bool(ip["hide_emitters"])
+
+
 def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
     if root.tag != "scene":
         raise ValueError(f"expected <scene>, got <{root.tag}>")
@@ -460,17 +471,27 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
         elif tag == "sensor":
             sensors.append(_parse_sensor(node, ctx))
         elif tag == "integrator":
-            ip = _collect_props(node, ctx)
             ityp = _attr(node, "type", ctx.params, "path")
-            if ityp in ("volpath", "volpathmis"):
+            if ityp in ("aov", "stokes"):
+                # wrapper integrators: nested child sets the transport
                 overrides["integrator"] = ityp
-            if "max_depth" in ip:
-                md = int(ip["max_depth"])
-                overrides["max_depth"] = md if md > 0 else 16
-            if "rr_depth" in ip:
-                overrides["rr_depth"] = int(ip["rr_depth"])
-            if "hide_emitters" in ip:
-                overrides["hide_emitters"] = bool(ip["hide_emitters"])
+                for c in node:
+                    if c.tag == "integrator":
+                        cp = _collect_props(c, ctx)
+                        ctyp = _attr(c, "type", ctx.params, "path")
+                        if ityp == "aov":
+                            overrides["aov_child"] = ctyp
+                        _integrator_props(cp, overrides)
+                ip = _collect_props(node, ctx)
+                if ityp == "aov" and "aovs" in ip:
+                    # "name:type, name2:type2" (src/integrators/aov.cpp)
+                    overrides["aovs"] = tuple(
+                        p.split(":")[-1].strip()
+                        for p in str(ip["aovs"]).split(",") if p.strip())
+            else:
+                if ityp not in ("path",):
+                    overrides["integrator"] = ityp
+                _integrator_props(_collect_props(node, ctx), overrides)
         elif tag == "default":
             pass
         else:

@@ -49,3 +49,51 @@ def test_moment_variance():
     assert np.sqrt(np.median(var)) < bright
     np.testing.assert_allclose(mean.mean(),
                                np.asarray(render(scene, cfg)).mean(), rtol=0.05)
+
+
+def test_render_any_dispatch():
+    """integrators.render_any routes every integrator family the XML can
+    declare (the PluginManager-instantiation analog)."""
+    import numpy as np
+
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.integrators import render_any
+    from mitsuba2_tpu.scene.presets import cornell_box
+
+    scene = cornell_box(boxes=False)
+    cfg = mi.RenderConfig(width=8, height=8, spp=4, spp_per_pass=2,
+                          max_depth=3)
+    img = np.asarray(render_any(scene, cfg.replace(integrator="direct")))
+    assert img.shape == (8, 8, 3)
+    d = np.asarray(render_any(scene, cfg.replace(integrator="depth")))
+    assert d.shape == (8, 8, 1) and d.max() > 0
+    mean, var = render_any(scene, cfg.replace(integrator="moment"))
+    assert np.asarray(mean).shape == (8, 8, 3) and np.asarray(var).min() >= 0
+    s = np.asarray(render_any(scene, cfg.replace(integrator="stokes")))
+    assert s.shape == (8, 8, 4)
+    out = render_any(scene, cfg.replace(integrator="aov",
+                                        aovs=("depth", "uv")))
+    assert set(out) == {"image", "depth", "uv"}
+    assert np.asarray(out["uv"]).shape == (8, 8, 2)
+
+
+def test_xml_integrator_types():
+    """The loader records every integrator type (direct/depth/aov/moment/
+    stokes were silently falling back to path)."""
+    from mitsuba2_tpu.scene import loader
+    xml = """<scene version="2.0.0">
+      <integrator type="aov">
+        <string name="aovs" value="dd:depth, nn:sh_normal"/>
+        <integrator type="path"><integer name="max_depth" value="5"/></integrator>
+      </integrator>
+      <sensor type="perspective"/>
+      <shape type="sphere"/>
+    </scene>"""
+    _, cfg = loader.load_string(xml)
+    assert cfg.integrator == "aov"
+    assert cfg.aovs == ("depth", "sh_normal")
+    assert cfg.aov_child == "path" and cfg.max_depth == 5
+    _, cfg2 = loader.load_string(xml.replace(
+        '<integrator type="aov">', '<integrator type="moment">')
+        .replace('<string name="aovs" value="dd:depth, nn:sh_normal"/>', ""))
+    assert cfg2.integrator == "moment"
