@@ -314,6 +314,8 @@ def _parse_shape(node, ctx) -> shapes_mod.MeshData:
     else:
         raise ValueError(f"unknown shape type {stype!r}")
 
+    if props.get("flip_normals", False):
+        mesh = mesh.flipped()
     if "to_world" in props:
         mesh = mesh.transformed(props["to_world"])
     mesh.interior = interior
@@ -324,8 +326,7 @@ def _parse_sensor(node, ctx) -> Tuple[dict, dict]:
     """Returns (sensor dict, config overrides from film/sampler)."""
     props = _collect_props(node, ctx)
     sensor = {"type": _attr(node, "type", ctx.params, "perspective"),
-              "to_world": props.get("to_world", np.eye(4, dtype=np.float32)),
-              "fov": float(props.get("fov", 45.0))}
+              "to_world": props.get("to_world", np.eye(4, dtype=np.float32))}
     for k in ("aperture_radius", "focus_distance"):
         if k in props:
             sensor[k] = float(props[k])
@@ -346,6 +347,24 @@ def _parse_sensor(node, ctx) -> Tuple[dict, dict]:
             styp = _attr(c, "type", ctx.params, "independent")
             if styp in ("independent", "stratified", "ldsampler", "halton"):
                 overrides["sampler"] = styp
+
+    # fov_axis (perspective.cpp): the declared fov applies to the named
+    # film axis; internally everything is x-fov. Needs the film dims, so
+    # it resolves here rather than in the sensor dict.
+    fov = float(props.get("fov", 45.0))
+    axis = str(props.get("fov_axis", "x"))
+    w = float(overrides.get("width", 256))
+    h = float(overrides.get("height", 256))
+    if axis in ("smaller", "larger"):
+        axis = ("y" if (h < w) == (axis == "smaller") else "x")
+    t = np.tan(np.deg2rad(fov) * 0.5)
+    if axis == "y":
+        t *= w / h
+    elif axis == "diagonal":
+        t *= w / np.hypot(w, h)
+    elif axis != "x":
+        raise ValueError(f"unknown fov_axis {axis!r}")
+    sensor["fov"] = float(np.rad2deg(2.0 * np.arctan(t)))
     return sensor, overrides
 
 

@@ -187,7 +187,10 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
             c = np.asarray(sh.sphere_center, np.float32)
             r = float(sh.sphere_radius)
             p0s.append(c[None])
-            e1s.append(np.array([[r, 0, 0]], np.float32))
+            # e1 = [radius, normal sign (-1 = flip_normals, 0/+1 = out), 0]
+            e1s.append(np.array(
+                [[r, -1.0 if getattr(sh, "sphere_flip", False) else 1.0, 0]],
+                np.float32))
             e2s.append(np.zeros((1, 3), np.float32))
             z3, z2 = np.zeros((1, 3), np.float32), np.zeros((1, 2), np.float32)
             n0s.append(z3); n1s.append(z3); n2s.append(z3)
@@ -590,12 +593,15 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
         ptx = jnp.where(is_tri, ptx, psx)
         pty = jnp.where(is_tri, pty, psy)
         ptz = jnp.where(is_tri, ptz, psz)
-        ngx = jnp.where(is_tri, ngx, sx)
-        ngy = jnp.where(is_tri, ngy, sy)
-        ngz = jnp.where(is_tri, ngz, sz)
-        nsx = jnp.where(is_tri, nsx, sx)
-        nsy = jnp.where(is_tri, nsy, sy)
-        nsz = jnp.where(is_tri, nsz, sz)
+        # e1.y < 0 marks flip_normals spheres (inward shading/geo normal);
+        # the position reprojection above uses the UNflipped s
+        sgn = jnp.where(e1y < 0, -1.0, 1.0)
+        ngx = jnp.where(is_tri, ngx, sx * sgn)
+        ngy = jnp.where(is_tri, ngy, sy * sgn)
+        ngz = jnp.where(is_tri, ngz, sz * sgn)
+        nsx = jnp.where(is_tri, nsx, sx * sgn)
+        nsy = jnp.where(is_tri, nsy, sy * sgn)
+        nsz = jnp.where(is_tri, nsz, sz * sgn)
         uvx = jnp.where(is_tri, uvx, phi * (0.5 / jnp.pi))
         uvy = jnp.where(is_tri, uvy, theta / jnp.pi)
 

@@ -24,6 +24,7 @@ class MeshData:
     # analytic sphere (if not None, vertices/faces are ignored)
     sphere_center: Optional[np.ndarray] = None
     sphere_radius: Optional[float] = None
+    sphere_flip: bool = False              # inward-facing normals
     # scene wiring
     bsdf: Optional[object] = None          # bsdf descriptor (dict)
     emitter: Optional[object] = None       # emitter descriptor (dict) or None
@@ -32,6 +33,18 @@ class MeshData:
 
     def copy(self) -> "MeshData":
         return dataclasses.replace(self)
+
+    def flipped(self) -> "MeshData":
+        """`flip_normals` (shape.cpp property): reverse face winding and
+        negate vertex normals; spheres flip the analytic normal."""
+        out = dataclasses.replace(self)
+        if self.sphere_center is not None:
+            out.sphere_flip = not self.sphere_flip
+            return out
+        out.faces = np.ascontiguousarray(self.faces[:, [0, 2, 1]])
+        if self.normals is not None:
+            out.normals = -self.normals
+        return out
 
     def transformed(self, to_world) -> "MeshData":
         """Apply a host Transform4-like 4x4 matrix."""

@@ -271,3 +271,55 @@ def test_alias_and_multi_sensor():
     assert (cfg2.width, cfg2.height) == (48, 48)
     with pytest.raises(ValueError, match="sensor_index"):
         loader.load_string(xml, sensor_index=5)
+
+
+def test_flip_normals_and_fov_axis():
+    """shape.cpp's flip_normals (meshes: winding+normals; spheres: the
+    analytic normal via the e1.y sign channel) and perspective.cpp's
+    fov_axis conversion to the internal x-fov."""
+    from mitsuba2_tpu.core.geometry import Ray
+    from mitsuba2_tpu.core.vec import Vec3
+    from mitsuba2_tpu.scene.scene import ray_intersect
+    import jax.numpy as jnp
+
+    xml = """<scene version="2.0.0">
+      <sensor type="perspective">
+        <float name="fov" value="60"/>
+        <string name="fov_axis" value="{axis}"/>
+        <film type="hdrfilm"><integer name="width" value="200"/>
+        <integer name="height" value="100"/></film>
+      </sensor>
+      <shape type="sphere">{flip}</shape>
+    </scene>"""
+    s_x, _ = loader.load_string(xml.format(axis="x", flip=""))
+    s_y, _ = loader.load_string(xml.format(axis="y", flip=""))
+    s_d, _ = loader.load_string(xml.format(axis="diagonal", flip=""))
+    assert np.isclose(float(s_x.cam_fov_x), 60.0)
+    # y-axis fov on a 2:1 film -> wider x fov
+    ty = np.tan(np.deg2rad(30.0)) * 2.0
+    assert np.isclose(float(s_y.cam_fov_x), np.rad2deg(2 * np.arctan(ty)),
+                      atol=1e-4)
+    td = np.tan(np.deg2rad(30.0)) * 200 / np.hypot(200, 100)
+    assert np.isclose(float(s_d.cam_fov_x), np.rad2deg(2 * np.arctan(td)),
+                      atol=1e-4)
+
+    # sphere normals flip inward
+    flip = '<boolean name="flip_normals" value="true"/>'
+    s_n, _ = loader.load_string(xml.format(axis="x", flip=""))
+    s_f, _ = loader.load_string(xml.format(axis="x", flip=flip))
+    ray = Ray.make(o=Vec3(jnp.array([0.0]), jnp.array([0.0]),
+                          jnp.array([3.0])),
+                   d=Vec3(jnp.array([0.0]), jnp.array([0.0]),
+                          jnp.array([-1.0])))
+    nz_out = float(ray_intersect(s_n, ray).n.z[0])
+    nz_in = float(ray_intersect(s_f, ray).n.z[0])
+    assert nz_out > 0.99 and nz_in < -0.99
+
+    # mesh winding + vertex normals flip
+    xmlr = """<scene version="2.0.0"><sensor type="perspective"/>
+      <shape type="rectangle">{flip}</shape></scene>"""
+    r_n, _ = loader.load_string(xmlr.format(flip=""))
+    r_f, _ = loader.load_string(xmlr.format(flip=flip))
+    nz_r = float(ray_intersect(r_n, ray).n.z[0])
+    nz_rf = float(ray_intersect(r_f, ray).n.z[0])
+    assert nz_r > 0.99 and nz_rf < -0.99
