@@ -148,15 +148,35 @@ def distant_ray(scene, uv, wavelengths=None) -> Ray:
 NEEDS_APERTURE_SAMPLE = ("thinlens", "irradiancemeter")
 
 
+def _apply_clip(scene, ray: Ray) -> Ray:
+    """projective_camera.cpp near/far clip: camera rays start on the
+    z=near plane and end on the z=far plane, so the along-ray distances
+    scale by 1/cos(d, camera forward). Defaults (0, inf) are the
+    identity. With a keyframed camera the base pose's forward axis is
+    used (exact for pure translation shutters)."""
+    near = scene.cam_data[8]
+    far = scene.cam_data[9]
+    fx, fy, fz = (scene.cam_to_world[0, 2], scene.cam_to_world[1, 2],
+                  scene.cam_to_world[2, 2])
+    cos_z = jnp.maximum(ray.d.x * fx + ray.d.y * fy + ray.d.z * fz, 1e-6)
+    near_t = near / cos_z
+    o = Vec3(ray.o.x + ray.d.x * near_t, ray.o.y + ray.d.y * near_t,
+             ray.o.z + ray.d.z * near_t)
+    maxt = jnp.minimum(ray.maxt, (far - near) / cos_z)
+    return Ray(o=o, d=ray.d, maxt=maxt, time=ray.time,
+               wavelengths=ray.wavelengths)
+
+
 def sample_ray(scene, uv, u_lens, wavelengths=None, time=None) -> Ray:
     """Sensor::sample_ray dispatch (static on cam_type)."""
     kind = scene.cam_type
     if kind == "perspective":
-        return perspective_ray(scene, uv, wavelengths, time=time)
+        return _apply_clip(scene,
+                           perspective_ray(scene, uv, wavelengths, time=time))
     if kind == "thinlens":
-        return thinlens_ray(scene, uv, u_lens, wavelengths)
+        return _apply_clip(scene, thinlens_ray(scene, uv, u_lens, wavelengths))
     if kind == "orthographic":
-        return orthographic_ray(scene, uv, wavelengths)
+        return _apply_clip(scene, orthographic_ray(scene, uv, wavelengths))
     if kind == "radiancemeter":
         return radiancemeter_ray(scene, uv, wavelengths)
     if kind == "irradiancemeter":

@@ -327,7 +327,7 @@ def _parse_sensor(node, ctx) -> Tuple[dict, dict]:
     props = _collect_props(node, ctx)
     sensor = {"type": _attr(node, "type", ctx.params, "perspective"),
               "to_world": props.get("to_world", np.eye(4, dtype=np.float32))}
-    for k in ("aperture_radius", "focus_distance"):
+    for k in ("aperture_radius", "focus_distance", "near_clip", "far_clip"):
         if k in props:
             sensor[k] = float(props[k])
     overrides = {}

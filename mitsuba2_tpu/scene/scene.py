@@ -349,7 +349,11 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     cam_to_world = np.asarray(sensor["to_world"], np.float32).reshape(4, 4)
     fov_x = float(sensor.get("fov", 45.0))
     cam_type = sensor.get("type", "perspective")
-    cam_data = np.zeros(8, np.float32)
+    cam_data = np.zeros(10, np.float32)
+    # [8]=near_clip, [9]=far_clip (projective_camera.cpp: rays start at
+    # near and end at far along the local ray direction)
+    cam_data[8] = float(sensor.get("near_clip", 0.0))
+    cam_data[9] = float(sensor.get("far_clip", np.inf))
     if cam_type == "orthographic":
         # extent from the to_world scale columns (sensors/orthographic.cpp)
         sx = float(np.linalg.norm(cam_to_world[:3, 0]))

@@ -157,3 +157,40 @@ def test_projector_inverse_square():
     # pixel [4,4] sits slightly off-axis: the exact ratio is
     # (d2^2/d1^2) * (cos1/cos2) ~ 3.8, not 4.0
     assert 3.55 < a / b < 4.05, a / b
+
+
+def test_near_far_clip():
+    """projective_camera.cpp clip planes: near_clip cuts geometry in
+    front of the plane (camera-z, not spherical), far_clip cuts beyond."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.integrators import render_any
+    from mitsuba2_tpu.scene import loader
+    xml = """<scene version="2.0.0">
+      <sensor type="perspective">
+        <float name="fov" value="30"/>{clip}
+        <transform name="to_world">
+          <lookat origin="0 0 5" target="0 0 0" up="0 1 0"/>
+        </transform>
+        <film type="hdrfilm"><integer name="width" value="8"/>
+        <integer name="height" value="8"/></film>
+      </sensor>
+      <shape type="rectangle"/>
+      <shape type="rectangle">
+        <transform name="to_world"><translate z="3"/></transform>
+      </shape>
+    </scene>"""
+    cfgk = dict(integrator="depth", spp=4, spp_per_pass=4)
+    # no clip: the z=3 wall (2 in front of the camera) is hit first
+    s0, c0 = loader.load_string(xml.format(clip=""))
+    d0 = np.asarray(render_any(s0, c0.replace(**cfgk)))
+    np.testing.assert_allclose(d0[4, 4, 0], 2.0, rtol=1e-3)
+    # near_clip=3 skips the near wall; the z=0 one (5 away) remains
+    s1, c1 = loader.load_string(xml.format(
+        clip='<float name="near_clip" value="3"/>'))
+    d1 = np.asarray(render_any(s1, c1.replace(**cfgk)))
+    np.testing.assert_allclose(d1[4, 4, 0] + 3.0, 5.0, rtol=1e-3)
+    # far_clip=1 cuts everything
+    s2, c2 = loader.load_string(xml.format(
+        clip='<float name="far_clip" value="1"/>'))
+    d2 = np.asarray(render_any(s2, c2.replace(**cfgk)))
+    assert float(np.abs(d2).max()) == 0.0
