@@ -339,10 +339,11 @@ def render_pass(scene, config: RenderConfig, seed,
     else:
         u_lens = None
     if scene.cam_motion is not None:
-        # camera motion blur: uniform shutter time over the key range
+        # camera motion blur: uniform shutter time over the key range,
+        # clamped to [shutter_open, shutter_close] (cam_data[10:12])
         u_time, sampler = sampler.next_1d()
-        t0 = scene.cam_motion.times[0]
-        t1 = scene.cam_motion.times[-1]
+        t0 = jnp.maximum(scene.cam_motion.times[0], scene.cam_data[10])
+        t1 = jnp.minimum(scene.cam_motion.times[-1], scene.cam_data[11])
         cam_time = t0 + u_time * (t1 - t0)
     else:
         cam_time = None

@@ -12,7 +12,7 @@ Supported XML surface (the subset exercised by mitsuba's test scenes):
   string/rgb/spectrum/point/vector/transform)
 - transform children: translate, rotate, scale, matrix, lookat
 - `$var` parameter substitution (CLI -D flags) and <default> declarations
-- version upgrades are NOT applied (files must be version 2.x)
+- version upgrades for pre-2.0 scenes (camelCase props, <lookAt>)
 """
 from __future__ import annotations
 
@@ -327,7 +327,8 @@ def _parse_sensor(node, ctx) -> Tuple[dict, dict]:
     props = _collect_props(node, ctx)
     sensor = {"type": _attr(node, "type", ctx.params, "perspective"),
               "to_world": props.get("to_world", np.eye(4, dtype=np.float32))}
-    for k in ("aperture_radius", "focus_distance", "near_clip", "far_clip"):
+    for k in ("aperture_radius", "focus_distance", "near_clip", "far_clip",
+              "shutter_open", "shutter_close"):
         if k in props:
             sensor[k] = float(props[k])
     overrides = {}

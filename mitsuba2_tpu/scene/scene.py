@@ -349,11 +349,15 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     cam_to_world = np.asarray(sensor["to_world"], np.float32).reshape(4, 4)
     fov_x = float(sensor.get("fov", 45.0))
     cam_type = sensor.get("type", "perspective")
-    cam_data = np.zeros(10, np.float32)
+    cam_data = np.zeros(12, np.float32)
     # [8]=near_clip, [9]=far_clip (projective_camera.cpp: rays start at
     # near and end at far along the local ray direction)
     cam_data[8] = float(sensor.get("near_clip", 0.0))
     cam_data[9] = float(sensor.get("far_clip", np.inf))
+    # [10]=shutter_open, [11]=shutter_close (sensor.cpp): clamp the
+    # sampled time range of a keyframed camera
+    cam_data[10] = float(sensor.get("shutter_open", -np.inf))
+    cam_data[11] = float(sensor.get("shutter_close", np.inf))
     if cam_type == "orthographic":
         # extent from the to_world scale columns (sensors/orthographic.cpp)
         sx = float(np.linalg.norm(cam_to_world[:3, 0]))

@@ -111,3 +111,23 @@ def test_motion_blur_equals_shutter_average():
     sharp = np.asarray(render(_animated_cbox(np.asarray(CAM0),
                                              np.asarray(CAM0)), cfg, seed=0))
     assert np.abs(blurred - sharp).max() > 0.05
+
+
+def test_shutter_open_close_clamp():
+    """sensor.cpp shutter_open/shutter_close restrict the sampled time
+    range: a zero-width shutter at t=0 must reproduce the key-0 pose
+    exactly (no blur) even with a moving camera."""
+    sc = _animated_cbox(np.asarray(CAM0), np.asarray(CAM1))
+    cam = np.asarray(sc.cam_data).copy()
+    cam[10], cam[11] = 0.0, 0.0       # shutter pinned at t=0
+    pinned = sc.replace(cam_data=jnp.asarray(cam))
+    cfg = mi.RenderConfig(width=24, height=24, spp=16, spp_per_pass=16,
+                          max_depth=2)
+    img_pin = render(pinned, cfg, seed=3)
+    img_blur = render(sc, cfg, seed=3)
+    static0 = _animated_cbox(np.asarray(CAM0), np.asarray(CAM0))
+    img_k0 = render(static0, cfg, seed=3)
+    # pinned == key-0 pose bit-for-bit (same sample stream, same pose)
+    np.testing.assert_array_equal(np.asarray(img_pin), np.asarray(img_k0))
+    # and differs from the blurred render
+    assert not np.allclose(np.asarray(img_pin), np.asarray(img_blur))
