@@ -372,6 +372,11 @@ def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
     iteration that collects the final emitter hit."""
     N = jnp.shape(ray.o.z)[0]
     C = config.n_channels
+    # the scan carries the ray; a camera RayDifferential would change the
+    # carry pytree after the first bounce rebuilds a plain Ray. Volumetric
+    # transport doesn't track footprints (volpath.cpp likewise) — demote.
+    ray = Ray(o=ray.o, d=ray.d, maxt=ray.maxt, time=ray.time,
+              wavelengths=ray.wavelengths)
     carry = (ray, sampler,
              Spec.ones((N,), C), Spec.zeros((N,), C),
              jnp.full((N,), -1, jnp.int32),  # camera starts in vacuum

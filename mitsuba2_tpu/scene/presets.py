@@ -233,3 +233,70 @@ def furnace(albedo=0.8, radiance=1.0) -> SceneData:
     sensor = {"type": "perspective", "to_world": np.asarray(cam.matrix), "fov": 39.0}
     return build_scene(s, sensor,
                        emitters=[{"type": "constant", "radiance": [radiance] * 3}])
+
+
+def kitchen_sink() -> SceneData:
+    """Integration preset exercising many subsystems in ONE scene:
+    envmap emitter (procedural sky, Marginal2D importance sampling),
+    bitmap-textured diffuse floor, roughconductor with a checkerboard
+    roughness TEXTURE, a dielectric sphere, a homogeneous absorber cube,
+    an area light, and a thinlens camera (depth of field). Deterministic
+    (all data procedural) — used by the golden regression tests."""
+    rng = np.random.default_rng(42)
+
+    # procedural sky: horizon-to-zenith gradient + a bright sun blob
+    H, W = 32, 64
+    th = (np.arange(H) + 0.5) / H * np.pi
+    sky = np.zeros((H, W, 3), np.float32)
+    sky[..., 2] = 0.3 + 0.5 * np.cos(th)[:, None]          # blue up top
+    sky[..., 0] = 0.15 + 0.1 * np.sin(th)[:, None]
+    sky[..., 1] = 0.2
+    sky[6:9, 10:13] = [6.0, 5.4, 4.2]                      # sun
+    envmap = {"type": "envmap", "data": sky, "scale": 1.0}
+
+    # bitmap-textured floor (procedural tiles)
+    tex = np.zeros((16, 16, 3), np.float32)
+    tex[::2, ::2] = [0.7, 0.3, 0.2]
+    tex[1::2, 1::2] = [0.7, 0.3, 0.2]
+    tex += rng.uniform(0, 0.1, tex.shape).astype(np.float32)
+    floor = shapes.rectangle(
+        bsdf={"type": "diffuse",
+              "reflectance": {"type": "bitmap", "data": tex}}).transformed(
+        np.asarray((Transform4.translate([0, -1.0, 0])
+                    @ Transform4.rotate([1, 0, 0], -90.0)
+                    @ Transform4.scale([4.0, 4.0, 1.0])).matrix))
+
+    # rough conductor cube with spatially-varying roughness
+    metal = shapes.cube(
+        bsdf={"type": "roughconductor", "material": "Au",
+              "alpha": {"type": "checkerboard", "color0": [0.05] * 3,
+                        "color1": [0.4] * 3}}).transformed(
+        np.asarray((Transform4.translate([-1.4, -0.5, 0.6])
+                    @ Transform4.rotate([0, 1, 0], 25.0)
+                    @ Transform4.scale([0.5, 0.5, 0.5])).matrix))
+
+    # smooth glass sphere (focus target)
+    glass = shapes.sphere(center=(0.0, -0.4, 0.0), radius=0.6,
+                          bsdf={"type": "dielectric", "int_ior": 1.5})
+
+    # absorbing medium in a null cube
+    fog = shapes.cube(bsdf={"type": "null"}).transformed(
+        np.asarray((Transform4.translate([1.5, -0.55, -0.2])
+                    @ Transform4.scale([0.45, 0.45, 0.45])).matrix))
+    fog.interior = {"type": "homogeneous", "sigma_t": 1.2, "albedo": 0.6,
+                    "g": 0.4}
+
+    # small warm area light
+    light = _quad([0.6, 1.4, -0.9], [1.4, 1.4, -0.9],
+                  [1.4, 1.4, -0.1], [0.6, 1.4, -0.1],
+                  bsdf={"type": "diffuse", "reflectance": [0, 0, 0]},
+                  emitter={"type": "area", "radiance": [9.0, 7.0, 4.0]},
+                  id="klight")
+
+    cam = Transform4.look_at(origin=[0.3, 0.4, -3.4], target=[0, -0.4, 0],
+                             up=[0, 1, 0])
+    sensor = {"type": "thinlens", "to_world": np.asarray(cam.matrix),
+              "fov": 42.0, "aperture_radius": 0.06,
+              "focus_distance": float(np.linalg.norm([0.3, 0.8, -3.4]))}
+    return build_scene([floor, metal, glass, fog, light], sensor,
+                       emitters=[envmap])

@@ -13,7 +13,8 @@ import pytest
 
 import mitsuba2_tpu as mi
 from mitsuba2_tpu.render.integrators import render, render_with_variance
-from mitsuba2_tpu.scene.presets import cornell_box, furnace, veach_mis
+from mitsuba2_tpu.scene.presets import (cornell_box, furnace, kitchen_sink,
+                                        veach_mis)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -30,6 +31,12 @@ SCENES = {
     "furnace": (lambda: furnace(albedo=0.7),
                 mi.RenderConfig(width=24, height=24, spp=64,
                                 spp_per_pass=64, max_depth=8, rr_depth=99)),
+    # one scene, many subsystems: envmap + bitmap texture + textured
+    # roughness + dielectric + medium + thinlens DoF (presets.kitchen_sink)
+    "kitchen_sink": (kitchen_sink,
+                     mi.RenderConfig(width=32, height=32, spp=64,
+                                     spp_per_pass=64, max_depth=4,
+                                     rr_depth=99)),
 }
 
 GOLDEN_SPP = 4096
@@ -64,7 +71,12 @@ def test_matches_golden(name):
     mean, var = render_with_variance(scene, cfg.replace(spp_per_pass=16),
                                      seed=3)
     mean, var = np.asarray(mean), np.asarray(var)
-    sigma = np.sqrt(var + 1e-8)
+    # sigma floor: absolute 1e-4 plus 0.5% relative — zero-variance pixels
+    # (smooth env backgrounds, where every pass sees near-identical values)
+    # still differ across SEEDS at the ~0.2% level through deterministic
+    # jitter-dependent lookups, and a bare sqrt(var) would call that 20+
+    # sigma. A systematic error still trips the relative floor at >1%.
+    sigma = np.sqrt(var + 1e-8) + 5e-3 * np.abs(mean)
     z = np.abs(mean - ref) / sigma
     # aggregate z-test: with correct rendering, |z| is ~half-normal;
     # allow heavy MC tails but catch any systematic shift
