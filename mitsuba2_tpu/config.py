@@ -67,6 +67,11 @@ class RenderConfig:
         if self.integrator not in ("path", "volpath", "volpathmis", "direct",
                                    "depth", "aov", "moment", "stokes"):
             raise ValueError(f"unknown integrator {self.integrator!r}")
+        # the aov wrapper's child must be a non-wrapper transport
+        # integrator (prevents aov-in-aov recursion)
+        if self.aov_child not in ("path", "volpath", "volpathmis", "direct",
+                                  "moment", "stokes"):
+            raise ValueError(f"invalid aov child {self.aov_child!r}")
 
     @property
     def float_dtype(self):

@@ -135,8 +135,11 @@ def _pack_alpha(data, props, key="alpha", default=0.1) -> float:
 def _alpha_tex(data, si, au, av):
     """Device: when ALPHA_SLOT carries a texture (kind col != 0), the
     per-lane roughness is the texture's channel mean at si.uv (the
-    reference's Texture::eval_1), replacing both alphas isotropically."""
-    if si.tex is None:
+    reference's Texture::eval_1), replacing both alphas isotropically.
+    Statically skipped (atlas.any_alpha_tex) when no material has one —
+    sample/eval/pdf all run this, so the fetch must not tax scenes with
+    plain scalar roughness."""
+    if si.tex is None or not getattr(si.tex, "any_alpha_tex", True):
         return au, av
     kind = data.col(ALPHA_SLOT + 7).astype(jnp.int32)
     is_tex = kind >= 2  # SLOT_TEX_BASE

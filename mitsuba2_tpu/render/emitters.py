@@ -400,9 +400,12 @@ def _sample_area(scene, ref_p, wavelengths, e_idx, etype, row, scaled, u2,
         px = jnp.where(is_sph, p0x + sx * e1x, px)
         py = jnp.where(is_sph, p0y + sy * e1x, py)
         pz = jnp.where(is_sph, p0z + sz * e1x, pz)
-        nx = jnp.where(is_sph, sx, nx)
-        ny = jnp.where(is_sph, sy, ny)
-        nz = jnp.where(is_sph, sz, nz)
+        # e1.y < 0 marks flip_normals spheres (inward emission); keep the
+        # emitter normal consistent with compute_surface_interaction
+        sph_sgn = jnp.where(e1y < 0, -1.0, 1.0)
+        nx = jnp.where(is_sph, sx * sph_sgn, nx)
+        ny = jnp.where(is_sph, sy * sph_sgn, ny)
+        nz = jnp.where(is_sph, sz * sph_sgn, nz)
         u2v = as_vec2(u2)
         uvx = jnp.where(is_sph, u2v.x, uvx)
         uvy = jnp.where(is_sph, u2v.y, uvy)

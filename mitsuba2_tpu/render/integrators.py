@@ -283,7 +283,11 @@ def render_aovs(scene, config: RenderConfig,
         y = (pix // W).astype(jnp.float32)
         jitter, sampler = sampler.next_2d()
         uv = sensors.film_uv(x, y, jitter, W, H)
-        ray = sensors.sample_ray(scene, uv, None, None)
+        if scene.cam_type in sensors.NEEDS_APERTURE_SAMPLE:
+            u_lens, sampler = sampler.next_2d()
+        else:
+            u_lens = None
+        ray = sensors.sample_ray(scene, uv, u_lens, None)
         outs = sample_aovs(scene, ray, config, aovs_)
         return {k: v.reshape(sppc, H, W, v.shape[-1]).mean(0)
                 for k, v in outs.items()}

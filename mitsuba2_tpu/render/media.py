@@ -89,15 +89,9 @@ def pack_medium(desc: dict) -> Tuple[int, np.ndarray, Optional[dict]]:
         v = desc.get(v, default)
         if isinstance(v, dict):  # tabulated spectrum -> CIE-projected RGB
             from ..core import spectrum as sp
-            if v.get("type") == "regular":
-                vals = np.asarray(v["values"], np.float64)
-                wls = np.linspace(float(v.get("lambda_min", sp.WAVELENGTH_MIN)),
-                                  float(v.get("lambda_max", sp.WAVELENGTH_MAX)),
-                                  len(vals))
-            else:
-                wls = np.asarray(v["wavelengths"], np.float64)
-                vals = np.asarray(v["values"], np.float64)
-            v = np.clip(sp.spectrum_to_rgb_host(wls, vals), 0.0, None)
+            from .spectra import tabulated_wls_vals
+            v = np.clip(sp.spectrum_to_rgb_host(*tabulated_wls_vals(v)),
+                        0.0, None)
         if isinstance(v, (int, float)):
             v = [v] * 3
         return np.asarray(v, np.float32)

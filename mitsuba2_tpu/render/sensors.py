@@ -158,6 +158,10 @@ def _apply_clip(scene, ray: Ray) -> Ray:
     far = scene.cam_data[9]
     fx, fy, fz = (scene.cam_to_world[0, 2], scene.cam_to_world[1, 2],
                   scene.cam_to_world[2, 2])
+    # to_world may carry scale (orthographic extent, scaled rigs) — the
+    # clip planes are measured along the NORMALIZED camera axis
+    fn = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+    fx, fy, fz = fx / fn, fy / fn, fz / fn
     cos_z = jnp.maximum(ray.d.x * fx + ray.d.y * fy + ray.d.z * fz, 1e-6)
     near_t = near / cos_z
     o = Vec3(ray.o.x + ray.d.x * near_t, ray.o.y + ray.d.y * near_t,

@@ -103,6 +103,20 @@ def end_texture_staging() -> list:
     return staged
 
 
+def tabulated_wls_vals(value: dict):
+    """Host: regular/irregular spectrum dict -> (wavelengths, values)
+    float64 arrays (shared by pack_color and the medium packer)."""
+    if value.get("type") == "regular":
+        vals = np.asarray(value["values"], np.float64)
+        lo = float(value.get("lambda_min", sp.WAVELENGTH_MIN))
+        hi = float(value.get("lambda_max", sp.WAVELENGTH_MAX))
+        wls = np.linspace(lo, hi, len(vals))
+    else:
+        wls = np.asarray(value["wavelengths"], np.float64)
+        vals = np.asarray(value["values"], np.float64)
+    return wls, vals
+
+
 def pack_color(value, illuminant: bool = False) -> np.ndarray:
     """Host: pack any color property — scalar, RGB triple, or a texture
     descriptor dict ({"type": "bitmap"|"checkerboard", ...}) — into a slot.
@@ -127,14 +141,7 @@ def pack_color(value, illuminant: bool = False) -> np.ndarray:
             # tabulated spectra (src/spectra/{regular,irregular}.cpp):
             # exact CIE->sRGB projection for the rgb channels + a direct
             # sigmoid-polynomial fit for spectral-mode evaluation
-            if t == "regular":
-                vals = np.asarray(value["values"], np.float64)
-                lo = float(value.get("lambda_min", sp.WAVELENGTH_MIN))
-                hi = float(value.get("lambda_max", sp.WAVELENGTH_MAX))
-                wls = np.linspace(lo, hi, len(vals))
-            else:
-                wls = np.asarray(value["wavelengths"], np.float64)
-                vals = np.asarray(value["values"], np.float64)
+            wls, vals = tabulated_wls_vals(value)
             rgb = np.clip(sp.spectrum_to_rgb_host(wls, vals), 0.0, None)
             coeffs, scale = sp.fit_srgb_model_to_spectrum(wls, vals)
             # kind is ALWAYS "reflectance" here: the tabulated data fully

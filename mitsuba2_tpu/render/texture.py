@@ -52,6 +52,10 @@ class TextureAtlas:
     mips: jnp.ndarray = None
     level_offsets: tuple = struct.field(pytree_node=False, default=())
     level_shapes: tuple = struct.field(pytree_node=False, default=())
+    # static: does ANY material carry a roughness texture (bsdf.py
+    # ALPHA_SLOT)? Lets the rough-BSDF hot path skip the per-lane alpha
+    # texture fetch entirely when no material needs it.
+    any_alpha_tex: bool = struct.field(pytree_node=False, default=False)
 
 
 class TextureBuild:

@@ -492,14 +492,26 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
             sensors.append(_parse_sensor(node, ctx))
         elif tag == "integrator":
             ityp = _attr(node, "type", ctx.params, "path")
-            if ityp in ("aov", "stokes"):
+            known = ("path", "volpath", "volpathmis", "direct", "depth",
+                     "aov", "moment", "stokes")
+            if ityp not in known:
+                # unported plugin (ptracer, photonmapper, ...): render
+                # with the path tracer rather than refusing the scene
+                import logging
+                logging.getLogger("mitsuba2_tpu").warning(
+                    "integrator %r not available; falling back to 'path'",
+                    ityp)
+                ityp = "path"
+            if ityp in ("aov", "stokes", "moment"):
                 # wrapper integrators: nested child sets the transport
                 overrides["integrator"] = ityp
                 for c in node:
                     if c.tag == "integrator":
                         cp = _collect_props(c, ctx)
                         ctyp = _attr(c, "type", ctx.params, "path")
-                        if ityp == "aov":
+                        if ityp == "aov" and ctyp in (
+                                "path", "volpath", "volpathmis", "direct",
+                                "moment", "stokes"):
                             overrides["aov_child"] = ctyp
                         _integrator_props(cp, overrides)
                 ip = _collect_props(node, ctx)

@@ -405,6 +405,10 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
 
     # --- texture atlas ----------------------------------------------------------
     atlas = texture_mod.pack_atlas(tex_staging)
+    if atlas is not None:
+        # static flag: any roughness texture? (bsdf.py ALPHA_SLOT kind col)
+        atlas = atlas.replace(any_alpha_tex=bool(any(
+            mt[2][bsdf_mod.ALPHA_SLOT + 7] != 0 for mt in mats)))
 
     # --- measured-BSDF tables -----------------------------------------------------
     measured_data = None

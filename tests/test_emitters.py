@@ -158,3 +158,35 @@ def test_orthographic_parallel_rays():
     img = np.asarray(render(scene, CFG))
     # ortho half-extent 0.5 < plane half-extent 1 -> every pixel hits the plane
     assert (img.mean(-1) > 0.05).all()
+
+
+def test_flipped_sphere_emitter_nee_consistent():
+    """flip_normals on an emissive sphere flips BOTH the hit-side eval
+    and NEE's sampled normal: an inward-facing sphere contributes nothing
+    to an outside receiver (regression: NEE used the outward normal)."""
+    from mitsuba2_tpu.core.geometry import Transform4
+    from mitsuba2_tpu.scene import shapes
+    from mitsuba2_tpu.scene.scene import build_scene
+    from mitsuba2_tpu.render.integrators import render
+    import mitsuba2_tpu as mi
+
+    def plate_lit_by_sphere(flip):
+        plate = shapes.rectangle(bsdf={"type": "diffuse"}).transformed(
+            np.asarray(Transform4.rotate([1, 0, 0], -90.0).matrix))
+        sph = shapes.sphere(center=(0, 2, 0), radius=0.4,
+                            bsdf={"type": "diffuse", "reflectance": [0] * 3},
+                            emitter={"type": "area", "radiance": [5] * 3})
+        if flip:
+            sph = sph.flipped()
+        cam = Transform4.look_at(origin=[0, 1.2, -3], target=[0, 0, 0],
+                                 up=[0, 1, 0])
+        return build_scene([plate, sph],
+                           {"type": "perspective",
+                            "to_world": np.asarray(cam.matrix), "fov": 30.0})
+
+    cfg = mi.RenderConfig(width=16, height=16, spp=64, spp_per_pass=64,
+                          max_depth=2)
+    lit = np.asarray(render(plate_lit_by_sphere(False), cfg))
+    dark = np.asarray(render(plate_lit_by_sphere(True), cfg))
+    assert lit.mean() > 0.01
+    assert dark.mean() < 1e-5

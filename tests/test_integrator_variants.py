@@ -97,3 +97,37 @@ def test_xml_integrator_types():
         '<integrator type="aov">', '<integrator type="moment">')
         .replace('<string name="aovs" value="dd:depth, nn:sh_normal"/>', ""))
     assert cfg2.integrator == "moment"
+
+
+def test_render_any_thinlens_aov():
+    """Aperture-sampling sensors (thinlens/irradiancemeter) must work
+    through render_aovs/render_any — regression: u_lens=None crashed."""
+    import numpy as np
+
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.integrators import render_any
+    from mitsuba2_tpu.scene.presets import kitchen_sink
+    cfg = mi.RenderConfig(width=8, height=8, spp=4, spp_per_pass=4)
+    d = np.asarray(render_any(kitchen_sink(), cfg.replace(integrator="depth")))
+    assert d.shape == (8, 8, 1) and float(d.max()) > 0
+
+
+def test_wrapper_integrator_guards():
+    """aov-in-aov is rejected; unknown XML integrators fall back to path;
+    moment's nested child properties are honored."""
+    import pytest
+
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.scene import loader
+    with pytest.raises(ValueError, match="aov child"):
+        mi.RenderConfig(integrator="aov", aov_child="aov")
+    xml = """<scene version="2.0.0"><integrator type="ptracer"/>
+      <sensor type="perspective"/><shape type="sphere"/></scene>"""
+    _, cfg = loader.load_string(xml)
+    assert cfg.integrator == "path"
+    xml2 = """<scene version="2.0.0">
+      <integrator type="moment"><integrator type="path">
+        <integer name="max_depth" value="5"/></integrator></integrator>
+      <sensor type="perspective"/><shape type="sphere"/></scene>"""
+    _, cfg2 = loader.load_string(xml2)
+    assert cfg2.integrator == "moment" and cfg2.max_depth == 5

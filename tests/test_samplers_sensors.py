@@ -194,3 +194,28 @@ def test_near_far_clip():
         clip='<float name="far_clip" value="1"/>'))
     d2 = np.asarray(render_any(s2, c2.replace(**cfgk)))
     assert float(np.abs(d2).max()) == 0.0
+
+
+def test_near_clip_with_scaled_to_world():
+    """Clip planes measure along the NORMALIZED camera axis — a scale in
+    to_world must not rescale near/far (regression)."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.integrators import render_any
+    from mitsuba2_tpu.scene import loader
+    xml = """<scene version="2.0.0">
+      <sensor type="perspective">
+        <float name="fov" value="30"/><float name="near_clip" value="3"/>
+        <transform name="to_world">
+          <scale value="2"/><lookat origin="0 0 5" target="0 0 0" up="0 1 0"/>
+        </transform>
+        <film type="hdrfilm"><integer name="width" value="8"/>
+        <integer name="height" value="8"/></film>
+      </sensor>
+      <shape type="rectangle"><transform name="to_world">
+        <translate z="3"/></transform></shape>
+      <shape type="rectangle"/>
+    </scene>"""
+    s, c = loader.load_string(xml)
+    d = np.asarray(render_any(s, c.replace(integrator="depth", spp=4,
+                                           spp_per_pass=4)))
+    np.testing.assert_allclose(d[4, 4, 0] + 3.0, 5.0, rtol=1e-3)
