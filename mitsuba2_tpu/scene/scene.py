@@ -109,6 +109,9 @@ class SceneData:
     med_data: jnp.ndarray = None      # (Md, MED_W)
     shape_interior: jnp.ndarray = None  # (S,) i32 medium index, -1 = vacuum
     medium_grid: Any = None           # GridVolume or None
+    # --- optional neural occlusion oracle (render/nif.py; APPROXIMATE,
+    # opt-in via scene.replace(shadow_nif=train_shadow_nif(scene))) -----------
+    shadow_nif: Any = None
     # --- textures (None = scene has no textured parameters) -----------------------
     textures: Any = None
     # --- environment map (None = constant env or none) -----------------------------
@@ -801,6 +804,11 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
 def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
     """Scene::ray_test — occlusion query."""
     from ..kernels import brute, traverse_jnp, traverse_pallas
+    if scene.shadow_nif is not None:
+        # opt-in neural occlusion oracle (render/nif.py): dense matmuls
+        # instead of traversal — approximate by design, off by default
+        from ..render.nif import nif_ray_test
+        return nif_ray_test(scene.shadow_nif, ray.o, ray.d, ray.maxt)
     backend = _pick_backend(scene)
     if backend == "brute":
         return brute.ray_test_brute(scene, ray.o, ray.d, ray.maxt)

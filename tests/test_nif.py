@@ -1,0 +1,59 @@
+"""Neural occlusion oracle (render/nif.py — optional, approximate,
+off by default). Validates: training converges against the exact
+oracle, the scene opt-in routes shadow rays through it, and renders
+stay close to exact."""
+import jax
+import numpy as np
+
+import mitsuba2_tpu as mi
+from mitsuba2_tpu.render.nif import (accuracy, nif_ray_test,
+                                     train_shadow_nif)
+from mitsuba2_tpu.scene.presets import cornell_box
+
+
+_CACHE = {}
+
+
+def _trained():
+    if "nif" not in _CACHE:
+        scene = cornell_box()
+        _CACHE["nif"] = (scene, train_shadow_nif(
+            scene, steps=3000, dataset_size=131072, width=128, seed=1))
+    return _CACHE["nif"]
+
+
+def test_accuracy_beats_chance():
+    scene, nif = _trained()
+    acc = accuracy(nif, scene)
+    assert acc > 0.95, f"held-out agreement {acc:.3f}"
+
+
+def test_optin_routing_and_render_close():
+    """scene.replace(shadow_nif=...) must route Scene::ray_test through
+    the MLP (default scenes never do), and a depth-3 render must stay
+    within ~15% relative L1 of the exact one."""
+    from mitsuba2_tpu.render.integrators import render
+    from mitsuba2_tpu.scene.scene import ray_test
+    from mitsuba2_tpu.core.geometry import Ray
+    from mitsuba2_tpu.core.vec import Vec3
+    import jax.numpy as jnp
+
+    scene, nif = _trained()
+    approx_scene = scene.replace(shadow_nif=nif)
+
+    # routing: results equal the direct nif_ray_test call
+    o = Vec3(jnp.array([0.5]), jnp.array([0.1]), jnp.array([0.5]))
+    d = Vec3(jnp.array([0.0]), jnp.array([1.0]), jnp.array([0.0]))
+    ray = Ray.make(o, d, maxt=jnp.array([0.85]))
+    via_scene = np.asarray(ray_test(approx_scene, ray))
+    direct = np.asarray(nif_ray_test(nif, o, d, jnp.array([0.85])))
+    np.testing.assert_array_equal(via_scene, direct)
+
+    cfg = mi.RenderConfig(width=32, height=32, spp=16, spp_per_pass=16,
+                          max_depth=3, rr_depth=99)
+    exact = np.asarray(render(scene, cfg))
+    approx = np.asarray(render(approx_scene, cfg))
+    rel = np.abs(approx - exact).mean() / exact.mean()
+    assert rel < 0.15, f"relative L1 {rel:.3f}"
+    # and it is genuinely approximate, not accidentally exact
+    assert not np.allclose(approx, exact)
