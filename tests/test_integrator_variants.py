@@ -131,3 +131,31 @@ def test_wrapper_integrator_guards():
       <sensor type="perspective"/><shape type="sphere"/></scene>"""
     _, cfg2 = loader.load_string(xml2)
     assert cfg2.integrator == "moment" and cfg2.max_depth == 5
+
+
+def test_variant_matrix_smoke():
+    """The reference compiles a variant matrix; here every (integrator x
+    color_mode x polarized) combination must trace and produce finite
+    output on a scene with media + textures (kitchen_sink). Smoke-level:
+    tiny film, 2 spp."""
+    import numpy as np
+
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.integrators import render_any
+    from mitsuba2_tpu.scene.presets import kitchen_sink
+
+    scene = kitchen_sink()
+    base = mi.RenderConfig(width=8, height=8, spp=2, spp_per_pass=2,
+                           max_depth=3, rr_depth=99)
+    for integrator in ("path", "volpathmis"):
+        for mode in ("mono", "spectral"):
+            for pol in (False, True):
+                cfg = base.replace(integrator=integrator, color_mode=mode,
+                                   polarized=pol)
+                img = np.asarray(render_any(scene, cfg))
+                assert np.isfinite(img).all(), (integrator, mode, pol)
+                assert img.max() > 0, (integrator, mode, pol)
+    # reparameterized spectral path (config-5-style combination)
+    cfg = base.replace(reparam=True, color_mode="spectral")
+    img = np.asarray(render_any(scene, cfg))
+    assert np.isfinite(img).all() and img.max() > 0
