@@ -65,3 +65,46 @@ def test_albedo_grad_matches_fd_spectral():
     # lattice-interp coefficients are piecewise-trilinear: FD across lattice
     # cell boundaries is noisier, keep a looser tolerance
     np.testing.assert_allclose(ad, fd, rtol=0.15, atol=1e-3)
+
+
+def test_roughness_texture_gradients_match_fd():
+    """Differentiable spatially-varying roughness: d(loss)/d(alpha-texel)
+    through the roughness-texture slot matches finite differences (a
+    capability beyond the reference, whose textured alpha was not a
+    first-class diff parameter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mitsuba2_tpu.core.geometry import Transform4
+    from mitsuba2_tpu.diff.adjoint import diff_tables, with_tables
+    from mitsuba2_tpu.scene import shapes
+    from mitsuba2_tpu.scene.scene import build_scene
+
+    atex = np.full((4, 4, 3), 0.2, np.float32)
+    rect = shapes.rectangle(
+        bsdf={"type": "roughconductor", "material": "Al",
+              "alpha": {"type": "bitmap", "data": atex, "raw": True}})
+    light = shapes.rectangle(
+        bsdf={"type": "diffuse", "reflectance": [0, 0, 0]},
+        emitter={"type": "area", "radiance": [8, 8, 8]}).transformed(
+        np.asarray((Transform4.translate([0.9, 0.9, 1.6])
+                    @ Transform4.rotate([1, 0, 0], 180.0)
+                    @ Transform4.scale([0.15, 0.15, 1.0])).matrix))
+    cam = Transform4.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                             up=[0, 1, 0])
+    scene = build_scene([rect, light],
+                        {"type": "perspective",
+                         "to_world": np.asarray(cam.matrix), "fov": 35.0})
+    cfg = mi.RenderConfig(width=16, height=16, spp=16, spp_per_pass=16,
+                          max_depth=2, seed=5)
+    t = diff_tables(scene)
+
+    def f(tex):
+        img = render(with_tables(scene, {**t, "tex_data": tex}), cfg)
+        return jnp.mean(img ** 2)
+
+    g_sum = float(jnp.sum(jax.grad(f)(t["tex_data"])))
+    eps = 1e-3
+    fd = (float(f(t["tex_data"] + eps)) - float(f(t["tex_data"] - eps))) \
+        / (2 * eps)
+    np.testing.assert_allclose(g_sum, fd, rtol=2e-2)
