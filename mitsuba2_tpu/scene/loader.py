@@ -322,36 +322,37 @@ def _parse_shape(node, ctx) -> shapes_mod.MeshData:
     return mesh
 
 
-def _parse_sensor(node, ctx) -> Tuple[dict, dict]:
-    """Returns (sensor dict, config overrides from film/sampler)."""
-    props = _collect_props(node, ctx)
-    sensor = {"type": _attr(node, "type", ctx.params, "perspective"),
-              "to_world": props.get("to_world", np.eye(4, dtype=np.float32))}
+SENSOR_TYPES = ("perspective", "thinlens", "orthographic", "radiancemeter",
+                "irradiancemeter", "distant")
+
+
+def _finish_sensor(stype: str, props: dict, film: dict, sampler: dict
+                   ) -> Tuple[dict, dict]:
+    """Shared XML/dict sensor assembly: film/sampler overrides + the
+    fov_axis -> x-fov conversion (perspective.cpp) + clip/shutter props."""
+    sensor = {"type": stype,
+              "to_world": np.asarray(
+                  props.get("to_world", np.eye(4)), np.float32)}
+    if "direction" in props:
+        sensor["direction"] = props["direction"]
     for k in ("aperture_radius", "focus_distance", "near_clip", "far_clip",
               "shutter_open", "shutter_close"):
         if k in props:
             sensor[k] = float(props[k])
     overrides = {}
-    for c in node:
-        if c.tag == "film":
-            fp = _collect_props(c, ctx)
-            overrides["width"] = int(fp.get("width", 256))
-            overrides["height"] = int(fp.get("height", 256))
-            if "rfilter" in fp:
-                overrides["rfilter"] = fp["rfilter"]
-            for rc in c:
-                if rc.tag == "rfilter":
-                    overrides["rfilter"] = _attr(rc, "type", ctx.params)
-        elif c.tag == "sampler":
-            sp = _collect_props(c, ctx)
-            overrides["spp"] = int(sp.get("sample_count", 64))
-            styp = _attr(c, "type", ctx.params, "independent")
-            if styp in ("independent", "stratified", "ldsampler", "halton"):
-                overrides["sampler"] = styp
+    if film:
+        overrides["width"] = int(film.get("width", 256))
+        overrides["height"] = int(film.get("height", 256))
+        if film.get("rfilter"):
+            overrides["rfilter"] = film["rfilter"]
+    if sampler:
+        overrides["spp"] = int(sampler.get("sample_count", 64))
+        styp = sampler.get("type", "independent")
+        if styp in ("independent", "stratified", "ldsampler", "halton"):
+            overrides["sampler"] = styp
 
-    # fov_axis (perspective.cpp): the declared fov applies to the named
-    # film axis; internally everything is x-fov. Needs the film dims, so
-    # it resolves here rather than in the sensor dict.
+    # fov_axis: the declared fov applies to the named film axis;
+    # internally everything is x-fov (needs the film dims)
     fov = float(props.get("fov", 45.0))
     axis = str(props.get("fov_axis", "x"))
     w = float(overrides.get("width", 256))
@@ -367,6 +368,25 @@ def _parse_sensor(node, ctx) -> Tuple[dict, dict]:
         raise ValueError(f"unknown fov_axis {axis!r}")
     sensor["fov"] = float(np.rad2deg(2.0 * np.arctan(t)))
     return sensor, overrides
+
+
+def _parse_sensor(node, ctx) -> Tuple[dict, dict]:
+    """Returns (sensor dict, config overrides from film/sampler)."""
+    props = _collect_props(node, ctx)
+    film = sampler = None
+    for c in node:
+        if c.tag == "film":
+            film = _collect_props(c, ctx)
+            film.setdefault("width", 256)
+            film.setdefault("height", 256)
+            for rc in c:
+                if rc.tag == "rfilter":
+                    film["rfilter"] = _attr(rc, "type", ctx.params)
+        elif c.tag == "sampler":
+            sampler = _collect_props(c, ctx)
+            sampler["type"] = _attr(c, "type", ctx.params, "independent")
+    return _finish_sensor(_attr(node, "type", ctx.params, "perspective"),
+                          props, film, sampler)
 
 
 class _Ctx:
@@ -563,33 +583,35 @@ def load_dict(d: dict) -> Tuple[SceneData, RenderConfig]:
     sensor = None
     overrides: dict = {}
     refs: Dict[str, dict] = {}
+    from ..render import bsdf as bsdf_mod
+
+    bsdf_types = set(bsdf_mod._BY_NAME) | {"twosided"}
+    emitter_types = {"area", "point", "constant", "envmap", "spot",
+                     "directional", "projector"}
+    integrator_types = {"path", "volpath", "volpathmis", "direct", "depth",
+                        "aov", "moment", "stokes"}
     for name, obj in d.items():
         if name == "type":
             continue
         t = obj.get("type")
-        if t in ("diffuse", "conductor", "roughconductor", "dielectric",
-                 "thindielectric", "roughdielectric", "plastic",
-                 "roughplastic", "null", "mask", "blendbsdf", "twosided"):
+        if t in bsdf_types:
             refs[name] = obj
-        elif t in ("area", "point", "constant", "envmap", "spot",
-                   "directional"):
+        elif t in emitter_types:
             emitters.append(obj)
-        elif t in ("perspective", "thinlens", "orthographic"):
-            sensor = dict(obj)
-            film = sensor.pop("film", None)
-            if film:
-                overrides["width"] = int(film.get("width", 256))
-                overrides["height"] = int(film.get("height", 256))
-                if "rfilter" in film:
-                    overrides["rfilter"] = film["rfilter"]
-            sampler = sensor.pop("sampler", None)
-            if sampler:
-                overrides["spp"] = int(sampler.get("sample_count", 64))
-        elif t in ("path", "direct", "depth", "aov"):
-            if "max_depth" in obj:
-                overrides["max_depth"] = int(obj["max_depth"])
-            if "rr_depth" in obj:
-                overrides["rr_depth"] = int(obj["rr_depth"])
+        elif t in SENSOR_TYPES:
+            props = dict(obj)
+            film = props.pop("film", None)
+            smp = props.pop("sampler", None)
+            sensor, s_over = _finish_sensor(t, props, film, smp)
+            overrides.update(s_over)
+        elif t in integrator_types:
+            if t != "path":
+                overrides["integrator"] = t
+            if t == "aov" and "aovs" in obj:
+                overrides["aovs"] = tuple(
+                    p.split(":")[-1].strip()
+                    for p in str(obj["aovs"]).split(",") if p.strip())
+            _integrator_props(obj, overrides)
         else:  # shape
             obj = dict(obj)
             bsdf = obj.pop("bsdf", None)
@@ -613,6 +635,8 @@ def load_dict(d: dict) -> Tuple[SceneData, RenderConfig]:
                                               id=name)
             else:
                 raise ValueError(f"unknown object type {t!r} for {name!r}")
+            if obj.get("flip_normals", False):
+                mesh = mesh.flipped()
             if to_world is not None:
                 mesh = mesh.transformed(np.asarray(to_world, np.float32))
             mesh.interior = interior

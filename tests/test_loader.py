@@ -323,3 +323,35 @@ def test_flip_normals_and_fov_axis():
     nz_r = float(ray_intersect(r_n, ray).n.z[0])
     nz_rf = float(ray_intersect(r_f, ray).n.z[0])
     assert nz_r > 0.99 and nz_rf < -0.99
+
+
+def test_load_dict_full_types():
+    """The dict loader accepts the same type vocabulary as XML: all bsdf
+    families, all sensors (with fov_axis/clip), wrapper integrators,
+    projector emitters, flip_normals."""
+    import mitsuba2_tpu as mi
+    scene, cfg = loader.load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpathmis", "max_depth": 4},
+        "sensor": {"type": "thinlens", "fov": 60.0, "fov_axis": "y",
+                   "aperture_radius": 0.05, "focus_distance": 3.0,
+                   "near_clip": 0.01,
+                   "to_world": np.eye(4),
+                   "film": {"width": 64, "height": 32},
+                   "sampler": {"type": "halton", "sample_count": 8}},
+        "gold": {"type": "roughconductor", "material": "Au", "alpha": 0.2},
+        "ball": {"type": "sphere", "bsdf": "gold", "flip_normals": True},
+        "flash": {"type": "projector", "irradiance": [2, 2, 2],
+                  "position": [0, 0, 4], "direction": [0, 0, -1]},
+    })
+    assert cfg.integrator == "volpathmis" and cfg.max_depth == 4
+    assert (cfg.width, cfg.height) == (64, 32)
+    assert cfg.sampler in ("halton", "ldsampler")
+    # fov_axis=y on a 2:1 film widens the x fov
+    ty = np.tan(np.deg2rad(30.0)) * 2.0
+    assert np.isclose(float(scene.cam_fov_x),
+                      np.rad2deg(2 * np.arctan(ty)), atol=1e-4)
+    assert np.isclose(float(scene.cam_data[0]), 0.05)   # aperture
+    assert np.isclose(float(scene.cam_data[8]), 0.01)   # near clip
+    # flipped sphere: e1.y sign channel
+    assert float(np.asarray(scene.prim_e1)[0, 1]) < 0
