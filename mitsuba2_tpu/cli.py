@@ -41,11 +41,11 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     if args.mode is not None:
-        import re as _re
-        if not _re.fullmatch(
-                r"(mono|rgb|spectral)(_polarized)?(_double)?", args.mode):
-            ap.error(f"invalid -m variant {args.mode!r}: expected "
-                     "{mono,rgb,spectral}[_polarized][_double]")
+        from .config import parse_variant
+        try:
+            parse_variant(args.mode)
+        except ValueError as e:
+            ap.error(str(e))
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
@@ -76,13 +76,8 @@ def main(argv=None) -> int:
     log.info("loaded %s (%d prims) in %.2fs", args.scene, scene.n_prims,
              time.time() - t0)
     if args.mode:
-        mode = args.mode
-        kw = {}
-        if mode.endswith("_double"):
-            mode, kw["dtype"] = mode[:-len("_double")], "float64"
-        if mode.endswith("_polarized"):
-            mode, kw["polarized"] = mode[:-len("_polarized")], True
-        config = config.replace(color_mode=mode, **kw)
+        from .config import parse_variant
+        config = config.replace(**parse_variant(args.mode))
     if config.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     if args.spp:

@@ -90,3 +90,44 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def variant(self) -> str:
+        """The reference-style variant string of this config
+        (`{mono,rgb,spectral}[_polarized][_double]`, SURVEY.md §5.6)."""
+        return (self.color_mode
+                + ("_polarized" if self.polarized else "")
+                + ("_double" if self.dtype == "float64" else ""))
+
+
+def variants() -> tuple:
+    """All supported variant strings (mitsuba.variants() analog). The
+    reference's scalar/packet/gpu axis is absorbed by XLA — one codebase
+    runs on CPU and TPU — so only the color/polarization/precision axes
+    remain."""
+    out = []
+    for mode in COLOR_MODES:
+        for pol in ("", "_polarized"):
+            for dbl in ("", "_double"):
+                out.append(mode + pol + dbl)
+    return tuple(out)
+
+
+def parse_variant(name: str) -> dict:
+    """Variant string -> RenderConfig.replace kwargs. Raises on unknown
+    names (same vocabulary as the CLI's -m flag)."""
+    mode, kw = name, {}
+    if mode.endswith("_double"):
+        mode, kw["dtype"] = mode[: -len("_double")], "float64"
+    else:
+        kw["dtype"] = "float32"
+    if mode.endswith("_polarized"):
+        mode, kw["polarized"] = mode[: -len("_polarized")], True
+    else:
+        kw["polarized"] = False
+    if mode not in COLOR_MODES:
+        raise ValueError(
+            f"unknown variant {name!r}: expected "
+            "{mono,rgb,spectral}[_polarized][_double]")
+    kw["color_mode"] = mode
+    return kw
