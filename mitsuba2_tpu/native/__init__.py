@@ -23,17 +23,40 @@ _LIBS = {}
 
 
 def _compile(name: str, src: str) -> str:
-    """g++ -O3 -shared; returns the .so path (cached by mtime)."""
+    """g++ -O3 -shared; returns the .so path (cached by mtime).
+
+    Concurrency-safe across PROCESSES: the build holds an fcntl lock and
+    compiles into a per-PID temp file, installing it with an atomic
+    rename (readers that already dlopen'd the old inode keep a valid
+    mapping). Two pytest processes compiling into one shared tmp path
+    used to interleave g++ output and install a corrupt .so."""
     os.makedirs(_BUILD, exist_ok=True)
     so = os.path.join(_BUILD, f"lib{name}.so")
     cpp = os.path.join(_DIR, src)
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(cpp):
+
+    def fresh():
+        return (os.path.exists(so)
+                and os.path.getmtime(so) >= os.path.getmtime(cpp))
+
+    if fresh():
         return so
-    tmp = so + ".tmp"
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           cpp, "-o", tmp]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp, so)
+    import fcntl
+    with open(so + ".lock", "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            if fresh():  # another process built it while we waited
+                return so
+            tmp = f"{so}.{os.getpid()}.tmp"
+            cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                   "-fPIC", cpp, "-o", tmp]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(tmp, so)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
     return so
 
 

@@ -103,65 +103,77 @@ struct Builder {
 
         if (!leaf) {
             V3 ext(cmx.x - cmn.x, cmx.y - cmn.y, cmx.z - cmn.z);
-            axis = 0;
+            axis = 0;  // widest axis: the median-fallback axis
             if (ext.y > axis_of(ext, axis)) axis = 1;
             if (ext.z > axis_of(ext, axis)) axis = 2;
-            double e = axis_of(ext, axis);
-            if (e <= 1e-12) {
+            if (axis_of(ext, axis) <= 1e-12) {
                 median_fallback = true;  // all centroids coincide -> forced
             } else {
-                double lo = axis_of(cmn, axis);
-                double scale = N_BINS * (1.0 - 1e-6) / std::max(e, 1e-30);
-                std::vector<int> bin_of(idxs.size());
-                int64_t counts[N_BINS] = {0};
-                V3 bmin[N_BINS], bmax[N_BINS];
-                for (int b = 0; b < N_BINS; b++) bmax[b] = V3(-INF, -INF, -INF);
-                for (size_t k = 0; k < idxs.size(); k++) {
-                    int b = (int)((axis_of(cent[idxs[k]], axis) - lo) * scale);
-                    b = std::min(b, N_BINS - 1);
-                    bin_of[k] = b;
-                    counts[b]++;
-                    bmin[b] = vmin(bmin[b], getmin(idxs[k]));
-                    bmax[b] = vmax(bmax[b], getmax(idxs[k]));
-                }
-                // prefix/suffix sweeps
-                V3 lmin[N_BINS], lmax[N_BINS], rmin[N_BINS], rmax[N_BINS];
-                int64_t lcnt[N_BINS], rcnt[N_BINS];
-                V3 acc_min, acc_max(-INF, -INF, -INF);
-                int64_t acc = 0;
-                for (int b = 0; b < N_BINS; b++) {
-                    acc_min = vmin(acc_min, bmin[b]);
-                    acc_max = vmax(acc_max, bmax[b]);
-                    acc += counts[b];
-                    lmin[b] = acc_min; lmax[b] = acc_max; lcnt[b] = acc;
-                }
-                acc_min = V3(); acc_max = V3(-INF, -INF, -INF); acc = 0;
-                for (int b = N_BINS - 1; b >= 0; b--) {
-                    acc_min = vmin(acc_min, bmin[b]);
-                    acc_max = vmax(acc_max, bmax[b]);
-                    acc += counts[b];
-                    rmin[b] = acc_min; rmax[b] = acc_max; rcnt[b] = acc;
-                }
+                // bin + sweep ALL THREE axes (matches bvh.py::sah_split);
+                // the global minimum-cost (axis, bin) wins
                 double best_cost = INF;
-                int best = -1;
-                for (int s = 0; s < N_BINS - 1; s++) {
-                    if (lcnt[s] == 0 || rcnt[s + 1] == 0) continue;
-                    double c = half_area(lmin[s], lmax[s]) * (double)lcnt[s] +
-                               half_area(rmin[s + 1], rmax[s + 1]) *
-                                   (double)rcnt[s + 1];
-                    if (c < best_cost) { best_cost = c; best = s; }
-                }
-                if (best < 0) {
-                    median_fallback = true;
-                } else {
-                    go_left.resize(idxs.size());
+                std::vector<char> best_mask;
+                for (int a = 0; a < 3; a++) {
+                    double e = axis_of(ext, a);
+                    if (e <= 1e-12) continue;
+                    double lo = axis_of(cmn, a);
+                    double scale = N_BINS * (1.0 - 1e-6) / std::max(e, 1e-30);
+                    std::vector<int> bin_of(idxs.size());
+                    int64_t counts[N_BINS] = {0};
+                    V3 bmin[N_BINS], bmax[N_BINS];
+                    for (int b = 0; b < N_BINS; b++)
+                        bmax[b] = V3(-INF, -INF, -INF);
+                    for (size_t k = 0; k < idxs.size(); k++) {
+                        int b = (int)((axis_of(cent[idxs[k]], a) - lo) * scale);
+                        b = std::min(b, N_BINS - 1);
+                        bin_of[k] = b;
+                        counts[b]++;
+                        bmin[b] = vmin(bmin[b], getmin(idxs[k]));
+                        bmax[b] = vmax(bmax[b], getmax(idxs[k]));
+                    }
+                    // prefix/suffix sweeps
+                    V3 lmin[N_BINS], lmax[N_BINS], rmin[N_BINS], rmax[N_BINS];
+                    int64_t lcnt[N_BINS], rcnt[N_BINS];
+                    V3 acc_min, acc_max(-INF, -INF, -INF);
+                    int64_t acc = 0;
+                    for (int b = 0; b < N_BINS; b++) {
+                        acc_min = vmin(acc_min, bmin[b]);
+                        acc_max = vmax(acc_max, bmax[b]);
+                        acc += counts[b];
+                        lmin[b] = acc_min; lmax[b] = acc_max; lcnt[b] = acc;
+                    }
+                    acc_min = V3(); acc_max = V3(-INF, -INF, -INF); acc = 0;
+                    for (int b = N_BINS - 1; b >= 0; b--) {
+                        acc_min = vmin(acc_min, bmin[b]);
+                        acc_max = vmax(acc_max, bmax[b]);
+                        acc += counts[b];
+                        rmin[b] = acc_min; rmax[b] = acc_max; rcnt[b] = acc;
+                    }
+                    double a_cost = INF;
+                    int a_best = -1;
+                    for (int s = 0; s < N_BINS - 1; s++) {
+                        if (lcnt[s] == 0 || rcnt[s + 1] == 0) continue;
+                        double c =
+                            half_area(lmin[s], lmax[s]) * (double)lcnt[s] +
+                            half_area(rmin[s + 1], rmax[s + 1]) *
+                                (double)rcnt[s + 1];
+                        if (c < a_cost) { a_cost = c; a_best = s; }
+                    }
+                    if (a_best < 0 || a_cost >= best_cost) continue;
+                    std::vector<char> mask(idxs.size());
                     size_t nl = 0;
                     for (size_t k = 0; k < idxs.size(); k++) {
-                        go_left[k] = bin_of[k] <= best;
-                        nl += go_left[k];
+                        mask[k] = bin_of[k] <= a_best;
+                        nl += mask[k];
                     }
-                    if (nl == 0 || nl == idxs.size()) median_fallback = true;
+                    if (nl == 0 || nl == idxs.size()) continue;
+                    best_cost = a_cost;
+                    best_mask.swap(mask);
                 }
+                if (best_mask.empty())
+                    median_fallback = true;
+                else
+                    go_left.swap(best_mask);
             }
             if (median_fallback) {
                 // stable median split on the widest axis (Python fallback)

@@ -216,53 +216,61 @@ def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
         return len(nodes) - 1
 
     def sah_split(idxs):
-        """Return (axis, threshold-mask) or None for leaf."""
+        """Return a go-left mask or None for leaf. All three axes are
+        binned and swept (kdtree.h sweeps every axis too); the global
+        minimum-cost (axis, bin) wins — measurably better trees than
+        widest-axis-only binning on the walk model."""
         if len(idxs) <= LEAF_K:
             return None
         c = centroids[idxs]
         ext = c.max(0) - c.min(0)
-        axis = int(np.argmax(ext))
-        if ext[axis] <= 1e-12:
+        if ext.max() <= 1e-12:
             return None  # all centroids coincide
-        # Binned SAH
-        lo = c[:, axis].min()
-        scale = N_BINS * (1.0 - 1e-6) / max(ext[axis], 1e-30)
-        bins = np.minimum(((c[:, axis] - lo) * scale).astype(np.int64), N_BINS - 1)
-        # per-bin counts and bounds
-        counts = np.bincount(bins, minlength=N_BINS)
-        bmin = np.full((N_BINS, 3), np.inf)
-        bmax = np.full((N_BINS, 3), -np.inf)
-        for b in range(N_BINS):
-            sel = bins == b
-            if counts[b]:
-                bmin[b] = prim_bb_min[idxs[sel]].min(0)
-                bmax[b] = prim_bb_max[idxs[sel]].max(0)
-        # sweep for best split
+
         def areas(mn, mx):
             d = np.maximum(mx - mn, 0)
             return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
-        lmin = np.minimum.accumulate(bmin, 0)
-        lmax = np.maximum.accumulate(bmax, 0)
-        rmin = np.minimum.accumulate(bmin[::-1], 0)[::-1]
-        rmax = np.maximum.accumulate(bmax[::-1], 0)[::-1]
-        lcnt = np.cumsum(counts)
-        rcnt = np.cumsum(counts[::-1])[::-1]
-        cost = np.full(N_BINS - 1, np.inf)
-        for s in range(N_BINS - 1):
-            if lcnt[s] == 0 or rcnt[s + 1] == 0:
+
+        best_cost, best_mask = np.inf, None
+        for axis in range(3):
+            if ext[axis] <= 1e-12:
                 continue
-            cost[s] = areas(lmin[s:s+1], lmax[s:s+1])[0] * lcnt[s] + \
-                areas(rmin[s+1:s+2], rmax[s+1:s+2])[0] * rcnt[s + 1]
-        best = int(np.argmin(cost))
-        if not np.isfinite(cost[best]):
-            return None
-        mask = bins <= best
-        if mask.all() or not mask.any():
-            # degenerate; median fallback
+            lo = c[:, axis].min()
+            scale = N_BINS * (1.0 - 1e-6) / max(ext[axis], 1e-30)
+            bins = np.minimum(((c[:, axis] - lo) * scale).astype(np.int64),
+                              N_BINS - 1)
+            counts = np.bincount(bins, minlength=N_BINS)
+            bmin = np.full((N_BINS, 3), np.inf)
+            bmax = np.full((N_BINS, 3), -np.inf)
+            for b in range(N_BINS):
+                sel = bins == b
+                if counts[b]:
+                    bmin[b] = prim_bb_min[idxs[sel]].min(0)
+                    bmax[b] = prim_bb_max[idxs[sel]].max(0)
+            lmin = np.minimum.accumulate(bmin, 0)
+            lmax = np.maximum.accumulate(bmax, 0)
+            rmin = np.minimum.accumulate(bmin[::-1], 0)[::-1]
+            rmax = np.maximum.accumulate(bmax[::-1], 0)[::-1]
+            lcnt = np.cumsum(counts)
+            rcnt = np.cumsum(counts[::-1])[::-1]
+            cost = np.full(N_BINS - 1, np.inf)
+            for s in range(N_BINS - 1):
+                if lcnt[s] == 0 or rcnt[s + 1] == 0:
+                    continue
+                cost[s] = areas(lmin[s:s+1], lmax[s:s+1])[0] * lcnt[s] + \
+                    areas(rmin[s+1:s+2], rmax[s+1:s+2])[0] * rcnt[s + 1]
+            s = int(np.argmin(cost))
+            if np.isfinite(cost[s]) and cost[s] < best_cost:
+                mask = bins <= s
+                if not (mask.all() or not mask.any()):
+                    best_cost, best_mask = cost[s], mask
+        if best_mask is None:
+            # degenerate; median fallback on the widest axis
+            axis = int(np.argmax(ext))
             order = np.argsort(c[:, axis], kind="stable")
-            mask = np.zeros(len(idxs), bool)
-            mask[order[: len(idxs) // 2]] = True
-        return mask
+            best_mask = np.zeros(len(idxs), bool)
+            best_mask[order[: len(idxs) // 2]] = True
+        return best_mask
 
     def build(idxs):
         split = sah_split(idxs)
