@@ -104,6 +104,8 @@ _LAZY = {
     # scene construction
     "build_scene": ("scene.scene", "build_scene"),
     "SceneData": ("scene.scene", "SceneData"),
+    # user-defined plugins (render/bsdf.py)
+    "register_bsdf": ("render.bsdf", "register_bsdf"),
     # bitmap I/O (core/io_bitmap.py)
     "read_bitmap": ("core.io_bitmap", "read"),
     "write_bitmap": ("core.io_bitmap", "write"),

@@ -1181,6 +1181,50 @@ _BY_NAME = {"diffuse": Diffuse, "conductor": Conductor,
             "polarizer": Polarizer, "retarder": Retarder}
 
 
+def register_bsdf(name: str, cls) -> None:
+    """Register a user-defined BSDF plugin (the reference's Python-plugin
+    path: pybind trampoline classes let users subclass BSDF in Python,
+    src/python/render bindings — SURVEY.md §2.5). Here a plugin is a
+    class of four pure static methods over the packed material row:
+
+        class MyBSDF:
+            id = None            # auto-assigned on registration
+            flags = F_DIFFUSE_R  # lobe flags (BSDFFlags)
+            @staticmethod
+            def pack(props, build_child) -> np.ndarray   # (MAT_W,) f32
+            @staticmethod
+            def sample(data, si, u1, u2, config) -> (BSDFSample, Spec)
+            @staticmethod
+            def eval(data, si, wo, config) -> Spec
+            @staticmethod
+            def pdf(data, si, wo, config) -> jnp.ndarray
+
+    After `register_bsdf("my_bsdf", MyBSDF)`, the name works everywhere
+    a built-in does: XML `<bsdf type="my_bsdf">`, `load_dict`, presets.
+    Dispatch is the same static masked evaluate-all used for built-ins
+    (scenes that don't use the plugin pay nothing). Leaf plugins only —
+    wrapper semantics (mask/blend-style child re-dispatch) are coupled
+    to the transport loop's lobe bookkeeping."""
+    global _USER_ID_NEXT
+    if name in _BY_NAME:
+        raise ValueError(f"bsdf name {name!r} already registered")
+    for attr in ("flags", "pack", "sample", "eval", "pdf"):
+        if not hasattr(cls, attr):
+            raise TypeError(f"plugin {name!r} lacks required attribute "
+                            f"{attr!r}")
+    if getattr(cls, "id", None) is None:
+        cls.id = _USER_ID_NEXT
+        _USER_ID_NEXT += 1
+    if cls.id in FAMILIES or any(c.id == cls.id for c in _BY_NAME.values()):
+        raise ValueError(f"bsdf id {cls.id} already taken")
+    _BY_NAME[name] = cls
+    LEAF_FAMILIES[cls.id] = cls
+    FAMILIES[cls.id] = cls
+
+
+_USER_ID_NEXT = 1000  # user-plugin ids; built-ins stay below
+
+
 def build_material(desc: dict, mats: List) -> int:
     """Host: append material rows for `desc` to `mats` (list of
     [type, flags, row]); returns the row index. Handles the `twosided`
