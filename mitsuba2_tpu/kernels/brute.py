@@ -79,8 +79,16 @@ def _intersect_one_planar(scene, i, ox, oy, oz, dx, dy, dz):
     return t, jnp.where(is_tri, u, 0.0), jnp.where(is_tri, v, 0.0)
 
 
+def _no_instances(scene):
+    if getattr(scene, "has_instances", False):
+        raise ValueError("brute force cannot intersect shared-BLAS "
+                         "instanced scenes (prim tables are "
+                         "instance-local)")
+
+
 def ray_intersect_brute(scene, ray_o, ray_d, t_max) -> Tuple[jnp.ndarray, ...]:
     """Closest hit by testing every prim. Returns (t, prim_idx, u, v)."""
+    _no_instances(scene)
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
     ox, oy, oz = _split(ray_o)
@@ -112,6 +120,7 @@ def ray_intersect_brute(scene, ray_o, ray_d, t_max) -> Tuple[jnp.ndarray, ...]:
 
 def ray_test_brute(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
     """Any hit by testing every prim."""
+    _no_instances(scene)
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
     ox, oy, oz = _split(ray_o)

@@ -94,6 +94,27 @@ class _SceneCols:
         self.has_spheres = scene.has_spheres
         self.n_nodes = scene.bvh_miss.shape[0]
         self.n_prims = scene.prim_p0.shape[0]
+        # shared-BLAS instancing (scene.py / bvh.py::build_two_level):
+        # world->local 3x4 rows as 12 planar columns + the BLAS root
+        self.instanced = getattr(scene, "inst_inv", None) is not None
+        if self.instanced:
+            self.inv_c = tuple(scene.inst_inv[:, j] for j in range(12))
+            self.blas_root = scene.inst_inv[:, 12].astype(jnp.int32)
+            self.inst_fuel = scene.inst_fuel
+
+    def to_local(self, iid, ox, oy, oz, dx, dy, dz):
+        """Per-lane affine world->local: o' = A o + b, d' = A d (d stays
+        UNNORMALIZED so the t parameterization is preserved under any
+        affine). 12 rank-1 gathers of the instance matrix columns."""
+        g = gth.scalar
+        m = [g(self.inv_c[j], iid) for j in range(12)]
+        olx = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+        oly = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+        olz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+        dlx = m[0] * dx + m[1] * dy + m[2] * dz
+        dly = m[4] * dx + m[5] * dy + m[6] * dz
+        dlz = m[8] * dx + m[9] * dy + m[10] * dz
+        return olx, oly, olz, dlx, dly, dlz
 
     def node_links(self, nid, oct_idx):
         """(hit, miss) continuation links for node `nid` per lane."""
@@ -230,6 +251,12 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, with_steps=False):
     """
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
+    if getattr(scene, "has_instances", False):
+        # shared-BLAS scenes need the instance-aware walk; keep this
+        # entry's 4-tuple contract by dropping the instance ids (callers
+        # that shade must use _ray_intersect_instanced via scene.py)
+        assert not with_steps, "with_steps unsupported on instanced scenes"
+        return _ray_intersect_instanced(scene, ray_o, ray_d, t_max)[:4]
     c = _SceneCols(scene)
     ox, oy, oz = _components(ray_o)
     dx, dy, dz = _components(ray_d)
@@ -309,6 +336,8 @@ def ray_test(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
     ray_intersect_preliminary (boolean output anyway)."""
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d, t_max = sg(scene), sg(ray_o), sg(ray_d), sg(t_max)
+    if getattr(scene, "has_instances", False):
+        return _ray_test_instanced(scene, ray_o, ray_d, t_max)
     c = _SceneCols(scene)
     ox, oy, oz = _components(ray_o)
     dx, dy, dz = _components(ray_d)
@@ -356,6 +385,219 @@ def ray_test(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
                 jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
                 jnp.zeros(n, bool), jnp.int32(0))
         occ = jax.lax.while_loop(cond, body, init)[4]
+        return (occ,)
+
+    return _chunked(walk, N, (ox, oy, oz, dx, dy, dz, t_max))[0]
+
+
+# ---------------------------------------------------------------------------
+# Shared-BLAS instanced walkers (scene built with shapes.Instance;
+# bvh.py::build_two_level). Same per-lane state machine as above plus:
+#   - a saved TLAS continuation `ret` (instancing is one level deep, so a
+#     single slot replaces a stack — the BLAS_EXIT (-2) link pops it);
+#   - CURRENT-SPACE ray components carried as loop state: entering an
+#     instance leaf re-derives (o, d) from the ORIGINAL world ray via the
+#     instance's world->local affine (no drift: always from world), with
+#     d unnormalized so `t` is preserved; popping restores the world ray;
+#   - the per-lane direction octant recomputed from the current d signs
+#     (an instance rotation can flip octants);
+#   - the winning instance id `binst` tracked alongside `best`.
+# ---------------------------------------------------------------------------
+
+BLAS_EXIT = -2
+
+
+def _ray_intersect_instanced(scene, ray_o, ray_d, t_max):
+    c = _SceneCols(scene)
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
+    N = jnp.shape(oz)[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    fuel_cap = jnp.int32(c.inst_fuel * (1 + LEAF_K) + 64)
+
+    def walk(arrays):
+        wox, woy, woz, wdx, wdy, wdz, tm = arrays
+
+        def cond(s):
+            return s[0] & (s[-1] < fuel_cap)
+
+        def body(s):
+            (_, cur, rem, pcur, ret, cinst,
+             oxl, oyl, ozl, dxl, dyl, dzl,
+             t_best, best, bu, bv, binst, fuel) = s
+            in_leaf = rem > 0
+
+            # --- pop: BLAS exhausted -> resume the saved TLAS node in
+            # world space (same step continues into the node phase)
+            pop = ~in_leaf & (cur == BLAS_EXIT)
+            cur = jnp.where(pop, ret, cur)
+            ret = jnp.where(pop, -1, ret)
+            cinst = jnp.where(pop, -1, cinst)
+            oxl = jnp.where(pop, wox, oxl)
+            oyl = jnp.where(pop, woy, oyl)
+            ozl = jnp.where(pop, woz, ozl)
+            dxl = jnp.where(pop, wdx, dxl)
+            dyl = jnp.where(pop, wdy, dyl)
+            dzl = jnp.where(pop, wdz, dzl)
+
+            ixl, iyl, izl = _safe_inv(dxl), _safe_inv(dyl), _safe_inv(dzl)
+            oct_idx = ((dxl < 0).astype(jnp.int32)
+                       | ((dyl < 0).astype(jnp.int32) << 1)
+                       | ((dzl < 0).astype(jnp.int32) << 2))
+
+            node_phase = ~in_leaf & (cur >= 0)
+            nid = jnp.where(node_phase, cur, 0)
+
+            linfo = gth.scalar(c.leafinfo, nid)
+            hit, miss = c.node_links(nid, oct_idx)
+            box_hit = _slab(c, nid, oxl, oyl, ozl, ixl, iyl, izl, t_best) \
+                & node_phase
+            is_leaf = linfo >= 0
+            # instance leaves are tagged by leaf_count == 0 (real prim
+            # leaves always hold >= 1 prim); linfo >> 3 = instance id
+            is_inst = is_leaf & ((linfo & 7) == 0)
+            enter_inst = box_hit & is_inst
+            enter_leaf = box_hit & is_leaf & ~is_inst
+            descend = box_hit & ~is_leaf
+
+            # instance entry: re-derive the CURRENT-space ray from world
+            iid = jnp.where(enter_inst, linfo >> 3, 0)
+            tlx, tly, tlz, tdx, tdy, tdz = c.to_local(
+                iid, wox, woy, woz, wdx, wdy, wdz)
+            oxl = jnp.where(enter_inst, tlx, oxl)
+            oyl = jnp.where(enter_inst, tly, oyl)
+            ozl = jnp.where(enter_inst, tlz, ozl)
+            dxl = jnp.where(enter_inst, tdx, dxl)
+            dyl = jnp.where(enter_inst, tdy, dyl)
+            dzl = jnp.where(enter_inst, tdz, dzl)
+            ret = jnp.where(enter_inst, miss, ret)
+            cinst = jnp.where(enter_inst, iid, cinst)
+            blas = gth.scalar(c.blas_root, iid)
+
+            ncur = jnp.where(node_phase,
+                             jnp.where(enter_inst, blas,
+                                       jnp.where(descend, hit, miss)), cur)
+            nrem = jnp.where(enter_leaf, linfo & 7, rem)
+            npcur = jnp.where(enter_leaf, linfo >> 3, pcur)
+
+            # --- prim step (current-space rays; prims are local-space) --
+            pidx = jnp.where(in_leaf, pcur, 0)
+            tk, uk, vk = _prim_test(c, pidx, oxl, oyl, ozl,
+                                    dxl, dyl, dzl, t_best)
+            closer = in_leaf & (tk < t_best)
+            t_best = jnp.where(closer, tk, t_best)
+            best = jnp.where(closer, pidx, best)
+            bu = jnp.where(closer, uk, bu)
+            bv = jnp.where(closer, vk, bv)
+            binst = jnp.where(closer, cinst, binst)
+            nrem = jnp.where(in_leaf, rem - 1, nrem)
+            npcur = jnp.where(in_leaf, pcur + 1, npcur)
+
+            alive = jnp.any((ncur >= 0) | (ncur == BLAS_EXIT) | (nrem > 0))
+            return (alive, ncur, nrem, npcur, ret, cinst,
+                    oxl, oyl, ozl, dxl, dyl, dzl,
+                    t_best, best, bu, bv, binst, fuel + 1)
+
+        n = wox.shape[0]
+        zi = jnp.zeros(n, jnp.int32)
+        init = (jnp.asarray(True), zi, zi, zi,
+                jnp.full(n, -1, jnp.int32), jnp.full(n, -1, jnp.int32),
+                wox, woy, woz, wdx, wdy, wdz,
+                tm.astype(jnp.float32), jnp.full(n, -1, jnp.int32),
+                jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
+                jnp.full(n, -1, jnp.int32), jnp.int32(0))
+        out = jax.lax.while_loop(cond, body, init)
+        t_best, best, bu, bv, binst = out[12], out[13], out[14], out[15], out[16]
+        return (jnp.where(best >= 0, t_best, jnp.inf), best, bu, bv, binst)
+
+    return _chunked(walk, N, (ox, oy, oz, dx, dy, dz, t_max))
+
+
+def _ray_test_instanced(scene, ray_o, ray_d, t_max):
+    c = _SceneCols(scene)
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
+    N = jnp.shape(oz)[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    fuel_cap = jnp.int32(c.inst_fuel * (1 + LEAF_K) + 64)
+
+    def walk(arrays):
+        wox, woy, woz, wdx, wdy, wdz, tm = arrays
+
+        def cond(s):
+            return s[0] & (s[-1] < fuel_cap)
+
+        def body(s):
+            (_, cur, rem, pcur, ret, cinst,
+             oxl, oyl, ozl, dxl, dyl, dzl, occ, fuel) = s
+            in_leaf = rem > 0
+
+            pop = ~in_leaf & (cur == BLAS_EXIT)
+            cur = jnp.where(pop, ret, cur)
+            ret = jnp.where(pop, -1, ret)
+            cinst = jnp.where(pop, -1, cinst)
+            oxl = jnp.where(pop, wox, oxl)
+            oyl = jnp.where(pop, woy, oyl)
+            ozl = jnp.where(pop, woz, ozl)
+            dxl = jnp.where(pop, wdx, dxl)
+            dyl = jnp.where(pop, wdy, dyl)
+            dzl = jnp.where(pop, wdz, dzl)
+            ixl, iyl, izl = _safe_inv(dxl), _safe_inv(dyl), _safe_inv(dzl)
+
+            node_phase = ~in_leaf & (cur >= 0) & ~occ
+            nid = jnp.where(node_phase, cur, 0)
+
+            linfo = gth.scalar(c.leafinfo, nid)
+            miss = gth.scalar(c.miss, nid)
+            box_hit = _slab(c, nid, oxl, oyl, ozl, ixl, iyl, izl, tm) \
+                & node_phase
+            is_leaf = linfo >= 0
+            is_inst = is_leaf & ((linfo & 7) == 0)
+            enter_inst = box_hit & is_inst
+            enter_leaf = box_hit & is_leaf & ~is_inst
+            descend = box_hit & ~is_leaf
+
+            iid = jnp.where(enter_inst, linfo >> 3, 0)
+            tlx, tly, tlz, tdx, tdy, tdz = c.to_local(
+                iid, wox, woy, woz, wdx, wdy, wdz)
+            oxl = jnp.where(enter_inst, tlx, oxl)
+            oyl = jnp.where(enter_inst, tly, oyl)
+            ozl = jnp.where(enter_inst, tlz, ozl)
+            dxl = jnp.where(enter_inst, tdx, dxl)
+            dyl = jnp.where(enter_inst, tdy, dyl)
+            dzl = jnp.where(enter_inst, tdz, dzl)
+            ret = jnp.where(enter_inst, miss, ret)
+            cinst = jnp.where(enter_inst, iid, cinst)
+            blas = gth.scalar(c.blas_root, iid)
+
+            ncur = jnp.where(node_phase,
+                             jnp.where(enter_inst, blas,
+                                       jnp.where(descend, nid + 1, miss)),
+                             cur)
+            nrem = jnp.where(enter_leaf, linfo & 7, rem)
+            npcur = jnp.where(enter_leaf, linfo >> 3, pcur)
+
+            test = in_leaf & ~occ
+            pidx = jnp.where(test, pcur, 0)
+            tk, _, _ = _prim_test(c, pidx, oxl, oyl, ozl,
+                                  dxl, dyl, dzl, tm)
+            occ = occ | (test & jnp.isfinite(tk))
+            nrem = jnp.where(in_leaf, rem - 1, nrem)
+            npcur = jnp.where(in_leaf, pcur + 1, npcur)
+            nrem = jnp.where(occ, 0, nrem)
+
+            alive = jnp.any(~occ & ((ncur >= 0) | (ncur == BLAS_EXIT)
+                                    | (nrem > 0)))
+            return (alive, ncur, nrem, npcur, ret, cinst,
+                    oxl, oyl, ozl, dxl, dyl, dzl, occ, fuel + 1)
+
+        n = wox.shape[0]
+        zi = jnp.zeros(n, jnp.int32)
+        init = (jnp.asarray(True), zi, zi, zi,
+                jnp.full(n, -1, jnp.int32), jnp.full(n, -1, jnp.int32),
+                wox, woy, woz, wdx, wdy, wdz,
+                jnp.zeros(n, bool), jnp.int32(0))
+        occ = jax.lax.while_loop(cond, body, init)[12]
         return (occ,)
 
     return _chunked(walk, N, (ox, oy, oz, dx, dy, dz, t_max))[0]

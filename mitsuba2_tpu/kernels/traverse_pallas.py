@@ -621,6 +621,10 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
     dx, dy, dz = _components(ray_d)
     t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                 jnp.shape(oz)[:1]))
+    if getattr(scene, "has_instances", False):
+        raise ValueError("instanced scene: use ray_intersect_instanced / "
+                         "ray_test_instanced (prim tables are "
+                         "instance-local)")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     N = jnp.shape(oz)[0]
@@ -660,6 +664,10 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
     dx, dy, dz = _components(ray_d)
     t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                 jnp.shape(oz)[:1]))
+    if getattr(scene, "has_instances", False):
+        raise ValueError("instanced scene: use ray_intersect_instanced / "
+                         "ray_test_instanced (prim tables are "
+                         "instance-local)")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     N = jnp.shape(oz)[0]
@@ -684,6 +692,319 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
         occ = _grid_call(_any_hit_kernel, n_blocks,
                          [jax.ShapeDtypeStruct(sh, jnp.int32)],
                          interpret)(node_f, node_i, prim_f, *args)
+    if isinstance(occ, (tuple, list)):
+        occ = occ[0]
+    return (occ.reshape(n_pad)[:N]) != 0
+
+
+# ===========================================================================
+# Shared-BLAS instanced kernels (scene built with shapes.Instance;
+# bvh.py::build_two_level — the OptiX-IAS analog). Same block-synchronous
+# walk as the scalar kernels plus:
+#   - instance leaves (leaf_start >= 0 AND leaf_count == 0; leaf_start is
+#     the instance id): the whole block re-derives its rays into instance
+#     space (two scalar row loads of the 3x4 affine + vector math — all
+#     proven kernel constructs), saves the TLAS continuation in `ret`,
+#     re-votes the direction octant on the local d, and jumps to the
+#     shared BLAS root;
+#   - the BLAS_EXIT (-2) link pops `ret` and restores the world rays
+#     (copied from the kernel inputs — no drift);
+#   - the winning instance id is tracked per lane alongside the prim id.
+# Prim tables hold each group's prims ONCE in local space; t is preserved
+# across spaces because d transforms linearly (unnormalized).
+# ===========================================================================
+
+BLAS_EXIT = -2
+
+
+def _pick_links_dyn(li, octv):
+    """Octant link row select with a TRACED octant (instanced walks
+    re-vote the octant after each instance-space change). Static unrolled
+    select chain — see _link_picker for the Mosaic rationale."""
+    hit = li[0, 0]
+    miss = li[0, 8]
+    for k in range(1, 8):
+        sel = octv == k
+        hit = jnp.where(sel, li[0, k], hit)
+        miss = jnp.where(sel, li[0, 8 + k], miss)
+    return hit, miss
+
+
+def _inst_rays(it, wox, woy, woz, wdx, wdy, wdz):
+    """Block rays world -> instance space from one (1, 16) affine row."""
+    olx = it[0, 0] * wox + it[0, 1] * woy + it[0, 2] * woz + it[0, 3]
+    oly = it[0, 4] * wox + it[0, 5] * woy + it[0, 6] * woz + it[0, 7]
+    olz = it[0, 8] * wox + it[0, 9] * woy + it[0, 10] * woz + it[0, 11]
+    dlx = it[0, 0] * wdx + it[0, 1] * wdy + it[0, 2] * wdz
+    dly = it[0, 4] * wdx + it[0, 5] * wdy + it[0, 6] * wdz
+    dlz = it[0, 8] * wdx + it[0, 9] * wdy + it[0, 10] * wdz
+    return olx, oly, olz, dlx, dly, dlz
+
+
+def _closest_hit_inst_kernel(node_f, node_i, link_i, prim_f, inst_t,
+                             ox, oy, oz, dx, dy, dz, tmax,
+                             t_out, prim_out, u_out, v_out, inst_out,
+                             fuel_cap: int):
+    wox, woy, woz = ox[:], oy[:], oz[:]
+    wdx, wdy, wdz = dx[:], dy[:], dz[:]
+    msub = wox.shape[0]
+
+    def cond(state):
+        node, fuel = state[0], state[1]
+        return (node >= 0) & (fuel < fuel_cap)
+
+    def body(state):
+        (node, fuel, ret, cinst, octv,
+         oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
+         t_best, best, bu, bv, binst) = state
+        nf = node_f[pl.ds(node, 1), :]
+        ni = node_i[pl.ds(node, 1), :]
+        leaf_start = ni[0, 0]
+        leaf_count = ni[0, 1]
+        hit_link, miss_link = _pick_links_dyn(link_i[pl.ds(node, 1), :],
+                                              octv)
+        is_leaf = leaf_start >= 0
+        is_inst = is_leaf & (leaf_count == 0)
+
+        hit_any = jnp.any(_slab(nf, oxl, oyl, ozl, ixl, iyl, izl, t_best))
+
+        def leaf_tests(args):
+            t_best, best, bu, bv, binst = args
+            for k in range(LEAF_K):
+                pr = prim_f[pl.ds(leaf_start + k, 1), :]
+                tk, uk, vk = _prim_test(pr, oxl, oyl, ozl, dxl, dyl, dzl)
+                closer = (k < leaf_count) & (tk < t_best)
+                t_best = jnp.where(closer, tk, t_best)
+                best = jnp.where(closer, leaf_start + k, best)
+                bu = jnp.where(closer, uk, bu)
+                bv = jnp.where(closer, vk, bv)
+                binst = jnp.where(closer, cinst, binst)
+            return t_best, best, bu, bv, binst
+
+        t_best, best, bu, bv, binst = jax.lax.cond(
+            is_leaf & (~is_inst) & hit_any, leaf_tests, lambda a: a,
+            (t_best, best, bu, bv, binst))
+
+        # --- instance entry: re-derive block rays into instance space ----
+        enter = is_inst & hit_any
+        iid = jnp.maximum(leaf_start, 0)
+        it = inst_t[pl.ds(iid, 1), :]
+        lox, loy, loz, ldx, ldy, ldz = _inst_rays(
+            it, wox, woy, woz, wdx, wdy, wdz)
+        blas_root = it[0, 12].astype(jnp.int32)
+
+        def sel(a, b):
+            return jnp.where(enter, a, b)
+
+        oxl, oyl, ozl = sel(lox, oxl), sel(loy, oyl), sel(loz, ozl)
+        dxl, dyl, dzl = sel(ldx, dxl), sel(ldy, dyl), sel(ldz, dzl)
+        ret = jnp.where(enter, miss_link, ret)
+        cinst = jnp.where(enter, iid, cinst)
+
+        nxt = jnp.where(enter, blas_root,
+                        jnp.where(is_leaf | jnp.logical_not(hit_any),
+                                  miss_link, hit_link))
+
+        # --- BLAS exit: pop the saved TLAS continuation, world rays ------
+        pop = nxt == BLAS_EXIT
+        nxt = jnp.where(pop, ret, nxt)
+        ret = jnp.where(pop, -1, ret)
+        cinst = jnp.where(pop, -1, cinst)
+        back = pop & jnp.logical_not(enter)
+
+        def selp(w, c):
+            return jnp.where(back, w, c)
+
+        oxl, oyl, ozl = selp(wox, oxl), selp(woy, oyl), selp(woz, ozl)
+        dxl, dyl, dzl = selp(wdx, dxl), selp(wdy, dyl), selp(wdz, dzl)
+        changed = enter | back
+        ixl = jnp.where(changed, _safe_inv(dxl), ixl)
+        iyl = jnp.where(changed, _safe_inv(dyl), iyl)
+        izl = jnp.where(changed, _safe_inv(dzl), izl)
+        octv = jnp.where(changed, _octant_vote(dxl, dyl, dzl), octv)
+
+        return (nxt, fuel + 1, ret, cinst, octv,
+                oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
+                t_best, best, bu, bv, binst)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(-1),
+            _octant_vote(wdx, wdy, wdz),
+            wox, woy, woz, wdx, wdy, wdz,
+            _safe_inv(wdx), _safe_inv(wdy), _safe_inv(wdz),
+            tmax[:],
+            jnp.full((msub, _LANE), -1, jnp.int32),
+            jnp.zeros((msub, _LANE), jnp.float32),
+            jnp.zeros((msub, _LANE), jnp.float32),
+            jnp.full((msub, _LANE), -1, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    t_best, best, bu, bv, binst = out[14], out[15], out[16], out[17], out[18]
+    t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
+    prim_out[:] = best
+    u_out[:] = bu
+    v_out[:] = bv
+    inst_out[:] = binst
+
+
+def _any_hit_inst_kernel(node_f, node_i, link_i, prim_f, inst_t,
+                         ox, oy, oz, dx, dy, dz, tmax, occ_out,
+                         fuel_cap: int):
+    wox, woy, woz = ox[:], oy[:], oz[:]
+    wdx, wdy, wdz = dx[:], dy[:], dz[:]
+    tmv = tmax[:]
+    msub = wox.shape[0]
+
+    def cond(state):
+        node, fuel, occ_f = state[0], state[1], state[4]
+        return (node >= 0) & (fuel < fuel_cap) & (jnp.min(occ_f) < 1.0)
+
+    def body(state):
+        (node, fuel, ret, cinst, occ_f, octv,
+         oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl) = state
+        nf = node_f[pl.ds(node, 1), :]
+        ni = node_i[pl.ds(node, 1), :]
+        leaf_start = ni[0, 0]
+        leaf_count = ni[0, 1]
+        hit_link, miss_link = _pick_links_dyn(link_i[pl.ds(node, 1), :],
+                                              octv)
+        is_leaf = leaf_start >= 0
+        is_inst = is_leaf & (leaf_count == 0)
+
+        alive = occ_f < 1.0
+        hit_any = jnp.any(_slab(nf, oxl, oyl, ozl, ixl, iyl, izl, tmv)
+                          & alive)
+
+        def leaf_tests(occ_f):
+            for k in range(LEAF_K):
+                pr = prim_f[pl.ds(leaf_start + k, 1), :]
+                tk, _, _ = _prim_test(pr, oxl, oyl, ozl, dxl, dyl, dzl)
+                hit = (k < leaf_count) & jnp.isfinite(tk) & (tk <= tmv)
+                occ_f = jnp.maximum(occ_f, jnp.where(hit, 1.0, 0.0))
+            return occ_f
+
+        occ_f = jax.lax.cond(is_leaf & (~is_inst) & hit_any, leaf_tests,
+                             lambda o: o, occ_f)
+
+        enter = is_inst & hit_any
+        iid = jnp.maximum(leaf_start, 0)
+        it = inst_t[pl.ds(iid, 1), :]
+        lox, loy, loz, ldx, ldy, ldz = _inst_rays(
+            it, wox, woy, woz, wdx, wdy, wdz)
+        blas_root = it[0, 12].astype(jnp.int32)
+
+        def sel(a, b):
+            return jnp.where(enter, a, b)
+
+        oxl, oyl, ozl = sel(lox, oxl), sel(loy, oyl), sel(loz, ozl)
+        dxl, dyl, dzl = sel(ldx, dxl), sel(ldy, dyl), sel(ldz, dzl)
+        ret = jnp.where(enter, miss_link, ret)
+        cinst = jnp.where(enter, iid, cinst)
+
+        nxt = jnp.where(enter, blas_root,
+                        jnp.where(is_leaf | jnp.logical_not(hit_any),
+                                  miss_link, hit_link))
+        pop = nxt == BLAS_EXIT
+        nxt = jnp.where(pop, ret, nxt)
+        ret = jnp.where(pop, -1, ret)
+        cinst = jnp.where(pop, -1, cinst)
+        back = pop & jnp.logical_not(enter)
+
+        def selp(w, c):
+            return jnp.where(back, w, c)
+
+        oxl, oyl, ozl = selp(wox, oxl), selp(woy, oyl), selp(woz, ozl)
+        dxl, dyl, dzl = selp(wdx, dxl), selp(wdy, dyl), selp(wdz, dzl)
+        changed = enter | back
+        ixl = jnp.where(changed, _safe_inv(dxl), ixl)
+        iyl = jnp.where(changed, _safe_inv(dyl), iyl)
+        izl = jnp.where(changed, _safe_inv(dzl), izl)
+        octv = jnp.where(changed, _octant_vote(dxl, dyl, dzl), octv)
+
+        return (nxt, fuel + 1, ret, cinst, occ_f, octv,
+                oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(-1),
+            jnp.zeros((msub, _LANE), jnp.float32),
+            _octant_vote(wdx, wdy, wdz),
+            wox, woy, woz, wdx, wdy, wdz,
+            _safe_inv(wdx), _safe_inv(wdy), _safe_inv(wdz))
+    occ_f = jax.lax.while_loop(cond, body, init)[4]
+    occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
+
+
+def _pack_inst_tables(scene):
+    """Stitched two-level tables for the instanced kernels. node_i keeps
+    the canonical [leaf_start, leaf_count, miss, 0] row layout — instance
+    leaves are the rows with leaf_start >= 0 and leaf_count == 0."""
+    node_f, node_i, link_i, prim_f = _pack_tables(scene)
+    return node_f, node_i, link_i, prim_f, scene.inst_inv
+
+
+def ray_intersect_instanced(scene, ray_o, ray_d, t_max, interpret=None):
+    """Closest hit on a shared-BLAS instanced scene. Returns
+    (t, prim, u, v, inst)."""
+    sg = jax.lax.stop_gradient
+    scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
+    t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                jnp.shape(oz)[:1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = jnp.shape(oz)[0]
+    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
+    n_blocks = n_pad // BLOCK
+    args = [_blockify(a, n_pad) for a in (ox, oy, oz, dx, dy, dz, t_max)]
+    sh = (n_pad // _LANE, _LANE)
+    out_shapes = [jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.int32),
+                  jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.int32)]
+    tables = _pack_inst_tables(scene)
+    kern = functools.partial(_closest_hit_inst_kernel,
+                             fuel_cap=scene.inst_fuel + 64)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec] * 5 + [_ray_spec] * 7,
+        out_specs=tuple(_ray_spec for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*tables, *args)
+    t, prim, u, v, inst = (o.reshape(n_pad)[:N] for o in outs)
+    return t, prim, u, v, inst
+
+
+def ray_test_instanced(scene, ray_o, ray_d, t_max, interpret=None):
+    """Any-hit occlusion on a shared-BLAS instanced scene."""
+    sg = jax.lax.stop_gradient
+    scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
+    t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                jnp.shape(oz)[:1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = jnp.shape(oz)[0]
+    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
+    n_blocks = n_pad // BLOCK
+    args = [_blockify(a, n_pad) for a in (ox, oy, oz, dx, dy, dz, t_max)]
+    sh = (n_pad // _LANE, _LANE)
+    tables = _pack_inst_tables(scene)
+    kern = functools.partial(_any_hit_inst_kernel,
+                             fuel_cap=scene.inst_fuel + 64)
+    occ = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec] * 5 + [_ray_spec] * 7,
+        out_specs=(_ray_spec,),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*tables, *args)
     if isinstance(occ, (tuple, list)):
         occ = occ[0]
     return (occ.reshape(n_pad)[:N]) != 0

@@ -23,6 +23,9 @@ class PreliminaryIntersection:
     t: jnp.ndarray          # (N,) hit distance, inf = miss
     prim_index: jnp.ndarray  # (N,) int32 index into packed prim arrays, -1 = miss
     prim_uv: Vec2           # barycentrics (triangles) / sphere params
+    # instance id per lane (shared-BLAS instancing; the OptiX-IAS
+    # instance index analog). None on scenes without instances.
+    inst: jnp.ndarray = None
 
     @property
     def valid(self):

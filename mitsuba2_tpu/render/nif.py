@@ -191,6 +191,11 @@ def train_shadow_nif(scene, steps: int = 3000, batch: int = 8192,
 
     The dataset is generated once (exact-oracle labels); training is a
     single jitted lax.scan over minibatches (epochs wrap around)."""
+    if getattr(scene, "has_instances", False):
+        raise ValueError("shadow-NIF training samples the packed prim "
+                         "tables, which are instance-local on shared-BLAS "
+                         "instanced scenes; flatten the instances "
+                         "(shapes.instance(..., flatten=True)) to train")
     from ..diff import optimizers as opt_mod
 
     nif = init_nif(scene, width=width, n_freq=n_freq, seed=seed)

@@ -187,13 +187,21 @@ def build_octant_links(bvh: BVH):
 
 
 def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
-              native: bool = True) -> BVH:
+              native: bool = True, leaf_k: int = None) -> BVH:
     """Binned-SAH BVH2 over primitive AABBs, flattened with miss links.
 
     Uses the C++ builder (native/bvh_builder.cpp) when the toolchain is
-    available; this numpy implementation is the oracle and fallback."""
+    available; this numpy implementation is the oracle and fallback.
+    `leaf_k` overrides the leaf size (default LEAF_K; the TLAS over
+    instances uses 1 so every instance gets its own leaf) — overriding
+    forces the numpy path (the native builder bakes LEAF_K in)."""
     P = prim_bb_min.shape[0]
     assert P > 0
+    if leaf_k is None:
+        leaf_k = LEAF_K
+    else:
+        native = False
+    LEAF = leaf_k
     if native and P > 512:  # tiny scenes: numpy is fast enough
         try:
             from .. import native as native_mod
@@ -220,7 +228,7 @@ def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
         binned and swept (kdtree.h sweeps every axis too); the global
         minimum-cost (axis, bin) wins — measurably better trees than
         widest-axis-only binning on the walk model."""
-        if len(idxs) <= LEAF_K:
+        if len(idxs) <= LEAF:
             return None
         c = centroids[idxs]
         ext = c.max(0) - c.min(0)
@@ -274,8 +282,8 @@ def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
 
     def build(idxs):
         split = sah_split(idxs)
-        if split is None and len(idxs) > LEAF_K:
-            # forced split into LEAF_K chunks via median
+        if split is None and len(idxs) > LEAF:
+            # forced split into LEAF-sized chunks via median
             c = centroids[idxs]
             axis = int(np.argmax(c.max(0) - c.min(0)))
             order = np.argsort(c[:, axis], kind="stable")
@@ -346,3 +354,104 @@ def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
                leaf_count=leaf_count.astype(np.int32),
                miss=miss.astype(np.int32),
                prim_order=np.asarray(prim_order, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Two-level (TLAS/BLAS) stitching for shared instances (instance.cpp /
+# OptiX IAS analog — docs/TPU_TRAVERSAL.md "true shared-BLAS instancing")
+# ---------------------------------------------------------------------------
+
+BLAS_EXIT = -2   # link sentinel: BLAS subtree exhausted -> pop to TLAS
+
+
+def build_two_level(blas_list, inst_group, inst_bb_min, inst_bb_max):
+    """Stitch per-group BLASes + a TLAS over instance AABBs into ONE node
+    table the traversal kernels can walk with a single saved continuation
+    (instancing is one level deep, so a full stack is unnecessary):
+
+      rows [0, T)           the TLAS (DFS, root at 0); its leaves are
+                            INSTANCE leaves: leaf_start = instance id,
+                            leaf_count = 0 (real prim leaves always have
+                            count >= 1 — count == 0 IS the instance tag)
+      rows [T + base_g ...) each group's BLAS block (DFS within block);
+                            leaf_start offsets into the concatenated
+                            local prim table; every exit link (-1) inside
+                            a BLAS becomes BLAS_EXIT so the kernel pops
+                            its saved TLAS continuation instead of
+                            terminating
+
+    The TLAS is built with leaf_k=1 (one instance per leaf). Shared-BLAS
+    means the same rows are entered via every instance of the group; the
+    per-entry ray transform lives in the kernels, not the tables.
+
+    Args:
+      blas_list: [(BVH, hit8, miss8, prim_base)] per GROUP (local space).
+      inst_group: (K,) int — group index per instance.
+      inst_bb_min/max: (K, 3) — world-space instance AABBs.
+
+    Returns dict with the stitched node arrays + per-instance
+    blas_root (K,) and the walk fuel bound.
+    """
+    K = len(inst_group)
+    assert K > 0
+    tlas = build_bvh(np.asarray(inst_bb_min, np.float32),
+                     np.asarray(inst_bb_max, np.float32), leaf_k=1)
+    t_hit8, t_miss8 = build_octant_links(tlas)
+    T = tlas.miss.shape[0]
+
+    blas_base = []
+    off = T
+    for (tree, _, _, _) in blas_list:
+        blas_base.append(off)
+        off += tree.miss.shape[0]
+    total = off
+
+    node_min = np.empty((total, 3), np.float32)
+    node_max = np.empty((total, 3), np.float32)
+    leaf_start = np.empty(total, np.int32)
+    leaf_count = np.empty(total, np.int32)
+    miss = np.empty(total, np.int32)
+    hit8 = np.empty(total * 8, np.int32)
+    miss8 = np.empty(total * 8, np.int32)
+    inst_of_row = np.full(total, -1, np.int32)  # TLAS leaf -> instance id
+
+    # --- TLAS rows -----------------------------------------------------------
+    node_min[:T] = tlas.bounds_min
+    node_max[:T] = tlas.bounds_max
+    t_leaf = tlas.leaf_start >= 0
+    # TLAS leaf i holds exactly one "prim" = instance tlas.prim_order[start]
+    inst_ids = np.where(t_leaf, tlas.prim_order[
+        np.minimum(np.maximum(tlas.leaf_start, 0),
+                   len(tlas.prim_order) - 1)], -1).astype(np.int32)
+    leaf_start[:T] = np.where(t_leaf, inst_ids, -1)
+    leaf_count[:T] = 0            # count == 0 everywhere in the TLAS
+    miss[:T] = tlas.miss
+    hit8[:T * 8] = t_hit8
+    miss8[:T * 8] = t_miss8
+    inst_of_row[:T] = inst_ids
+
+    # --- BLAS blocks ---------------------------------------------------------
+    for g, (tree, b_hit8, b_miss8, prim_base) in enumerate(blas_list):
+        b0 = blas_base[g]
+        n = tree.miss.shape[0]
+        sl = slice(b0, b0 + n)
+        node_min[sl] = tree.bounds_min
+        node_max[sl] = tree.bounds_max
+        leaf_start[sl] = np.where(tree.leaf_start >= 0,
+                                  tree.leaf_start + prim_base, -1)
+        leaf_count[sl] = tree.leaf_count
+
+        def _shift(links):
+            return np.where(links >= 0, links + b0, BLAS_EXIT).astype(np.int32)
+
+        miss[sl] = _shift(tree.miss)
+        hit8[b0 * 8:(b0 + n) * 8] = _shift(b_hit8)
+        miss8[b0 * 8:(b0 + n) * 8] = _shift(b_miss8)
+
+    blas_root = np.asarray([blas_base[g] for g in inst_group], np.int32)
+    # fuel: TLAS visited once; each instance's BLAS visited at most once
+    fuel = T + int(sum(blas_list[g][0].miss.shape[0] for g in inst_group)) + 64
+    return dict(node_min=node_min, node_max=node_max,
+                leaf_start=leaf_start, leaf_count=leaf_count, miss=miss,
+                hit8=hit8, miss8=miss8, inst_of_row=inst_of_row,
+                blas_root=blas_root, fuel=fuel, n_tlas=T)

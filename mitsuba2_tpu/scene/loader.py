@@ -266,13 +266,18 @@ def _parse_shape(node, ctx) -> shapes_mod.MeshData:
             if c.tag == "shape":
                 sub = _parse_shape(c, ctx)
                 group.extend(sub if isinstance(sub, list) else [sub])
-        ctx.refs[sid or node.get("id", "")] = ("shapegroup", group)
+        # stored as a TUPLE: instance() passes tuples through unchanged,
+        # so every <instance> of this group shares ONE handle identity
+        # (the key build_scene dedupes BLASes by)
+        ctx.refs[sid or node.get("id", "")] = ("shapegroup", tuple(group))
         return []
     if stype == "instance":
-        # instance (src/shapes/instance.cpp): TPU-native take — instances
-        # are FLATTENED at build (duplicated, transformed prim records);
-        # the BVH then treats them like any geometry. True shared-BLAS
-        # instancing is a later accel-level optimization.
+        # instance (src/shapes/instance.cpp): SHARED-BLAS instancing —
+        # every instance of a shapegroup references the group's geometry
+        # once (one BLAS; the traversal kernels re-derive rays at
+        # instance boundaries — the OptiX-IAS design, bvh.py::
+        # build_two_level). Set MI_FLATTEN_INSTANCES=1 to restore the
+        # round-2 flattening (duplicated, transformed prim records).
         ref_id = None
         for c in node:
             if c.tag == "ref":
@@ -280,14 +285,10 @@ def _parse_shape(node, ctx) -> shapes_mod.MeshData:
         entry = ctx.refs.get(ref_id)
         if not (isinstance(entry, tuple) and entry[0] == "shapegroup"):
             raise ValueError(f"instance references unknown shapegroup {ref_id!r}")
-        out = []
-        for i, m in enumerate(entry[1]):
-            mi_ = m.copy()
-            if "to_world" in props:
-                mi_ = mi_.transformed(props["to_world"])
-            mi_.id = f"{sid or ref_id}_inst{i}"
-            out.append(mi_)
-        return out
+        flatten = os.environ.get("MI_FLATTEN_INSTANCES", "0").lower() \
+            in ("1", "true")
+        return shapes_mod.instance(entry[1], props.get("to_world"),
+                                   id=sid or ref_id, flatten=flatten)
 
     if stype in ("obj", "ply", "serialized"):
         path = ctx.resolve(props["filename"])
@@ -571,6 +572,38 @@ def _load_root(root, base_dir, params) -> Tuple[SceneData, RenderConfig]:
 # Dict loader (mitsuba.load_dict)
 # ---------------------------------------------------------------------------
 
+def _dict_shape(name, obj, refs):
+    """One shape dict -> MeshData (shared by load_dict's shape and
+    shapegroup branches)."""
+    t = obj.get("type")
+    bsdf = obj.pop("bsdf", None)
+    if isinstance(bsdf, str):  # reference by name
+        bsdf = refs[bsdf]
+    emitter = obj.pop("emitter", None)
+    interior = obj.pop("interior", None)
+    to_world = obj.pop("to_world", None)
+    if t in ("obj", "ply", "serialized"):
+        kw = {}
+        if t == "serialized":
+            kw["shape_index"] = int(obj.get("shape_index", 0))
+        mesh = mesh_io.load_mesh(obj["filename"], bsdf=bsdf,
+                                 emitter=emitter, id=name, **kw)
+    elif t == "sphere":
+        mesh = shapes_mod.sphere(center=obj.get("center", [0, 0, 0]),
+                                 radius=float(obj.get("radius", 1.0)),
+                                 bsdf=bsdf, emitter=emitter, id=name)
+    elif t in ("rectangle", "cube", "disk", "cylinder"):
+        mesh = getattr(shapes_mod, t)(bsdf=bsdf, emitter=emitter, id=name)
+    else:
+        raise ValueError(f"unknown object type {t!r} for {name!r}")
+    if obj.get("flip_normals", False):
+        mesh = mesh.flipped()
+    if to_world is not None:
+        mesh = mesh.transformed(np.asarray(to_world, np.float32))
+    mesh.interior = interior
+    return mesh
+
+
 def load_dict(d: dict) -> Tuple[SceneData, RenderConfig]:
     """load_dict: {"type": "scene", <name>: {"type": ...}, ...}.
 
@@ -612,35 +645,25 @@ def load_dict(d: dict) -> Tuple[SceneData, RenderConfig]:
                     p.split(":")[-1].strip()
                     for p in str(obj["aovs"]).split(",") if p.strip())
             _integrator_props(obj, overrides)
+        elif t == "shapegroup":
+            # named group of child shape dicts (xml <shape type=
+            # "shapegroup">): children are the non-"type" values
+            grp = [_dict_shape(cname, dict(cobj), refs)
+                   for cname, cobj in obj.items() if cname != "type"]
+            refs[name] = ("shapegroup", shapes_mod.shapegroup(grp, id=name))
+        elif t == "instance":
+            entry = refs.get(obj.get("shapegroup"))
+            if not (isinstance(entry, tuple) and entry[0] == "shapegroup"):
+                raise ValueError(
+                    f"instance {name!r} references unknown shapegroup "
+                    f"{obj.get('shapegroup')!r}")
+            got = shapes_mod.instance(
+                entry[1], obj.get("to_world"), id=name,
+                flatten=os.environ.get("MI_FLATTEN_INSTANCES", "0").lower()
+                in ("1", "true"))
+            shape_list.extend(got if isinstance(got, list) else [got])
         else:  # shape
-            obj = dict(obj)
-            bsdf = obj.pop("bsdf", None)
-            if isinstance(bsdf, str):  # reference by name
-                bsdf = refs[bsdf]
-            emitter = obj.pop("emitter", None)
-            interior = obj.pop("interior", None)
-            to_world = obj.pop("to_world", None)
-            if t in ("obj", "ply", "serialized"):
-                kw = {}
-                if t == "serialized":
-                    kw["shape_index"] = int(obj.get("shape_index", 0))
-                mesh = mesh_io.load_mesh(obj["filename"], bsdf=bsdf,
-                                         emitter=emitter, id=name, **kw)
-            elif t == "sphere":
-                mesh = shapes_mod.sphere(center=obj.get("center", [0, 0, 0]),
-                                         radius=float(obj.get("radius", 1.0)),
-                                         bsdf=bsdf, emitter=emitter, id=name)
-            elif t in ("rectangle", "cube", "disk", "cylinder"):
-                mesh = getattr(shapes_mod, t)(bsdf=bsdf, emitter=emitter,
-                                              id=name)
-            else:
-                raise ValueError(f"unknown object type {t!r} for {name!r}")
-            if obj.get("flip_normals", False):
-                mesh = mesh.flipped()
-            if to_world is not None:
-                mesh = mesh.transformed(np.asarray(to_world, np.float32))
-            mesh.interior = interior
-            shape_list.append(mesh)
+            shape_list.append(_dict_shape(name, dict(obj), refs))
     if sensor is None:
         sensor = {"type": "perspective",
                   "to_world": np.eye(4, dtype=np.float32), "fov": 45.0}

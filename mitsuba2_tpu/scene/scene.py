@@ -109,6 +109,19 @@ class SceneData:
     med_data: jnp.ndarray = None      # (Md, MED_W)
     shape_interior: jnp.ndarray = None  # (S,) i32 medium index, -1 = vacuum
     medium_grid: Any = None           # GridVolume or None
+    # --- shared-BLAS instancing (instance.cpp / OptiX-IAS analog) -------------
+    # Present iff the scene was built with shapes.Instance records. The
+    # BVH node tables above are then the STITCHED two-level structure
+    # (bvh.py::build_two_level): TLAS rows first (instance leaves have
+    # leaf_count == 0 and leaf_start == instance id), then the shared
+    # per-group BLAS blocks in local space; the prim tables hold each
+    # group's prims ONCE, in instance-local coordinates (the world group
+    # is instance 0 with the identity transform).
+    # inst_inv: (K, 16) f32 [world->local 3x4 row-major | blas_root
+    # (f32-exact) | pad]; inst_fwd: (K, 16) f32 [local->world 3x4 |
+    # uniform det-scale | pad].
+    inst_inv: jnp.ndarray = None
+    inst_fwd: jnp.ndarray = None
     # --- optional neural occlusion oracle (render/nif.py; APPROXIMATE,
     # opt-in via scene.replace(shadow_nif=train_shadow_nif(scene))) -----------
     shadow_nif: Any = None
@@ -124,6 +137,8 @@ class SceneData:
     env_emitter: int = struct.field(pytree_node=False, default=-1)
     n_shapes: int = struct.field(pytree_node=False, default=0)
     has_spheres: bool = struct.field(pytree_node=False, default=True)
+    has_instances: bool = struct.field(pytree_node=False, default=False)
+    inst_fuel: int = struct.field(pytree_node=False, default=0)
     emitter_kinds: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     cam_type: str = struct.field(pytree_node=False, default="perspective")
     has_media: bool = struct.field(pytree_node=False, default=False)
@@ -160,6 +175,46 @@ def build_scene(shapes: List[MeshData], sensor: dict,
 
 def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
                       measured_staging):
+    # --- shared-BLAS instancing: split Instance records from plain shapes ---
+    # (instance.cpp / OptiX IAS; docs/TPU_TRAVERSAL.md). Each DISTINCT
+    # group (by identity) contributes its shapes/prims ONCE, in local
+    # space; the plain shapes form the "world group", entered as instance
+    # 0 with the identity transform.
+    from .shapes import Instance
+    inst_records = [s for s in shapes if isinstance(s, Instance)]
+    plain = [s for s in shapes if not isinstance(s, Instance)]
+    groups, group_of = [], {}
+    for rec in inst_records:
+        k = id(rec.group)
+        if k not in group_of:
+            group_of[k] = len(groups)
+            groups.append(rec.group)
+    if inst_records:
+        for g, grp in enumerate(groups):
+            if len(grp) == 0:
+                raise ValueError("instanced shapegroup is empty")
+            for sh in grp:
+                if isinstance(sh, Instance):
+                    raise ValueError("nested instancing is unsupported "
+                                     "(shapegroup inside shapegroup)")
+                if sh.emitter is not None:
+                    raise ValueError(
+                        "emitters inside instanced shapegroups are "
+                        "unsupported (matches the reference: "
+                        "instance.cpp rejects nested emitters)")
+                if sh.interior is not None:
+                    raise ValueError(
+                        "interior media inside instanced shapegroups "
+                        "are unsupported")
+        # ordered shape list: plain shapes, then each group's shapes once.
+        # group g owns shape indices [group_shape0[g], group_shape0[g+1])
+        shapes = list(plain)
+        group_shape0 = []
+        for grp in groups:
+            group_shape0.append(len(shapes))
+            shapes.extend(grp)
+        group_shape0.append(len(shapes))
+
     # --- materials (dedupe identical descriptors; wrappers append children) --
     mats, mat_key2idx = [], {}
 
@@ -243,28 +298,114 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     r = e1[:, 0:1]
     bb_min = np.where(is_sph[:, None], p0 - r, tri_min)
     bb_max = np.where(is_sph[:, None], p0 + r, tri_max)
-    tree = bvh_mod.build_bvh(bb_min, bb_max)
-    oct_hit8, oct_miss8 = bvh_mod.build_octant_links(tree)
-    # MXU leaf clusters (traverse_pallas CLUSTER_K-prim batched leaf tests)
-    CK = bvh_mod.CLUSTER_K
-    cl_id, cl_starts, cl_counts = bvh_mod.cluster_cut(tree, max_prims=CK)
-    cut_min, cut_max, cut_hit8, cut_miss8, cl_id_c = \
-        bvh_mod.cut_tree_tables(tree, cl_id, oct_hit8, oct_miss8)
-    R = cut_min.shape[0]
-    mxu_slot = np.where(cl_id_c >= 0, cl_id_c * CK, -1).astype(np.int32)
-    assert len(cl_starts) * CK < (1 << 24), \
-        "cluster slot ids exceed f32 exact-integer range"
-    # slot rides node_f col 6 (exact in f32 up to 2^24) — one scalar row
-    # load per walk step instead of two
-    mxu_node_f = np.concatenate(
-        [cut_min, cut_max, mxu_slot[:, None].astype(np.float32),
-         np.zeros((R, 1), np.float32)], -1)
-    mxu_link = np.concatenate(
-        [cut_hit8.reshape(R, 8), cut_miss8.reshape(R, 8)], -1)
-    slot_prim = np.full(max(len(cl_starts), 1) * CK, -1, np.int32)
-    for c, (s0, cnt) in enumerate(zip(cl_starts, cl_counts)):
-        slot_prim[c * CK: c * CK + cnt] = np.arange(s0, s0 + cnt)
-    perm = tree.prim_order
+
+    inst_inv16 = inst_fwd16 = None
+    inst_fuel = 0
+    if inst_records:
+        # --- two-level accel: one BLAS per group + a TLAS over instances ---
+        # group prim ranges (prims were appended in shape order, so each
+        # group's prims are contiguous); the world group is the plain
+        # shapes' range [0, group prims start)
+        shape_bounds = np.concatenate([[0], np.cumsum(
+            np.bincount(pshape, minlength=len(shapes)))]).astype(np.int64)
+        blas_list, perm_parts = [], []
+        g_ranges = [(shape_bounds[group_shape0[g]],
+                     shape_bounds[group_shape0[g + 1]])
+                    for g in range(len(groups))]
+        world_range = (0, shape_bounds[group_shape0[0]])
+        all_ranges = ([world_range] if world_range[1] > 0 else []) + g_ranges
+        world_blas = 0 if world_range[1] > 0 else None
+        for (pb, pe) in all_ranges:
+            if pe == pb:
+                raise ValueError("instanced shapegroup has no primitives")
+            tree_g = bvh_mod.build_bvh(bb_min[pb:pe], bb_max[pb:pe])
+            h8, m8 = bvh_mod.build_octant_links(tree_g)
+            blas_list.append((tree_g, h8, m8, int(pb)))
+            perm_parts.append(tree_g.prim_order + pb)
+        perm = np.concatenate(perm_parts).astype(np.int32)
+
+        # instance list: world group first (identity), then the records
+        inst_group, inst_mats = [], []
+        if world_blas is not None:
+            inst_group.append(0)
+            inst_mats.append(np.eye(4, dtype=np.float32))
+        goff = 1 if world_blas is not None else 0
+        for rec in inst_records:
+            inst_group.append(goff + group_of[id(rec.group)])
+            inst_mats.append(np.eye(4, dtype=np.float32)
+                             if rec.to_world is None else rec.to_world)
+        K = len(inst_group)
+        ib_min = np.empty((K, 3), np.float32)
+        ib_max = np.empty((K, 3), np.float32)
+        inst_inv16 = np.zeros((K, 16), np.float32)
+        inst_fwd16 = np.zeros((K, 16), np.float32)
+        for k, (g, M) in enumerate(zip(inst_group, inst_mats)):
+            root_lo = blas_list[g][0].bounds_min[0]
+            root_hi = blas_list[g][0].bounds_max[0]
+            corners = np.array([[root_lo[0] if i & 1 else root_hi[0],
+                                 root_lo[1] if i & 2 else root_hi[1],
+                                 root_lo[2] if i & 4 else root_hi[2]]
+                                for i in range(8)], np.float32)
+            wc = corners @ M[:3, :3].T + M[:3, 3]
+            ib_min[k], ib_max[k] = wc.min(0), wc.max(0)
+            R3 = M[:3, :3]
+            det = float(np.linalg.det(R3))
+            if abs(det) < 1e-20:
+                raise ValueError("singular instance to_world transform")
+            inv = np.linalg.inv(M.astype(np.float64))[:3].astype(np.float32)
+            pb, pe = all_ranges[g]
+            if (ptype[pb:pe] == PRIM_SPHERE).any():
+                # analytic spheres stay spheres only under uniform scale
+                # (sphere.cpp has the same restriction)
+                s = np.cbrt(abs(det))
+                if not np.allclose(R3.T @ R3, (s * s) * np.eye(3),
+                                   rtol=1e-3, atol=1e-5 * s * s):
+                    raise ValueError(
+                        "instanced shapegroups with analytic spheres "
+                        "require a uniform-scale rigid transform")
+            inst_inv16[k, 0:12] = inv.reshape(-1)
+            inst_fwd16[k, 0:12] = M[:3].reshape(-1)
+            inst_fwd16[k, 12] = np.cbrt(abs(det))
+        stitched = bvh_mod.build_two_level(blas_list, inst_group,
+                                           ib_min, ib_max)
+        for k in range(K):
+            inst_inv16[k, 12] = float(stitched["blas_root"][inst_group[k]])
+        n_min, n_max = stitched["node_min"], stitched["node_max"]
+        n_leaf_start, n_leaf_count = (stitched["leaf_start"],
+                                      stitched["leaf_count"])
+        n_miss = stitched["miss"]
+        oct_hit8, oct_miss8 = stitched["hit8"], stitched["miss8"]
+        inst_fuel = int(stitched["fuel"])
+        # MXU cluster path does not support instanced scenes yet — the
+        # dispatch guard (traverse_pallas) routes them to the scalar
+        # instanced kernels
+        mxu_node_f = mxu_link = slot_prim = feat = None
+    else:
+        tree = bvh_mod.build_bvh(bb_min, bb_max)
+        oct_hit8, oct_miss8 = bvh_mod.build_octant_links(tree)
+        n_min, n_max = tree.bounds_min, tree.bounds_max
+        n_leaf_start, n_leaf_count = tree.leaf_start, tree.leaf_count
+        n_miss = tree.miss
+        # MXU leaf clusters (traverse_pallas CLUSTER_K-prim batched leaf tests)
+        CK = bvh_mod.CLUSTER_K
+        cl_id, cl_starts, cl_counts = bvh_mod.cluster_cut(tree, max_prims=CK)
+        cut_min, cut_max, cut_hit8, cut_miss8, cl_id_c = \
+            bvh_mod.cut_tree_tables(tree, cl_id, oct_hit8, oct_miss8)
+        R = cut_min.shape[0]
+        mxu_slot = np.where(cl_id_c >= 0, cl_id_c * CK, -1).astype(np.int32)
+        assert len(cl_starts) * CK < (1 << 24), \
+            "cluster slot ids exceed f32 exact-integer range"
+        # slot rides node_f col 6 (exact in f32 up to 2^24) — one scalar row
+        # load per walk step instead of two
+        mxu_node_f = np.concatenate(
+            [cut_min, cut_max, mxu_slot[:, None].astype(np.float32),
+             np.zeros((R, 1), np.float32)], -1)
+        mxu_link = np.concatenate(
+            [cut_hit8.reshape(R, 8), cut_miss8.reshape(R, 8)], -1)
+        slot_prim = np.full(max(len(cl_starts), 1) * CK, -1, np.int32)
+        for c, (s0, cnt) in enumerate(zip(cl_starts, cl_counts)):
+            slot_prim[c * CK: c * CK + cnt] = np.arange(s0, s0 + cnt)
+        perm = tree.prim_order
     p0, e1, e2 = p0[perm], e1[perm], e2[perm]
     n0, n1, n2 = n0[perm], n1[perm], n2[perm]
     uv0, uv1, uv2 = uv0[perm], uv1[perm], uv2[perm]
@@ -274,24 +415,27 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     # Möller–Trumbore bilinear forms (kernels/traverse_pallas.py MXU path).
     # Built here rather than at trace time — the per-slot prim gathers are
     # pathological as XLA device ops (~0.15 G elem/s on TPU).
-    sidx = np.maximum(slot_prim, 0)
-    valid = (slot_prim >= 0)[:, None].astype(np.float32)
-    cp0 = p0[sidx] * valid
-    ce1 = e1[sidx] * valid
-    ce2 = e2[sidx] * valid
-    cn = np.cross(ce1, ce2)
-    Sn = slot_prim.shape[0]          # = C * CK, C >= 1
-    C = Sn // CK
-    # cluster-major: (C, 4 planes, CK slots, 16) -> (4*Sn, 16)
-    fv = np.zeros((C, 4, CK, 16), np.float32)
-    fv[:, 0, :, 0:3] = -cn.reshape(C, CK, 3)
-    fv[:, 1, :, 0:3] = np.cross(cp0, ce2).reshape(C, CK, 3)
-    fv[:, 1, :, 3:6] = ce2.reshape(C, CK, 3)
-    fv[:, 2, :, 0:3] = -np.cross(cp0, ce1).reshape(C, CK, 3)
-    fv[:, 2, :, 3:6] = -ce1.reshape(C, CK, 3)
-    fv[:, 3, :, 6:9] = cn.reshape(C, CK, 3)
-    fv[:, 3, :, 9] = -np.sum(cp0 * cn, -1).reshape(C, CK)
-    feat = fv.reshape(4 * Sn, 16)
+    if slot_prim is None:
+        feat = None   # instanced scenes skip the MXU tables (scalar path)
+    else:
+        sidx = np.maximum(slot_prim, 0)
+        valid = (slot_prim >= 0)[:, None].astype(np.float32)
+        cp0 = p0[sidx] * valid
+        ce1 = e1[sidx] * valid
+        ce2 = e2[sidx] * valid
+        cn = np.cross(ce1, ce2)
+        Sn = slot_prim.shape[0]          # = C * CK, C >= 1
+        C = Sn // CK
+        # cluster-major: (C, 4 planes, CK slots, 16) -> (4*Sn, 16)
+        fv = np.zeros((C, 4, CK, 16), np.float32)
+        fv[:, 0, :, 0:3] = -cn.reshape(C, CK, 3)
+        fv[:, 1, :, 0:3] = np.cross(cp0, ce2).reshape(C, CK, 3)
+        fv[:, 1, :, 3:6] = ce2.reshape(C, CK, 3)
+        fv[:, 2, :, 0:3] = -np.cross(cp0, ce1).reshape(C, CK, 3)
+        fv[:, 2, :, 3:6] = -ce1.reshape(C, CK, 3)
+        fv[:, 3, :, 6:9] = cn.reshape(C, CK, 3)
+        fv[:, 3, :, 9] = -np.sum(cp0 * cn, -1).reshape(C, CK)
+        feat = fv.reshape(4 * Sn, 16)
 
     # --- emitter tables ----------------------------------------------------------
     E = max(len(emitter_descs), 1)
@@ -372,9 +516,11 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     else:
         cam_data[0] = float(sensor.get("aperture_radius", 0.0))
         cam_data[1] = float(sensor.get("focus_distance", 1.0))
-    # scene bounds (distant sensor's ray-gen plane; generally useful)
-    scene_min = bb_min.min(0)
-    scene_max = bb_max.max(0)
+    # scene bounds (distant sensor's ray-gen plane; generally useful).
+    # The accel root is the WORLD bbox in both layouts (instanced scenes'
+    # prim AABBs are local-space, so bb_min/max would be wrong there).
+    scene_min = n_min[0]
+    scene_max = n_max[0]
     cam_data[4:7] = 0.5 * (scene_min + scene_max)
     cam_data[7] = max(float(np.linalg.norm(scene_max - scene_min)) * 0.5, 1e-3)
     # sensor importance: cosine-sampled irradiancemeter integrates E with
@@ -459,14 +605,19 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         prim_n0=dev(n0), prim_n1=dev(n1), prim_n2=dev(n2),
         prim_uv0=dev(uv0), prim_uv1=dev(uv1), prim_uv2=dev(uv2),
         prim_type=dev(ptype), prim_shape=dev(pshape), prim_area=dev(parea),
-        bvh_min=dev(tree.bounds_min), bvh_max=dev(tree.bounds_max),
-        bvh_leaf_start=dev(tree.leaf_start), bvh_leaf_count=dev(tree.leaf_count),
-        bvh_miss=dev(tree.miss),
+        bvh_min=dev(n_min), bvh_max=dev(n_max),
+        bvh_leaf_start=dev(n_leaf_start), bvh_leaf_count=dev(n_leaf_count),
+        bvh_miss=dev(n_miss),
         bvh_hit8=dev(oct_hit8), bvh_miss8=dev(oct_miss8),
-        mxu_node_f=dev(mxu_node_f.astype(np.float32)),
-        mxu_link=dev(mxu_link.astype(np.int32)),
-        cluster_slot_prim=dev(slot_prim),
-        mxu_feat=dev(feat),
+        mxu_node_f=(None if mxu_node_f is None
+                    else dev(mxu_node_f.astype(np.float32))),
+        mxu_link=None if mxu_link is None else dev(mxu_link.astype(np.int32)),
+        cluster_slot_prim=None if slot_prim is None else dev(slot_prim),
+        mxu_feat=None if feat is None else dev(feat),
+        inst_inv=None if inst_inv16 is None else dev(inst_inv16),
+        inst_fwd=None if inst_fwd16 is None else dev(inst_fwd16),
+        has_instances=bool(inst_records),
+        inst_fuel=inst_fuel,
         shape_mat=dev(np.asarray(shape_mat, np.int32)),
         shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
         mat_type=dev(np.asarray([mt[0] for mt in mats], np.int32)),
@@ -568,6 +719,47 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
     e1x, e1y, e1z = g3(scene.prim_e1)
     e2x, e2y, e2z = g3(scene.prim_e2)
 
+    # --- shared-BLAS instancing: lift the gathered LOCAL prim attributes
+    # to world space per lane, then everything downstream (positions,
+    # normals, uv partials, sphere reprojection) is world math unchanged.
+    # fwd = local->world 3x4 (+ uniform scale in col 12 for sphere radii);
+    # normals use the inverse-transpose = columns of inst_inv's 3x3.
+    inst_on = scene.has_instances and getattr(pi, "inst", None) is not None
+    if inst_on:
+        iid = jnp.maximum(pi.inst, 0)
+        fw = [gth.scalar(scene.inst_fwd[:, j], iid) for j in range(13)]
+        iv = [gth.scalar(scene.inst_inv[:, j], iid) for j in range(12)]
+
+        def w_point(x, y, z):
+            return (fw[0] * x + fw[1] * y + fw[2] * z + fw[3],
+                    fw[4] * x + fw[5] * y + fw[6] * z + fw[7],
+                    fw[8] * x + fw[9] * y + fw[10] * z + fw[11])
+
+        def w_vec(x, y, z):
+            return (fw[0] * x + fw[1] * y + fw[2] * z,
+                    fw[4] * x + fw[5] * y + fw[6] * z,
+                    fw[8] * x + fw[9] * y + fw[10] * z)
+
+        def w_normal(x, y, z):
+            # inverse-transpose rows = inst_inv columns (renormalized later)
+            return (iv[0] * x + iv[4] * y + iv[8] * z,
+                    iv[1] * x + iv[5] * y + iv[9] * z,
+                    iv[2] * x + iv[6] * y + iv[10] * z)
+
+        is_tri_l = ptype == PRIM_TRI
+        cpx, cpy, cpz = w_point(p0x, p0y, p0z)
+        p0x, p0y, p0z = cpx, cpy, cpz      # tri vertex 0 / sphere center
+        v1 = w_vec(e1x, e1y, e1z)
+        # sphere e1 = [radius, flip-sign, 0]: scale the radius, keep the
+        # sign channel (uniform scale enforced at build for spheres)
+        e1x = jnp.where(is_tri_l, v1[0], e1x * fw[12])
+        e1y = jnp.where(is_tri_l, v1[1], e1y)
+        e1z = jnp.where(is_tri_l, v1[2], 0.0)
+        v2 = w_vec(e2x, e2y, e2z)
+        e2x = jnp.where(is_tri_l, v2[0], 0.0)
+        e2y = jnp.where(is_tri_l, v2[1], 0.0)
+        e2z = jnp.where(is_tri_l, v2[2], 0.0)
+
     def norm3(x, y, z):
         inv = 1.0 / jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
         return x * inv, y * inv, z * inv
@@ -582,6 +774,10 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
     n0x, n0y, n0z = g3(scene.prim_n0)
     n1x, n1y, n1z = g3(scene.prim_n1)
     n2x, n2y, n2z = g3(scene.prim_n2)
+    if inst_on:
+        n0x, n0y, n0z = w_normal(n0x, n0y, n0z)
+        n1x, n1y, n1z = w_normal(n1x, n1y, n1z)
+        n2x, n2y, n2z = w_normal(n2x, n2y, n2z)
     nsx, nsy, nsz = norm3(n0x * w + n1x * u + n2x * v,
                           n0y * w + n1y * u + n2y * v,
                           n0z * w + n1z * u + n2z * v)
@@ -691,7 +887,17 @@ def set_backend(name: str) -> None:
 def _pick_backend(scene) -> str:
     from ..kernels import brute
     if _BACKEND != "auto":
+        if scene.has_instances and _BACKEND == "brute":
+            raise ValueError("brute-force backend cannot intersect "
+                             "shared-BLAS instanced scenes (prim tables "
+                             "are instance-local); use jnp or pallas")
         return _BACKEND
+    if scene.has_instances:
+        # instanced scenes need instance-aware walkers: the per-lane jnp
+        # walker on CPU, the instanced Pallas packet kernels on TPU
+        # (brute force and the MXU cluster path see local-space prims)
+        import jax
+        return ("pallas" if jax.devices()[0].platform == "tpu" else "jnp")
     if scene.n_prims <= brute.MAX_BRUTE_PRIMS:
         return "brute"
     import jax
@@ -758,6 +964,12 @@ def _sorted_pallas_intersect(scene, ray_o, ray_d, t_max):
     lane = jnp.arange(n, dtype=jnp.int32)
     key, ox, oy, oz, dx, dy, dz, t_max, lane = jax.lax.sort(
         (key, ox, oy, oz, dx, dy, dz, t_max, lane), num_keys=1)
+    if scene.has_instances:
+        t, prim, u, v, inst = traverse_pallas.ray_intersect_instanced(
+            scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
+        _, t, prim, u, v, inst = jax.lax.sort(
+            (lane, t, prim, u, v, inst), num_keys=1)
+        return t, prim, u, v, inst
     t, prim, u, v = traverse_pallas.ray_intersect_preliminary(
         scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
     # unsort: original lane index as the sort key carries results back
@@ -775,8 +987,9 @@ def _sorted_pallas_ray_test(scene, ray_o, ray_d, t_max):
     lane = jnp.arange(n, dtype=jnp.int32)
     key, ox, oy, oz, dx, dy, dz, t_max, lane = jax.lax.sort(
         (key, ox, oy, oz, dx, dy, dz, t_max, lane), num_keys=1)
-    occ = traverse_pallas.ray_test(
-        scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
+    fn = (traverse_pallas.ray_test_instanced if scene.has_instances
+          else traverse_pallas.ray_test)
+    occ = fn(scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
     _, occ = jax.lax.sort((lane, occ.astype(jnp.int32)), num_keys=1)
     return occ != 0
 
@@ -785,7 +998,19 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
     """Scene::ray_intersect — full wavefront closest hit + shading record."""
     from ..kernels import brute, traverse_jnp, traverse_pallas
     backend = _pick_backend(scene)
-    if backend == "brute":
+    inst = None
+    if scene.has_instances:
+        sg = jax.lax.stop_gradient
+        if backend == "pallas":
+            t, prim, u, v, inst = _sorted_pallas_intersect(
+                scene, ray.o, ray.d, ray.maxt) \
+                if _want_sort(jnp.shape(ray.o.x)[0]) else \
+                traverse_pallas.ray_intersect_instanced(
+                    scene, ray.o, ray.d, ray.maxt)
+        else:
+            t, prim, u, v, inst = traverse_jnp._ray_intersect_instanced(
+                sg(scene), sg(ray.o), sg(ray.d), sg(ray.maxt))
+    elif backend == "brute":
         t, prim, u, v = brute.ray_intersect_brute(scene, ray.o, ray.d, ray.maxt)
     elif backend == "pallas":
         if _want_sort(jnp.shape(ray.o.x)[0]):
@@ -797,7 +1022,8 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
     else:
         t, prim, u, v = traverse_jnp.ray_intersect_preliminary(
             scene, ray.o, ray.d, ray.maxt)
-    pi = PreliminaryIntersection(t=t, prim_index=prim, prim_uv=Vec2(u, v))
+    pi = PreliminaryIntersection(t=t, prim_index=prim, prim_uv=Vec2(u, v),
+                                 inst=inst)
     return compute_surface_interaction(scene, ray, pi)
 
 
@@ -810,6 +1036,15 @@ def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
         from ..render.nif import nif_ray_test
         return nif_ray_test(scene.shadow_nif, ray.o, ray.d, ray.maxt)
     backend = _pick_backend(scene)
+    if scene.has_instances:
+        if backend == "pallas":
+            if _want_sort(jnp.shape(ray.o.x)[0]):
+                return _sorted_pallas_ray_test(scene, ray.o, ray.d, ray.maxt)
+            return traverse_pallas.ray_test_instanced(
+                scene, ray.o, ray.d, ray.maxt)
+        sg = jax.lax.stop_gradient
+        return traverse_jnp._ray_test_instanced(
+            sg(scene), sg(ray.o), sg(ray.d), sg(ray.maxt))
     if backend == "brute":
         return brute.ray_test_brute(scene, ray.o, ray.d, ray.maxt)
     if backend == "pallas":

@@ -147,11 +147,45 @@ def cylinder(radius=1.0, length=1.0, segments: int = 64, bsdf=None,
                     bsdf=bsdf, emitter=emitter, id=id)
 
 
-def instance(group, to_world=None, id: str = ""):
-    """Instance a list of MeshData (shapegroup) under a transform —
-    src/shapes/{shapegroup,instance}.cpp. TPU-native take: instances are
-    flattened at scene build into transformed prim records (the BVH then
-    treats them like any geometry)."""
+@dataclasses.dataclass
+class Instance:
+    """A shared-BLAS instance of a shapegroup (src/shapes/instance.cpp;
+    the OptiX-IAS analog). The group's meshes are stored ONCE in
+    instance-local space; `build_scene` builds one BLAS per distinct
+    group and a TLAS over instance world AABBs, and the traversal kernels
+    re-derive rays into instance space at instance boundaries
+    (docs/TPU_TRAVERSAL.md "true shared-BLAS instancing").
+
+    `group` must be the SAME object (identity) across instances for the
+    BLAS to be shared — `shapegroup()` returns such a handle."""
+    group: tuple                     # tuple of MeshData, shared by identity
+    to_world: Optional[np.ndarray] = None   # (4, 4) f32, None = identity
+    id: str = ""
+
+
+def shapegroup(shapes, id: str = "") -> tuple:
+    """Named collection of shapes for instancing (shapegroup.cpp). The
+    returned handle is what `instance()` references; instances of the
+    same handle share one BLAS. Emitters and interior media on group
+    shapes are rejected at build (matching the reference: instanced
+    emitters are unsupported)."""
+    return tuple(shapes)
+
+
+def instance(group, to_world=None, id: str = "", flatten: bool = False):
+    """Instance a shapegroup under a transform (instance.cpp).
+
+    Default: a shared-BLAS `Instance` record — K instances of an M-tri
+    group cost one BLAS + K transforms of HBM, not K*M prims.
+    `flatten=True` restores the round-2 behavior (duplicated, transformed
+    prim records) — needed when the instanced geometry must reach
+    backends without instance support (brute force, the MXU cluster
+    path) or carry emitters/media."""
+    if not flatten:
+        return Instance(group=tuple(group),
+                        to_world=None if to_world is None
+                        else np.asarray(to_world, np.float32).reshape(4, 4),
+                        id=id)
     out = []
     for i, m in enumerate(group):
         mi_ = m.transformed(to_world) if to_world is not None else m.copy()

@@ -124,8 +124,9 @@ def test_load_file_with_include(tmp_path):
 
 
 def test_shapegroup_instance_xml():
-    """shapegroup + instance flatten into transformed copies (src/shapes/
-    {shapegroup,instance}.cpp)."""
+    """shapegroup + instance share one BLAS (src/shapes/
+    {shapegroup,instance}.cpp; OptiX-IAS analog): the group's geometry
+    appears ONCE in the scene tables regardless of instance count."""
     import numpy as np
     from mitsuba2_tpu.scene.loader import load_string
     xml = """
@@ -154,7 +155,10 @@ def test_shapegroup_instance_xml():
     """
     scene, cfg = load_string(xml)
     assert cfg.sampler == "stratified"
-    assert scene.n_shapes == 2 and scene.n_prims == 2
+    # shared-BLAS: the sphere is stored once; two instances reference it
+    assert scene.has_instances
+    assert scene.n_shapes == 1 and scene.n_prims == 1
+    assert scene.inst_inv.shape[0] == 2  # no plain shapes -> no world inst
     import mitsuba2_tpu as mi
     from mitsuba2_tpu.render.integrators import render
     img = np.asarray(render(scene, cfg.replace(spp=8, spp_per_pass=8,
