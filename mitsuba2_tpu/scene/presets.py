@@ -300,3 +300,38 @@ def kitchen_sink() -> SceneData:
               "focus_distance": float(np.linalg.norm([0.3, 0.8, -3.4]))}
     return build_scene([floor, metal, glass, fog, light], sensor,
                        emitters=[envmap])
+
+
+def instanced_field(n: int = 64, subdiv: int = 3) -> SceneData:
+    """Shared-BLAS instancing stress scene: an n-instance field of ONE
+    displaced-icosphere blob (20*4^subdiv tris stored once) over a ground
+    plane, under a constant sky. With subdiv=3 and n=64 the scene
+    resolves 64 * 5120 = 327k EFFECTIVE triangles from 5.1k stored prims
+    — the regime the reference handles with OptiX instance acceleration
+    structures (IAS) and the flattened build cannot scale to in HBM."""
+    rng = np.random.default_rng(7)
+    base_v, faces = _icosphere(subdiv)
+    v = _displace(base_v.copy(), seed=3)
+    grp = shapes.shapegroup([shapes.mesh(
+        v, faces, bsdf={"type": "diffuse", "reflectance": [0.55, 0.5, 0.4]},
+        id="blob")], id="blob_grp")
+
+    side = int(np.ceil(np.sqrt(n)))
+    s = [_quad([-side, 0, -side], [-side, 0, side], [side, 0, side],
+               [side, 0, -side], bsdf={"type": "diffuse",
+                                       "reflectance": WHITE}, id="ground")]
+    for k in range(n):
+        i, j = divmod(k, side)
+        t = (Transform4.translate([2.0 * i - side + 1.0,
+                                   0.45 + 0.15 * float(rng.uniform()),
+                                   2.0 * j - side + 1.0])
+             @ Transform4.rotate([0, 1, 0], float(rng.uniform(0, 360)))
+             @ Transform4.scale([0.35 + 0.15 * float(rng.uniform())] * 3))
+        s.append(shapes.instance(grp, np.asarray(t.matrix), id=f"b{k}"))
+
+    cam = Transform4.look_at(origin=[0.0, side * 0.8, -side * 1.6],
+                             target=[0.0, 0.3, 0.0], up=[0, 1, 0])
+    sensor = {"type": "perspective", "to_world": np.asarray(cam.matrix),
+              "fov": 55.0}
+    return build_scene(s, sensor,
+                       [{"type": "constant", "radiance": [0.9, 0.95, 1.0]}])
