@@ -56,8 +56,8 @@ def main():
     from mitsuba2_tpu.render.integrators import _render_all_passes_jit
     from mitsuba2_tpu.scene.presets import cornell_box, mesh_gallery
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-mitsuba2")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from mitsuba2_tpu.utils import jaxcache
+    jaxcache.configure(jax)
 
     # ---- 1) Cornell box, forward ------------------------------------------
     scene = cornell_box()

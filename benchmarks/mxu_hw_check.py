@@ -12,7 +12,7 @@ signal.signal(signal.SIGALRM, _watchdog)
 signal.alarm(420)
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-mitsuba2")
+__import__("mitsuba2_tpu.utils.jaxcache", fromlist=["x"]).configure(jax)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np

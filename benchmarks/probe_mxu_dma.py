@@ -5,7 +5,7 @@ stage("start")
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-mitsuba2")
+__import__("mitsuba2_tpu.utils.jaxcache", fromlist=["x"]).configure(jax)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 stage(f"jax init {jax.devices()}")
 

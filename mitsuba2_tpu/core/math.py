@@ -22,17 +22,42 @@ ONE_MINUS_EPSILON = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
 INF = float("inf")
 
 
+@jax.custom_jvp
 def safe_sqrt(x):
-    """sqrt clamped to zero — avoids NaN gradients at x == 0 (dr::safe_sqrt)."""
+    """sqrt clamped to zero with a FINITE derivative at x <= 0
+    (dr::safe_sqrt). Plain sqrt(max(x, 0)) still has derivative +inf AT
+    x == 0, and the adjoint's 0-cotangent times that inf poisons every
+    upstream gradient with NaN (observed: roughconductor material grads
+    through the VNDF sampler's sin_t = safe_sqrt(1 - cos^2))."""
     return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jnp.sqrt(jnp.maximum(x, 0.0))
+    dy = jnp.where(x > 1e-20, 0.5 / jnp.maximum(y, 1e-10), 0.0) * dx
+    return y, dy
 
 
 def safe_rsqrt(x):
     return jax.lax.rsqrt(jnp.maximum(x, jnp.finfo(jnp.float32).tiny))
 
 
+@jax.custom_jvp
 def safe_acos(x):
+    """arccos clamped to [-1, 1] with a BOUNDED derivative at the
+    endpoints (plain acos has derivative -inf at |x| = 1; see safe_sqrt
+    for the 0 * inf = NaN adjoint mechanism)."""
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_acos.defjvp
+def _safe_acos_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    xc = jnp.clip(x, -1.0, 1.0)
+    dy = -1.0 / safe_sqrt(1.0 - xc * xc + 1e-12) * dx
+    return jnp.arccos(xc), dy
 
 
 def safe_asin(x):

@@ -44,8 +44,13 @@ def _gather_1d_fwd(col, idx):
 def _gather_1d_bwd(res, ct):
     idx, M = res
     oh = jax.nn.one_hot(idx, M, dtype=ct.dtype)
-    d_col = ct @ oh
-    return d_col, np.zeros(idx.shape, jax.dtypes.float0)
+    # contract over ALL index dims (matmul for the hot (N,) case; a plain
+    # scale for 0-d cotangents — scalar-index gathers like the constant
+    # env emitter's spectrum slot reach here under the adjoint)
+    ax = tuple(range(ct.ndim))
+    d_col = jnp.tensordot(ct, oh, axes=(ax, ax))
+    # np.shape: idx may be a plain python int (static scalar index)
+    return d_col, np.zeros(np.shape(idx), jax.dtypes.float0)
 
 
 _gather_1d.defvjp(_gather_1d_fwd, _gather_1d_bwd)

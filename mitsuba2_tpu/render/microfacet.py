@@ -48,10 +48,20 @@ def smith_g1(dist, v, m_dir, alpha_u, alpha_v):
     cos2 = v.z * v.z
     tan_theta_alpha_2 = xy_alpha_2 / jnp.maximum(cos2, 1e-20)
     g_ggx = 2.0 / (1.0 + jnp.sqrt(1.0 + tan_theta_alpha_2))
-    a = 1.0 / jnp.maximum(jnp.sqrt(tan_theta_alpha_2), 1e-20)
-    a2 = a * a
+    # NaN-safe under AD (the adjoint leaks NaN through zero-cotangent
+    # products of UNSELECTED where branches): (a) the eps goes INSIDE the
+    # sqrt — sqrt(0) has an infinite derivative and 0 * inf = NaN in the
+    # backward; (b) `a` is clamped to the rational's selected range —
+    # unclamped, a^2 overflows f32 to inf at tan->0 and the inf/inf = NaN
+    # poisons d(alpha) even though the branch value is discarded.
+    # (eps 1e-30, not smaller: f32 denormals may flush to zero, which
+    # would put the infinite sqrt-derivative right back)
+    a = 1.0 / jnp.sqrt(jnp.maximum(tan_theta_alpha_2, 1e-30))
+    a_s = jnp.minimum(a, 1.6)
+    a2 = a_s * a_s
     g_bk = jnp.where(a >= 1.6, 1.0,
-                     (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2))
+                     (3.535 * a_s + 2.181 * a2) /
+                     (1.0 + 2.276 * a_s + 2.577 * a2))
     g = jnp.where(dist == GGX, g_ggx, g_bk)
     same_side = (vdot(v, m_dir) * v.z) > 0
     g = jnp.where(same_side, g, 0.0)

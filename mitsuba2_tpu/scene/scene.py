@@ -788,11 +788,15 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
     uvy = u0y * w + u1y * u + u2y * v
 
     if scene.has_spheres:
-        # Sphere (center p0, radius e1.x)
+        # Sphere (center p0, radius e1.x). t clamped on MISS lanes:
+        # pi.t = inf there, and o + inf*d = NaN would flow into
+        # acos/arctan2 — masked in the image but poisoning gradients
+        # (0-cotangent x NaN-derivative, see core/math.py safe_sqrt).
+        t_safe = jnp.where(valid, pi.t, 1.0)
         r_sph = jnp.maximum(e1x, 1e-20)
-        sx, sy, sz = norm3(ray.o.x + ray.d.x * pi.t - p0x,
-                           ray.o.y + ray.d.y * pi.t - p0y,
-                           ray.o.z + ray.d.z * pi.t - p0z)
+        sx, sy, sz = norm3(ray.o.x + ray.d.x * t_safe - p0x,
+                           ray.o.y + ray.d.y * t_safe - p0y,
+                           ray.o.z + ray.d.z * t_safe - p0z)
         psx = p0x + sx * r_sph  # re-projected for precision (sphere.cpp)
         psy = p0y + sy * r_sph
         psz = p0z + sz * r_sph

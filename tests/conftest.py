@@ -16,15 +16,18 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated (every test
 # retraces render passes); caching XLA executables across runs/processes
-# cuts repeat wall time dramatically.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-mitsuba2")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# cuts repeat wall time dramatically. The directory is keyed by a CPU
+# fingerprint: XLA:CPU AOT artifacts from a previous VM (different CPU
+# flags) SEGFAULT when loaded (utils/jaxcache.py).
+from mitsuba2_tpu.utils import jaxcache  # noqa: E402
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jaxcache.configure(jax)
+

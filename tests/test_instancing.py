@@ -212,3 +212,33 @@ def test_instancing_rejections():
             ray_intersect(s_i, _ray(ov, dv, np.inf))
     finally:
         scene_mod.set_backend("auto")
+
+
+def test_instanced_adjoint_grads_finite():
+    """The two-phase adjoint runs on instanced scenes (material/emitter
+    gradients through the instance-aware intersection + world-lift)."""
+    s_i, _ = _scenes()
+    cfg = mi.RenderConfig(width=16, height=16, spp=8, spp_per_pass=8,
+                          max_depth=2)
+    target = np.zeros((16, 16, 3), np.float32)
+    img, loss, grads = mi.render_l2_grad(s_i, cfg, target, seed=0)
+    assert np.isfinite(np.asarray(loss))
+    assert np.isfinite(np.asarray(grads["mat_data"])).all()
+    assert float(np.abs(np.asarray(grads["mat_data"])).max()) > 0
+
+
+def test_instanced_render_sharded_matches_single():
+    """Instanced scene under the 8-virtual-device mesh == single device
+    (the scene pytree incl. instance tables replicates cleanly)."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs the 8-virtual-device mesh")
+    from mitsuba2_tpu.dist.sharding import make_mesh, render_sharded
+    s_i, _ = _scenes()
+    cfg = mi.RenderConfig(width=16, height=16, spp=16, spp_per_pass=16,
+                          max_depth=2)
+    single = np.asarray(mi.render(s_i, cfg, seed=3))
+    mesh = make_mesh()
+    sharded = np.asarray(render_sharded(s_i, cfg, mesh, seed=3))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
