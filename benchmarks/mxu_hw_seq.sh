@@ -32,3 +32,8 @@ for e in "MI_MXU_BLOCK=2048" "MI_MXU_BLOCK=4096" "MI_CLUSTER_K=64" "MI_CLUSTER_K
   env $e timeout 600 python benchmarks/traverse_bench.py --backend mxu --n 262144 --subdiv 4 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
 done
 echo "=== $(date) done" | tee -a "$LOG"
+
+echo "=== $(date) phase 5: instanced kernels (shared-BLAS TLAS/BLAS walk)" | tee -a "$LOG"
+timeout 600 python benchmarks/traverse_bench.py --backend inst --n 4096 --inst-n 4 --subdiv 2 --rounds 2 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+timeout 600 python benchmarks/traverse_bench.py --backend inst --n 262144 --inst-n 64 --subdiv 3 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+echo "=== $(date) all phases done" | tee -a "$LOG"

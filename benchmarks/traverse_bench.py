@@ -27,7 +27,9 @@ def _watchdog(sig, frame):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="jnp",
-                    choices=["jnp", "pallas", "mxu"])
+                    choices=["jnp", "pallas", "mxu", "inst"])
+    ap.add_argument("--inst-n", type=int, default=16,
+                    help="inst backend: instance count for instanced_field")
     ap.add_argument("--n", type=int, default=262144)
     ap.add_argument("--subdiv", type=int, default=4)
     ap.add_argument("--rounds", type=int, default=3)
@@ -47,9 +49,14 @@ def main():
     import numpy as np
 
     from mitsuba2_tpu.kernels import traverse_jnp, traverse_pallas
-    from mitsuba2_tpu.scene.presets import mesh_gallery
+    from mitsuba2_tpu.scene.presets import instanced_field, mesh_gallery
 
-    scene = mesh_gallery(subdiv=args.subdiv)
+    if args.backend == "inst":
+        # shared-BLAS instanced Pallas kernels on the instancing stress
+        # scene (hardware-validation phase 5)
+        scene = instanced_field(n=args.inst_n, subdiv=args.subdiv)
+    else:
+        scene = mesh_gallery(subdiv=args.subdiv)
     print(f"# scene: {scene.n_prims} prims, "
           f"{scene.bvh_miss.shape[0]} bvh nodes, device="
           f"{jax.devices()[0].platform}", flush=True)
@@ -81,9 +88,15 @@ def main():
 
         # scene passed as a jit ARGUMENT: closing over SceneData embeds MBs
         # of constants in the HLO and stalls the remote compile service
-        closest = jax.jit(lambda sc, o, d: mod.ray_intersect_preliminary(
-            sc, o, d, jnp.inf))
-        anyhit = jax.jit(lambda sc, o, d: mod.ray_test(sc, o, d, 2.0))
+        if args.backend == "inst":
+            closest = jax.jit(lambda sc, o, d: mod.ray_intersect_instanced(
+                sc, o, d, jnp.inf))
+            anyhit = jax.jit(lambda sc, o, d: mod.ray_test_instanced(
+                sc, o, d, 2.0))
+        else:
+            closest = jax.jit(lambda sc, o, d: mod.ray_intersect_preliminary(
+                sc, o, d, jnp.inf))
+            anyhit = jax.jit(lambda sc, o, d: mod.ray_test(sc, o, d, 2.0))
         closest = functools.partial(closest, scene)
         anyhit = functools.partial(anyhit, scene)
 
