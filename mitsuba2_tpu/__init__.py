@@ -104,6 +104,9 @@ _LAZY = {
     # scene construction
     "build_scene": ("scene.scene", "build_scene"),
     "SceneData": ("scene.scene", "SceneData"),
+    "Transform4": ("core.geometry", "Transform4"),
+    "shapes": ("scene.shapes", None),
+    "presets": ("scene.presets", None),
     # user-defined plugins (render/bsdf.py)
     "register_bsdf": ("render.bsdf", "register_bsdf"),
     # bitmap I/O (core/io_bitmap.py)

@@ -31,3 +31,19 @@ from mitsuba2_tpu.utils import jaxcache  # noqa: E402
 
 jaxcache.configure(jax)
 
+
+
+# The full suite compiles hundreds of XLA programs in one process; on
+# single-core VMs the run intermittently SEGFAULTs inside
+# backend_compile_and_load late in the suite (crash point varies,
+# standalone reruns of the same files pass — cumulative in-process
+# state). Dropping the in-memory executable caches between test MODULES
+# bounds that accumulation; the persistent disk cache (fingerprinted
+# above) makes reloads cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()

@@ -35,10 +35,12 @@ CBOX_XML = """
 
 def test_lazy_exports_resolve():
     for name in ("render", "render_any", "render_and_grad", "traverse",
+                 "Transform4", "shapes", "presets", "register_bsdf",
                  "scene_with", "read_bitmap", "write_bitmap", "build_scene",
                  "make_mesh", "render_sharded", "load_file", "load_dict",
                  "load_string", "set_variant", "variants", "RenderConfig"):
-        assert callable(getattr(mi, name)) or name == "variants"
+        v = getattr(mi, name)
+        assert callable(v) or name in ("variants", "shapes", "presets")
     assert "render" in dir(mi)
     with pytest.raises(AttributeError):
         mi.not_a_real_symbol
