@@ -181,3 +181,110 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _collapse_bvh8(scene):
+    """Collapse the BVH2 into BVH8 nodes (each BVH8 node = up to 8 BVH2
+    descendants reached by expanding inner children breadth-first).
+    Returns (children (M, 8) BVH2-node ids padded -1, n_bvh8_nodes) —
+    enough structure for step counting; no layout/links needed."""
+    import numpy as np
+    ls = np.asarray(scene.bvh_leaf_start)
+    miss = np.asarray(scene.bvh_miss)
+    n = miss.shape[0]
+    inner = ls < 0
+    left = np.where(inner, np.arange(n) + 1, -1)
+    right = np.where(inner, miss[np.minimum(np.maximum(left, 0), n - 1)], -1)
+
+    nodes8 = []          # each: list of BVH2 ids (leaves of the collapse)
+    node8_of = {}        # BVH2 id -> bvh8 node index owning it as a child
+    stack = [0]
+    while stack:
+        root = stack.pop()
+        # expand until 8 children: repeatedly split the child with the
+        # largest subtree (approximated: any inner child, FIFO)
+        kids = [root]
+        while len(kids) < 8:
+            # pick first inner child to expand
+            for i, k in enumerate(kids):
+                if inner[k]:
+                    kids[i:i+1] = [int(left[k]), int(right[k])]
+                    break
+            else:
+                break
+        idx = len(nodes8)
+        nodes8.append(kids)
+        for k in kids:
+            node8_of[k] = idx
+            if inner[k]:
+                stack.append(k)
+    return nodes8
+
+
+def bvh8_walk_counts(scene, o, d, t_best, block):
+    """Block-synchronous BVH8 walk step count: one step = one BVH8 node
+    visit (8 child slab tests + 8 scalar row loads). Children whose box
+    the block hits AND that are inner BVH2 nodes push their BVH8 node.
+    Leaf children count as leaf visits (prim tests unchanged in total).
+    Upper bound only (no ordered t-culling across the 8 children)."""
+    import numpy as np
+    nmin = np.asarray(scene.bvh_min)
+    nmax = np.asarray(scene.bvh_max)
+    ls = np.asarray(scene.bvh_leaf_start)
+    nodes8 = _collapse_bvh8(scene)
+    # map BVH2 inner id -> bvh8 node that expands it
+    expand = {}
+    for i, kids in enumerate(nodes8):
+        pass
+    # build: bvh8 node for subtree rooted at BVH2 id r is the entry whose
+    # construction started at r
+    root_of = {}
+    # reconstruct roots the same way _collapse_bvh8 assigns (first entry
+    # root 0; every inner child k spawns a bvh8 node later). Simpler: map
+    # by re-running the collapse bookkeeping.
+    inner = ls < 0
+    n = ls.shape[0]
+    left = np.where(inner, np.arange(n) + 1, -1)
+    miss = np.asarray(scene.bvh_miss)
+    right = np.where(inner, miss[np.minimum(np.maximum(left, 0), n - 1)], -1)
+    idx_of_root = {}
+    stack = [0]
+    order = []
+    while stack:
+        r = stack.pop()
+        kids = [r]
+        while len(kids) < 8:
+            for i, k in enumerate(kids):
+                if inner[k]:
+                    kids[i:i+1] = [int(left[k]), int(right[k])]
+                    break
+            else:
+                break
+        idx_of_root[r] = len(order)
+        order.append(kids)
+        for k in kids:
+            if inner[k]:
+                stack.append(k)
+
+    nrays = o.shape[0]
+    inv = 1.0 / np.where(np.abs(d) < 1e-20, 1e-20, d)
+    steps = leaf_visits = 0
+    for b0 in range(0, nrays, block):
+        sl = slice(b0, b0 + block)
+        ob, ib, tb = o[sl], inv[sl], t_best[sl]
+        work = [0]  # BVH2 roots of bvh8 nodes to visit
+        while work:
+            r = work.pop()
+            steps += 1
+            for k in order[idx_of_root[r]]:
+                t0 = (nmin[k] - ob) * ib
+                t1 = (nmax[k] - ob) * ib
+                tmin = np.minimum(t0, t1).max(1)
+                tmax = np.maximum(t0, t1).min(1)
+                if not ((tmin <= tmax) & (tmax > 0) & (tmin < tb)).any():
+                    continue
+                if inner[k]:
+                    work.append(k)
+                else:
+                    leaf_visits += 1
+    return steps, leaf_visits
