@@ -37,3 +37,8 @@ echo "=== $(date) phase 5: instanced kernels (shared-BLAS TLAS/BLAS walk)" | tee
 timeout 600 python benchmarks/traverse_bench.py --backend inst --n 4096 --inst-n 4 --subdiv 2 --rounds 2 --watchdog 540 2>&1 | filter | tee -a "$LOG"
 timeout 600 python benchmarks/traverse_bench.py --backend inst --n 262144 --inst-n 64 --subdiv 3 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
 echo "=== $(date) all phases done" | tee -a "$LOG"
+
+echo "=== $(date) phase 6: BVH8 child-testing walk (walk-model 6-7.4x fewer steps)" | tee -a "$LOG"
+timeout 600 python benchmarks/traverse_bench.py --backend bvh8 --n 4096 --subdiv 1 --rounds 2 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+timeout 600 python benchmarks/traverse_bench.py --backend bvh8 --n 262144 --subdiv 4 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+echo "=== $(date) phase 6 done" | tee -a "$LOG"

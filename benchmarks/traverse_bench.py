@@ -27,7 +27,7 @@ def _watchdog(sig, frame):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="jnp",
-                    choices=["jnp", "pallas", "mxu", "inst"])
+                    choices=["jnp", "pallas", "mxu", "inst", "bvh8"])
     ap.add_argument("--inst-n", type=int, default=16,
                     help="inst backend: instance count for instanced_field")
     ap.add_argument("--n", type=int, default=262144)
@@ -92,6 +92,11 @@ def main():
             closest = jax.jit(lambda sc, o, d: mod.ray_intersect_instanced(
                 sc, o, d, jnp.inf))
             anyhit = jax.jit(lambda sc, o, d: mod.ray_test_instanced(
+                sc, o, d, 2.0))
+        elif args.backend == "bvh8":
+            closest = jax.jit(lambda sc, o, d: mod.ray_intersect_bvh8(
+                sc, o, d, jnp.inf))
+            anyhit = jax.jit(lambda sc, o, d: mod.ray_test_bvh8(
                 sc, o, d, 2.0))
         else:
             closest = jax.jit(lambda sc, o, d: mod.ray_intersect_preliminary(

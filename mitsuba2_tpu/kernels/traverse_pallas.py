@@ -1008,3 +1008,348 @@ def ray_test_instanced(scene, ray_o, ray_d, t_max, interpret=None):
     if isinstance(occ, (tuple, list)):
         occ = occ[0]
     return (occ.reshape(n_pad)[:N]) != 0
+
+
+# ===========================================================================
+# BVH8 child-testing walk (round-3 traversal candidate; walk-model
+# measured 6-7.4x fewer block-synchronous steps than the threaded BVH2
+# walk — docs/TPU_TRAVERSAL.md). Tables from bvh.py::collapse_bvh8:
+#   child_f: (M*8, 8) f32 [min.xyz, max.xyz, kind, count] — kind >= 0 is
+#            a prim-leaf start, -1 empty, <= -2 inner (BVH8 id = -2-kind)
+#   order8:  (M*8, 8) i32 per-(node, octant) near-first child order
+# One visit slab-tests all 8 children and records a HITMASK; subsequent
+# steps advance one hit child at a time (re-culled against the improved
+# t_best), descending into inner children via a STATIC-DEPTH stack of
+# SCALAR loop-state registers (select-chain push/pop — no novel memory
+# constructs: scalar row loads + vector math + scalar selects only).
+# Default OFF (set_backend("bvh8") / MI_BVH8=1) until compiled-on-TPU
+# validation, like the MXU path.
+# ===========================================================================
+
+BVH8_STACK_MARGIN = 2
+
+
+def _sel8_row(row, j):
+    """row (1, 8) scalar-select by traced index j (static unrolled)."""
+    v = row[0, 0]
+    for k in range(1, 8):
+        v = jnp.where(j == k, row[0, k], v)
+    return v
+
+
+def _lowest_set_bit(mask):
+    """Index of the lowest set bit of an 8-bit scalar mask (0 if none)."""
+    j = jnp.int32(0)
+    for k in range(7, -1, -1):
+        j = jnp.where(((mask >> k) & 1) == 1, jnp.int32(k), j)
+    return j
+
+
+def _slab_row(crow, ox, oy, oz, ix, iy, iz, t_best):
+    """AABB slab test of one child row [min.xyz, max.xyz, ...]."""
+    t0x = (crow[0, 0] - ox) * ix
+    t1x = (crow[0, 3] - ox) * ix
+    t0y = (crow[0, 1] - oy) * iy
+    t1y = (crow[0, 4] - oy) * iy
+    t0z = (crow[0, 2] - oz) * iz
+    t1z = (crow[0, 5] - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.minimum(t0z, t1z))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                   jnp.maximum(t0y, t1y)),
+                       jnp.maximum(t0z, t1z))
+    return (tmin <= tmax) & (tmax > 0.0) & (tmin < t_best)
+
+
+def _closest_hit_bvh8_kernel(child_f, order8, prim_f,
+                             ox, oy, oz, dx, dy, dz, tmax,
+                             t_out, prim_out, u_out, v_out,
+                             stack_d: int, fuel_cap: int):
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    octv = _octant_vote(dxv, dyv, dzv)
+    msub = oxv.shape[0]
+    D = stack_d
+
+    def cond(state):
+        cur, fuel = state[0], state[1]
+        return (cur >= 0) & (fuel < fuel_cap)
+
+    def body(state):
+        cur, fuel, mask, fresh, sp = state[0:5]
+        st_n = list(state[5:5 + D])
+        st_m = list(state[5 + D:5 + 2 * D])
+        t_best, best, bu, bv = state[5 + 2 * D:]
+
+        ordrow = order8[pl.ds(cur * 8 + octv, 1), :]
+
+        # --- fresh visit: hitmask of all 8 children (octant visit order)
+        def fresh_fn(t_best):
+            m = jnp.int32(0)
+            for j in range(8):           # static: ordrow[0, j] directly
+                s = ordrow[0, j]
+                crow = child_f[pl.ds(cur * 8 + s, 1), :]
+                nonempty = crow[0, 6] != -1.0
+                hit = jnp.any(_slab_row(crow, oxv, oyv, ozv,
+                                        ixv, iyv, izv, t_best)) & nonempty
+                m = m | (hit.astype(jnp.int32) << j)
+            return m
+
+        mask = jax.lax.cond(fresh == 1, fresh_fn,
+                            lambda _: mask, t_best)
+
+        do_pop = mask == 0
+
+        # --- advance one hit child (indices clamped when popping) -------
+        j = _lowest_set_bit(mask)
+        mask_cleared = mask & ~(jnp.int32(1) << j)
+        s = _sel8_row(ordrow, j)
+        crow = child_f[pl.ds(cur * 8 + jnp.maximum(s, 0), 1), :]
+        kind = crow[0, 6]
+        is_leaf_c = kind >= 0.0
+        # re-cull against the t_best improved since the fresh visit
+        chit = jnp.any(_slab_row(crow, oxv, oyv, ozv, ixv, iyv, izv,
+                                 t_best)) & jnp.logical_not(do_pop)
+        leaf_start = kind.astype(jnp.int32)
+        leaf_count = crow[0, 7].astype(jnp.int32)
+
+        def leaf_tests(args):
+            t_best, best, bu, bv = args
+            for k in range(LEAF_K):
+                pr = prim_f[pl.ds(leaf_start + k, 1), :]
+                tk, uk, vk = _prim_test(pr, oxv, oyv, ozv, dxv, dyv, dzv)
+                closer = (k < leaf_count) & (tk < t_best)
+                t_best = jnp.where(closer, tk, t_best)
+                best = jnp.where(closer, leaf_start + k, best)
+                bu = jnp.where(closer, uk, bu)
+                bv = jnp.where(closer, vk, bv)
+            return t_best, best, bu, bv
+
+        t_best, best, bu, bv = jax.lax.cond(
+            chit & is_leaf_c, leaf_tests, lambda a: a,
+            (t_best, best, bu, bv))
+
+        descend = chit & jnp.logical_not(is_leaf_c)
+        child_id = (-2 - kind.astype(jnp.int32))
+
+        # --- stack: select-chain push (descend) / pop (mask empty) ------
+        npop = jnp.maximum(sp - 1, 0)
+        pop_node = st_n[0]
+        pop_mask = st_m[0]
+        for k in range(1, D):
+            pop_node = jnp.where(npop == k, st_n[k], pop_node)
+            pop_mask = jnp.where(npop == k, st_m[k], pop_mask)
+        for k in range(D):
+            at = descend & (sp == k)
+            st_n[k] = jnp.where(at, cur, st_n[k])
+            st_m[k] = jnp.where(at, mask_cleared, st_m[k])
+
+        ncur = jnp.where(do_pop,
+                         jnp.where(sp > 0, pop_node, jnp.int32(-1)),
+                         jnp.where(descend, child_id, cur))
+        nmask = jnp.where(do_pop,
+                          jnp.where(sp > 0, pop_mask, jnp.int32(0)),
+                          jnp.where(descend, jnp.int32(0), mask_cleared))
+        nfresh = jnp.where(descend, jnp.int32(1), jnp.int32(0))
+        nsp = jnp.where(do_pop, npop,
+                        jnp.where(descend, jnp.minimum(sp + 1, D), sp))
+
+        return tuple([ncur, fuel + 1, nmask, nfresh, nsp]
+                     + st_n + st_m + [t_best, best, bu, bv])
+
+    zi = jnp.int32(0)
+    init = tuple([zi, zi, zi, jnp.int32(1), zi]
+                 + [jnp.int32(-1)] * D + [zi] * D
+                 + [tmax[:],
+                    jnp.full((msub, _LANE), -1, jnp.int32),
+                    jnp.zeros((msub, _LANE), jnp.float32),
+                    jnp.zeros((msub, _LANE), jnp.float32)])
+    out = jax.lax.while_loop(cond, body, init)
+    t_best, best, bu, bv = out[5 + 2 * D:]
+    t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
+    prim_out[:] = best
+    u_out[:] = bu
+    v_out[:] = bv
+
+
+def _any_hit_bvh8_kernel(child_f, order8, prim_f,
+                         ox, oy, oz, dx, dy, dz, tmax, occ_out,
+                         stack_d: int, fuel_cap: int):
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    tmv = tmax[:]
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    octv = _octant_vote(dxv, dyv, dzv)
+    msub = oxv.shape[0]
+    D = stack_d
+
+    def cond(state):
+        cur, fuel = state[0], state[1]
+        occ_f = state[5 + 2 * D]
+        return (cur >= 0) & (fuel < fuel_cap) & (jnp.min(occ_f) < 1.0)
+
+    def body(state):
+        cur, fuel, mask, fresh, sp = state[0:5]
+        st_n = list(state[5:5 + D])
+        st_m = list(state[5 + D:5 + 2 * D])
+        occ_f = state[5 + 2 * D]
+
+        ordrow = order8[pl.ds(cur * 8 + octv, 1), :]
+        alive = occ_f < 1.0
+
+        def fresh_fn(occ_f):
+            m = jnp.int32(0)
+            for j in range(8):
+                s = ordrow[0, j]
+                crow = child_f[pl.ds(cur * 8 + s, 1), :]
+                nonempty = crow[0, 6] != -1.0
+                hit = jnp.any(_slab_row(crow, oxv, oyv, ozv,
+                                        ixv, iyv, izv, tmv)
+                              & alive) & nonempty
+                m = m | (hit.astype(jnp.int32) << j)
+            return m
+
+        mask = jax.lax.cond(fresh == 1, fresh_fn, lambda _: mask, occ_f)
+        do_pop = mask == 0
+
+        j = _lowest_set_bit(mask)
+        mask_cleared = mask & ~(jnp.int32(1) << j)
+        s = _sel8_row(ordrow, j)
+        crow = child_f[pl.ds(cur * 8 + jnp.maximum(s, 0), 1), :]
+        kind = crow[0, 6]
+        is_leaf_c = kind >= 0.0
+        chit = jnp.logical_not(do_pop)
+        leaf_start = kind.astype(jnp.int32)
+        leaf_count = crow[0, 7].astype(jnp.int32)
+
+        def leaf_tests(occ_f):
+            for k in range(LEAF_K):
+                pr = prim_f[pl.ds(leaf_start + k, 1), :]
+                tk, _, _ = _prim_test(pr, oxv, oyv, ozv, dxv, dyv, dzv)
+                hit = (k < leaf_count) & jnp.isfinite(tk) & (tk <= tmv)
+                occ_f = jnp.maximum(occ_f, jnp.where(hit, 1.0, 0.0))
+            return occ_f
+
+        occ_f = jax.lax.cond(chit & is_leaf_c, leaf_tests,
+                             lambda o: o, occ_f)
+
+        descend = chit & jnp.logical_not(is_leaf_c)
+        child_id = (-2 - kind.astype(jnp.int32))
+
+        npop = jnp.maximum(sp - 1, 0)
+        pop_node = st_n[0]
+        pop_mask = st_m[0]
+        for k in range(1, D):
+            pop_node = jnp.where(npop == k, st_n[k], pop_node)
+            pop_mask = jnp.where(npop == k, st_m[k], pop_mask)
+        for k in range(D):
+            at = descend & (sp == k)
+            st_n[k] = jnp.where(at, cur, st_n[k])
+            st_m[k] = jnp.where(at, mask_cleared, st_m[k])
+
+        ncur = jnp.where(do_pop,
+                         jnp.where(sp > 0, pop_node, jnp.int32(-1)),
+                         jnp.where(descend, child_id, cur))
+        nmask = jnp.where(do_pop,
+                          jnp.where(sp > 0, pop_mask, jnp.int32(0)),
+                          jnp.where(descend, jnp.int32(0), mask_cleared))
+        nfresh = jnp.where(descend, jnp.int32(1), jnp.int32(0))
+        nsp = jnp.where(do_pop, npop,
+                        jnp.where(descend, jnp.minimum(sp + 1, D), sp))
+
+        return tuple([ncur, fuel + 1, nmask, nfresh, nsp]
+                     + st_n + st_m + [occ_f])
+
+    zi = jnp.int32(0)
+    init = tuple([zi, zi, zi, jnp.int32(1), zi]
+                 + [jnp.int32(-1)] * D + [zi] * D
+                 + [jnp.zeros((msub, _LANE), jnp.float32)])
+    occ_f = jax.lax.while_loop(cond, body, init)[5 + 2 * D]
+    occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
+
+
+def _bvh8_tables(scene):
+    _, _, _, prim_f = _pack_tables(scene)
+    return scene.bvh8_child, scene.bvh8_order, prim_f
+
+
+def _bvh8_meta(scene):
+    M = scene.bvh8_child.shape[0] // 8
+    stack_d = int(scene.bvh8_depth) + BVH8_STACK_MARGIN
+    fuel_cap = 10 * M + int(scene.prim_p0.shape[0]) + 64
+    return stack_d, fuel_cap
+
+
+def ray_intersect_bvh8(scene, ray_o, ray_d, t_max, interpret=None):
+    """Closest hit via the BVH8 child-testing walk."""
+    sg = jax.lax.stop_gradient
+    scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    if scene.bvh8_child is None:
+        raise ValueError("scene has no BVH8 tables (tiny or instanced)")
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
+    t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                jnp.shape(oz)[:1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = jnp.shape(oz)[0]
+    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
+    n_blocks = n_pad // BLOCK
+    args = [_blockify(a, n_pad) for a in (ox, oy, oz, dx, dy, dz, t_max)]
+    sh = (n_pad // _LANE, _LANE)
+    out_shapes = [jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.int32),
+                  jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.float32)]
+    stack_d, fuel_cap = _bvh8_meta(scene)
+    kern = functools.partial(_closest_hit_bvh8_kernel,
+                             stack_d=stack_d, fuel_cap=fuel_cap)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec] * 3 + [_ray_spec] * 7,
+        out_specs=tuple(_ray_spec for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*_bvh8_tables(scene), *args)
+    t, prim, u, v = (o.reshape(n_pad)[:N] for o in outs)
+    return t, prim, u, v
+
+
+def ray_test_bvh8(scene, ray_o, ray_d, t_max, interpret=None):
+    """Any-hit occlusion via the BVH8 child-testing walk."""
+    sg = jax.lax.stop_gradient
+    scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    if scene.bvh8_child is None:
+        raise ValueError("scene has no BVH8 tables (tiny or instanced)")
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
+    t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                jnp.shape(oz)[:1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = jnp.shape(oz)[0]
+    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
+    n_blocks = n_pad // BLOCK
+    args = [_blockify(a, n_pad) for a in (ox, oy, oz, dx, dy, dz, t_max)]
+    sh = (n_pad // _LANE, _LANE)
+    stack_d, fuel_cap = _bvh8_meta(scene)
+    kern = functools.partial(_any_hit_bvh8_kernel,
+                             stack_d=stack_d, fuel_cap=fuel_cap)
+    occ = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec] * 3 + [_ray_spec] * 7,
+        out_specs=(_ray_spec,),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*_bvh8_tables(scene), *args)
+    if isinstance(occ, (tuple, list)):
+        occ = occ[0]
+    return (occ.reshape(n_pad)[:N]) != 0

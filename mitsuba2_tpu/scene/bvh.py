@@ -455,3 +455,80 @@ def build_two_level(blas_list, inst_group, inst_bb_min, inst_bb_max):
                 leaf_start=leaf_start, leaf_count=leaf_count, miss=miss,
                 hit8=hit8, miss8=miss8, inst_of_row=inst_of_row,
                 blas_root=blas_root, fuel=fuel, n_tlas=T)
+
+
+# ---------------------------------------------------------------------------
+# BVH8 collapse for the child-testing packet walk (round-3 candidate,
+# walk-model validated: 6-7.4x fewer block-synchronous steps than the
+# threaded BVH2 walk — docs/TPU_TRAVERSAL.md "BVH8 child-testing walk").
+# ---------------------------------------------------------------------------
+
+def collapse_bvh8(bvh: BVH):
+    """Collapse the DFS BVH2 into 8-wide nodes.
+
+    Each BVH8 node owns up to 8 BVH2 descendants ("children"), found by
+    repeatedly expanding inner BVH2 children until 8 slots fill. A child
+    is either a BVH2 prim leaf or the root of another BVH8 node.
+
+    Returns (child_f (M*8, 8) f32 rows [min.xyz, max.xyz, kind, count],
+    order8 (M*8, 8) i32, depth) where kind >= 0 is a prim-leaf start,
+    -1 an empty slot, and kind <= -2 an inner child pointing at BVH8
+    node (-2 - kind). order8 row (node*8 + octant) permutes child slots
+    into near-first visit order for that ray-direction octant (ties and
+    empties last). `depth` bounds the walk's static stack.
+    """
+    n = bvh.miss.shape[0]
+    left, right = children(bvh)
+    inner = bvh.leaf_start < 0
+
+    nodes = []            # list of lists of BVH2 ids
+    idx_of_root = {}      # BVH2 inner id -> BVH8 node index
+    depth_of = {0: 0}     # BVH2 root id of a BVH8 node -> its BVH8 depth
+    depth = 0
+    stack = [0]
+    while stack:
+        r = stack.pop()
+        kids = [int(r)]
+        while len(kids) < 8:
+            for i, k in enumerate(kids):
+                if inner[k]:
+                    kids[i:i + 1] = [int(left[k]), int(right[k])]
+                    break
+            else:
+                break
+        idx_of_root[r] = len(nodes)
+        nodes.append(kids)
+        for k in kids:
+            if inner[k]:
+                depth_of[k] = depth_of[r] + 1
+                depth = max(depth, depth_of[k])
+                stack.append(k)
+
+    M = len(nodes)
+    child_f = np.zeros((M * 8, 8), np.float32)
+    child_f[:, 6] = -1.0  # empty
+    order8 = np.zeros((M * 8, 8), np.int32)
+    for m, kids in enumerate(nodes):
+        cent = []
+        for s, k in enumerate(kids):
+            row = m * 8 + s
+            child_f[row, 0:3] = bvh.bounds_min[k]
+            child_f[row, 3:6] = bvh.bounds_max[k]
+            if inner[k]:
+                child_f[row, 6] = float(-2 - idx_of_root[k])
+            else:
+                child_f[row, 6] = float(bvh.leaf_start[k])
+                child_f[row, 7] = float(bvh.leaf_count[k])
+            cent.append(0.5 * (bvh.bounds_min[k] + bvh.bounds_max[k]))
+        cent = np.asarray(cent)
+        for o in range(8):
+            sign = np.array([(-1.0 if (o >> a) & 1 else 1.0)
+                             for a in range(3)], np.float32)
+            key = cent @ sign  # entry distance proxy along the octant dir
+            ordr = list(np.argsort(key, kind="stable"))
+            ordr += [s for s in range(8) if s >= len(kids)]  # empties last
+            order8[m * 8 + o] = np.asarray(ordr, np.int32)
+
+    # f32-exactness of the packed ids (kind col holds node/prim indices)
+    assert M * 8 < (1 << 24) and len(bvh.prim_order) < (1 << 24)
+    return child_f, order8, depth

@@ -98,6 +98,12 @@ class SceneData:
     mxu_link: jnp.ndarray = None
     cluster_slot_prim: jnp.ndarray = None
     mxu_feat: jnp.ndarray = None
+    # --- BVH8 child-testing walk tables (bvh.py::collapse_bvh8; the
+    # round-3 traversal candidate, walk-model 6-7.4x fewer steps).
+    # bvh8_child: (M*8, 8) f32 [min.xyz, max.xyz, kind, count];
+    # bvh8_order: (M*8, 8) i32 per-octant near-first child permutations.
+    bvh8_child: jnp.ndarray = None
+    bvh8_order: jnp.ndarray = None
     # --- sensor motion (core/geometry.py::AnimatedTransform) ------------------
     # camera motion blur: keyframed to_world; rays sample a shutter time
     # uniformly over the key range. None = static camera. Shape motion is
@@ -139,6 +145,7 @@ class SceneData:
     has_spheres: bool = struct.field(pytree_node=False, default=True)
     has_instances: bool = struct.field(pytree_node=False, default=False)
     inst_fuel: int = struct.field(pytree_node=False, default=0)
+    bvh8_depth: int = struct.field(pytree_node=False, default=0)
     emitter_kinds: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     cam_type: str = struct.field(pytree_node=False, default="perspective")
     has_media: bool = struct.field(pytree_node=False, default=False)
@@ -380,6 +387,8 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         # dispatch guard (traverse_pallas) routes them to the scalar
         # instanced kernels
         mxu_node_f = mxu_link = slot_prim = feat = None
+        bvh8_child = bvh8_order = None
+        bvh8_depth = 0
     else:
         tree = bvh_mod.build_bvh(bb_min, bb_max)
         oct_hit8, oct_miss8 = bvh_mod.build_octant_links(tree)
@@ -406,6 +415,13 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         for c, (s0, cnt) in enumerate(zip(cl_starts, cl_counts)):
             slot_prim[c * CK: c * CK + cnt] = np.arange(s0, s0 + cnt)
         perm = tree.prim_order
+        # BVH8 child-testing walk tables (skipped for brute-force-sized
+        # scenes — the collapse is a host python loop over nodes)
+        bvh8_child = bvh8_order = None
+        bvh8_depth = 0
+        if tree.miss.shape[0] > 96:
+            bvh8_child, bvh8_order, bvh8_depth = \
+                bvh_mod.collapse_bvh8(tree)
     p0, e1, e2 = p0[perm], e1[perm], e2[perm]
     n0, n1, n2 = n0[perm], n1[perm], n2[perm]
     uv0, uv1, uv2 = uv0[perm], uv1[perm], uv2[perm]
@@ -614,6 +630,9 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         mxu_link=None if mxu_link is None else dev(mxu_link.astype(np.int32)),
         cluster_slot_prim=None if slot_prim is None else dev(slot_prim),
         mxu_feat=None if feat is None else dev(feat),
+        bvh8_child=None if bvh8_child is None else dev(bvh8_child),
+        bvh8_order=None if bvh8_order is None else dev(bvh8_order),
+        bvh8_depth=bvh8_depth,
         inst_inv=None if inst_inv16 is None else dev(inst_inv16),
         inst_fwd=None if inst_fwd16 is None else dev(inst_fwd16),
         has_instances=bool(inst_records),
@@ -882,19 +901,24 @@ _BACKEND = "auto"
 
 
 def set_backend(name: str) -> None:
-    """Force the intersection backend: auto | brute | jnp | pallas."""
+    """Force the intersection backend: auto | brute | jnp | pallas |
+    bvh8 (the child-testing walk, kernels/traverse_pallas.py — opt-in
+    until compiled-on-TPU validation)."""
     global _BACKEND
-    assert name in ("auto", "brute", "jnp", "pallas"), name
+    assert name in ("auto", "brute", "jnp", "pallas", "bvh8"), name
     _BACKEND = name
 
 
 def _pick_backend(scene) -> str:
     from ..kernels import brute
     if _BACKEND != "auto":
-        if scene.has_instances and _BACKEND == "brute":
-            raise ValueError("brute-force backend cannot intersect "
+        if scene.has_instances and _BACKEND in ("brute", "bvh8"):
+            raise ValueError(f"{_BACKEND} backend cannot intersect "
                              "shared-BLAS instanced scenes (prim tables "
                              "are instance-local); use jnp or pallas")
+        if _BACKEND == "bvh8" and scene.bvh8_child is None:
+            raise ValueError("bvh8 backend needs BVH8 tables (scene too "
+                             "small; brute force covers it)")
         return _BACKEND
     if scene.has_instances:
         # instanced scenes need instance-aware walkers: the per-lane jnp
@@ -1016,6 +1040,9 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
                 sg(scene), sg(ray.o), sg(ray.d), sg(ray.maxt))
     elif backend == "brute":
         t, prim, u, v = brute.ray_intersect_brute(scene, ray.o, ray.d, ray.maxt)
+    elif backend == "bvh8":
+        t, prim, u, v = traverse_pallas.ray_intersect_bvh8(
+            scene, ray.o, ray.d, ray.maxt)
     elif backend == "pallas":
         if _want_sort(jnp.shape(ray.o.x)[0]):
             t, prim, u, v = _sorted_pallas_intersect(
@@ -1051,6 +1078,8 @@ def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
             sg(scene), sg(ray.o), sg(ray.d), sg(ray.maxt))
     if backend == "brute":
         return brute.ray_test_brute(scene, ray.o, ray.d, ray.maxt)
+    if backend == "bvh8":
+        return traverse_pallas.ray_test_bvh8(scene, ray.o, ray.d, ray.maxt)
     if backend == "pallas":
         if _want_sort(jnp.shape(ray.o.x)[0]):
             return _sorted_pallas_ray_test(scene, ray.o, ray.d, ray.maxt)
