@@ -288,3 +288,59 @@ def bvh8_walk_counts(scene, o, d, t_best, block):
                 else:
                     leaf_visits += 1
     return steps, leaf_visits
+
+
+def bvh8_kernel_iters(scene, o, d, t_best, block):
+    """EXACT iteration count of the BVH8 Pallas kernel's while_loop
+    (one iteration = fresh-mask OR advance-one-child OR pop), for
+    calibrating hardware wall time: t = iters * t_iter with t_iter
+    measured once on chip. Uses the same tables the kernel walks."""
+    import numpy as np
+    cf = np.asarray(scene.bvh8_child)
+    o8 = np.asarray(scene.bvh8_order)
+    nrays = o.shape[0]
+    inv = 1.0 / np.where(np.abs(d) < 1e-20, 1e-20, d)
+    iters = 0
+    for b0 in range(0, nrays, block):
+        sl = slice(b0, b0 + block)
+        ob, ib, tb = o[sl], inv[sl], t_best[sl]
+        octv = int((ib[:, 0] < 0).mean() > 0.5) \
+            | (int((ib[:, 1] < 0).mean() > 0.5) << 1) \
+            | (int((ib[:, 2] < 0).mean() > 0.5) << 2)
+
+        def slab(row):
+            t0 = (row[0:3] - ob) * ib
+            t1 = (row[3:6] - ob) * ib
+            tmin = np.minimum(t0, t1).max(1)
+            tmax = np.maximum(t0, t1).min(1)
+            return ((tmin <= tmax) & (tmax > 0) & (tmin < tb)).any()
+
+        cur, mask, fresh, stack = 0, 0, True, []
+        while cur >= 0:
+            iters += 1
+            ordr = o8[cur * 8 + octv]
+            if fresh:
+                mask = 0
+                for j in range(8):
+                    row = cf[cur * 8 + ordr[j]]
+                    if row[6] != -1.0 and slab(row):
+                        mask |= 1 << j
+                fresh = False
+            if mask == 0:
+                if stack:
+                    cur, mask = stack.pop()
+                else:
+                    cur = -1
+                continue
+            j = (mask & -mask).bit_length() - 1
+            mask &= ~(1 << j)
+            row = cf[cur * 8 + ordr[j]]
+            if not slab(row):
+                continue
+            if row[6] >= 0:
+                continue  # leaf: prim tests happen in this iteration
+            if mask:   # kernel skips pushing exhausted parents
+                stack.append((cur, mask))
+            cur = -2 - int(row[6])
+            fresh = True
+    return iters

@@ -1141,8 +1141,12 @@ def _closest_hit_bvh8_kernel(child_f, order8, prim_f,
         for k in range(1, D):
             pop_node = jnp.where(npop == k, st_n[k], pop_node)
             pop_mask = jnp.where(npop == k, st_m[k], pop_mask)
+        # push only if the parent still has unvisited children — an
+        # exhausted parent would be popped just to pop again (measured
+        # ~25% of iterations on the gallery walk model)
+        push = descend & (mask_cleared != 0)
         for k in range(D):
-            at = descend & (sp == k)
+            at = push & (sp == k)
             st_n[k] = jnp.where(at, cur, st_n[k])
             st_m[k] = jnp.where(at, mask_cleared, st_m[k])
 
@@ -1154,7 +1158,7 @@ def _closest_hit_bvh8_kernel(child_f, order8, prim_f,
                           jnp.where(descend, jnp.int32(0), mask_cleared))
         nfresh = jnp.where(descend, jnp.int32(1), jnp.int32(0))
         nsp = jnp.where(do_pop, npop,
-                        jnp.where(descend, jnp.minimum(sp + 1, D), sp))
+                        jnp.where(push, jnp.minimum(sp + 1, D), sp))
 
         return tuple([ncur, fuel + 1, nmask, nfresh, nsp]
                      + st_n + st_m + [t_best, best, bu, bv])
@@ -1244,8 +1248,12 @@ def _any_hit_bvh8_kernel(child_f, order8, prim_f,
         for k in range(1, D):
             pop_node = jnp.where(npop == k, st_n[k], pop_node)
             pop_mask = jnp.where(npop == k, st_m[k], pop_mask)
+        # push only if the parent still has unvisited children — an
+        # exhausted parent would be popped just to pop again (measured
+        # ~25% of iterations on the gallery walk model)
+        push = descend & (mask_cleared != 0)
         for k in range(D):
-            at = descend & (sp == k)
+            at = push & (sp == k)
             st_n[k] = jnp.where(at, cur, st_n[k])
             st_m[k] = jnp.where(at, mask_cleared, st_m[k])
 
@@ -1257,7 +1265,7 @@ def _any_hit_bvh8_kernel(child_f, order8, prim_f,
                           jnp.where(descend, jnp.int32(0), mask_cleared))
         nfresh = jnp.where(descend, jnp.int32(1), jnp.int32(0))
         nsp = jnp.where(do_pop, npop,
-                        jnp.where(descend, jnp.minimum(sp + 1, D), sp))
+                        jnp.where(push, jnp.minimum(sp + 1, D), sp))
 
         return tuple([ncur, fuel + 1, nmask, nfresh, nsp]
                      + st_n + st_m + [occ_f])
