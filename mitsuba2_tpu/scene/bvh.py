@@ -58,6 +58,19 @@ def children(bvh: BVH):
     return left.astype(np.int32), right.astype(np.int32)
 
 
+def _levels(left, right, inner):
+    """Frontier per tree depth, root first (vectorized sweeps iterate
+    these instead of per-node python loops)."""
+    levels = []
+    f = np.array([0], np.int64)
+    while f.size:
+        levels.append(f)
+        fi = f[inner[f]]
+        f = np.concatenate([left[fi], right[fi]]).astype(np.int64) \
+            if fi.size else np.zeros(0, np.int64)
+    return levels
+
+
 def cluster_cut(bvh: BVH, max_prims: int = 128):
     """Cut the BVH into disjoint CLUSTERS: the highest nodes whose subtree
     holds <= max_prims primitives (every leaf is below exactly one cut
@@ -73,31 +86,33 @@ def cluster_cut(bvh: BVH, max_prims: int = 128):
     n = bvh.miss.shape[0]
     left, right = children(bvh)
     inner = bvh.leaf_start < 0
-    # subtree prim counts + leftmost prim start, bottom-up (reverse DFS
-    # order works: children always have higher DFS indices than parents)
+    levels = _levels(left, right, inner)
+    # subtree prim counts + leftmost prim start: LEVEL-SYNCHRONOUS
+    # bottom-up sweep (the reverse python loop cost ~0.25 s / 313k nodes)
     counts = np.where(inner, 0, bvh.leaf_count).astype(np.int64)
     starts = np.where(inner, np.iinfo(np.int64).max,
                       bvh.leaf_start).astype(np.int64)
-    for i in range(n - 1, -1, -1):
-        if inner[i]:
-            counts[i] = counts[left[i]] + counts[right[i]]
-            starts[i] = min(starts[left[i]], starts[right[i]])
+    for f in reversed(levels):
+        fi = f[inner[f]]
+        if fi.size:
+            counts[fi] = counts[left[fi]] + counts[right[fi]]
+            starts[fi] = np.minimum(starts[left[fi]], starts[right[fi]])
 
+    # cut nodes: counts <= max_prims with the PARENT above the cut
+    small = counts <= max_prims
+    parent = np.full(n, -1, np.int64)
+    fi = np.nonzero(inner)[0]
+    parent[left[fi]] = fi
+    parent[right[fi]] = fi
+    is_cut = small & ((parent < 0) | ~small[np.maximum(parent, 0)])
+    cut_nodes = np.nonzero(is_cut)[0]
+    # DFS index order == ascending `starts` order (subtrees are
+    # contiguous prim ranges); number clusters in that order
+    cut_nodes = cut_nodes[np.argsort(starts[cut_nodes], kind="stable")]
     cluster_id = np.full(n, -1, np.int32)
-    c_starts, c_counts = [], []
-    # DFS from the root; cut at the first node with <= max_prims
-    stack = [0]
-    while stack:
-        i = stack.pop()
-        if counts[i] <= max_prims:
-            cluster_id[i] = len(c_starts)
-            c_starts.append(starts[i])
-            c_counts.append(counts[i])
-        else:
-            stack.append(int(right[i]))
-            stack.append(int(left[i]))
-    return (cluster_id, np.asarray(c_starts, np.int64),
-            np.asarray(c_counts, np.int64))
+    cluster_id[cut_nodes] = np.arange(len(cut_nodes), dtype=np.int32)
+    return (cluster_id, starts[cut_nodes].astype(np.int64),
+            counts[cut_nodes].astype(np.int64))
 
 
 def cut_tree_tables(bvh: BVH, cluster_id: np.ndarray,
@@ -114,11 +129,16 @@ def cut_tree_tables(bvh: BVH, cluster_id: np.ndarray,
     """
     n = bvh.miss.shape[0]
     left, right = children(bvh)
+    inner = bvh.leaf_start < 0
+    # below-the-cut flags: level-synchronous ancestor propagation
     below = np.zeros(n, bool)
-    for i in range(n):  # DFS layout: parents precede children
-        if (cluster_id[i] >= 0 or below[i]) and left[i] >= 0:
-            below[left[i]] = True
-            below[right[i]] = True
+    for f in _levels(left, right, inner):
+        fi = f[inner[f]]
+        if fi.size == 0:
+            continue
+        mark = below[fi] | (cluster_id[fi] >= 0)
+        below[left[fi]] |= mark
+        below[right[fi]] |= mark
     keep_idx = np.nonzero(~below)[0]
     remap = np.full(n, -1, np.int32)
     remap[keep_idx] = np.arange(len(keep_idx), dtype=np.int32)
