@@ -42,15 +42,23 @@ occ_s = np.asarray(jax.block_until_ready(ft(scene, o, d)))
 print("scalar kernel ran", flush=True)
 
 tp.MXU_LEAVES = True
-t_m, p_m, u_m, v_m = map(np.asarray, jax.block_until_ready(fn(scene, o, d)))
+# FRESH jit closures: MXU_LEAVES is read at trace time, and re-calling the
+# SAME jitted fn with identical avals replays the cached scalar executable
+# (the original version of this check silently compared scalar vs scalar)
+fn2 = jax.jit(lambda sc, o, d: tp.ray_intersect_preliminary(sc, o, d,
+                                                            jnp.inf))
+ft2 = jax.jit(lambda sc, o, d: tp.ray_test(sc, o, d, 2.0))
+t_m, p_m, u_m, v_m = map(np.asarray, jax.block_until_ready(fn2(scene, o, d)))
 print("MXU closest-hit ran", flush=True)
-occ_m = np.asarray(jax.block_until_ready(ft(scene, o, d)))
+occ_m = np.asarray(jax.block_until_ready(ft2(scene, o, d)))
 print("MXU any-hit ran", flush=True)
 
 hit_s, hit_m = np.isfinite(t_s), np.isfinite(t_m)
 print("hit masks equal:", bool((hit_s == hit_m).all()), flush=True)
 dt = np.abs(t_s[hit_s & hit_m] - t_m[hit_s & hit_m])
 print("max |t| diff:", float(dt.max()) if dt.size else 0.0, flush=True)
+rel = dt / np.maximum(np.abs(t_s[hit_s & hit_m]), 1e-6)
+print("max rel t diff:", float(rel.max()) if rel.size else 0.0, flush=True)
 same = p_s == p_m
 print("prim agree rate:", float(same[hit_s].mean()), flush=True)
 print("occ equal:", bool((occ_s == occ_m).all()),

@@ -336,60 +336,121 @@ MXU_LEAVES = os.environ.get("MI_MXU_LEAVES", "0").lower() in ("1", "true")
 MXU_BLOCK = int(os.environ.get("MI_MXU_BLOCK", "1024"))
 assert MXU_BLOCK > 0 and MXU_BLOCK % _LANE == 0, \
     f"MI_MXU_BLOCK={MXU_BLOCK}: must be a positive multiple of {_LANE}"
+# MXU dot precision for the cluster plane tests. The visit cost is MXU
+# OUTPUT-bound ((4K, lanes) tiles x bf16 passes; the 16-deep contraction
+# already pays for 128), so passes are the direct lever, all measured on
+# hardware (benchmarks/mxu_hw_check.py, 30k-tri gallery):
+#   highest  Mosaic bf16x6 — exact vs the scalar kernel (rel t 4e-4)
+#   x3       manual 3-pass bf16 split (DEFAULT dots on hi/lo halves,
+#            ~2^-17 rel) — Mosaic has NO HIGH lowering, so the classic
+#            ahbh + ahbl + albh expansion is hand-rolled; ~2x cheaper
+#   default  bf16x1 — 2x cheaper again but WRONG on real scenes (6% prim
+#            disagreement, occlusion mask errors); kept for experiments
+MXU_PRECISION = os.environ.get("MI_MXU_PRECISION", "x3")
+assert MXU_PRECISION in ("highest", "x3", "default"), MXU_PRECISION
+
+
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
+def _mxu_dot(feat, rt_pair):
+    """(4K, 16-contracted) cluster plane dot at MXU_PRECISION.
+
+    rt_pair is (rt, rt_lo): for x3 the ray-feature matrix is split ONCE
+    outside the walk loop; feat (the DMA'd scratch value) is split per
+    visit (tiny: (16, 4K)). DEFAULT-precision Mosaic dots round operands
+    to bf16, which is exact on the hi halves — so the three passes
+    compute ah*bh + ah*bl + al*bh, dropping only the 2^-18 al*bl term."""
+    rt, rt_lo = rt_pair
+    dn = (((0,), (0,)), ((), ()))
+    if MXU_PRECISION == "highest":
+        return jax.lax.dot_general(feat, rt, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    if MXU_PRECISION == "default":
+        return jax.lax.dot_general(feat, rt, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+    f_hi, f_lo = _bf16_split(feat)
+    p = jax.lax.Precision.DEFAULT
+    return (jax.lax.dot_general(f_hi, rt, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=p)
+            + jax.lax.dot_general(f_hi, rt_lo, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=p)
+            + jax.lax.dot_general(f_lo, rt, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=p))
+
+
+def _rt_split(rt):
+    if MXU_PRECISION == "x3":
+        hi, lo = _bf16_split(rt)
+        return hi, lo
+    return rt, rt
 
 
 def _pack_mxu_tables(scene):
-    """(node_f (R,8), link_i (R,16), feat (4*S,16) f32, prim_ids (S,1)).
+    """(node_f (R,8), link_i (R,16), featT (16, 4*S) f32).
 
     All tables are HOST-precomputed at scene-build time (scene/scene.py):
     the node/link tables are the PRUNED cut-tree (cut nodes + ancestors,
     O(C) rows — below-cut nodes are unreachable for the cluster walk, so
-    shipping the full BVH would waste ~P/(2C)x the VMEM), and feat is the
-    Möller–Trumbore plane table (recomputing it here would issue per-slot
-    prim gathers inside jit — the XLA gather wall, ~0.15 G elem/s).
-    The cluster slot rides node_f col 6 (f32-exact), so each walk step
-    loads just two scalar rows: node_f and the octant link row."""
-    return scene.mxu_node_f, scene.mxu_link, scene.mxu_feat, \
-        scene.cluster_slot_prim[:, None]
+    shipping the full BVH would waste ~P/(2C)x the VMEM), and featT is the
+    TRANSPOSED Möller–Trumbore plane table (recomputing it here would
+    issue per-slot prim gathers inside jit — the XLA gather wall,
+    ~0.15 G elem/s). The transposed orientation is forced by Mosaic: an
+    HBM memref slice must be 128-aligned in its MINOR dim (a (4K, 16)
+    slice is rejected at compile), so the slot axis lives on lanes and
+    each visit DMAs a (16, 4*CK) lane slice whose start 4*base is a
+    multiple of 512 (probe: benchmarks/probe_mxu_dma.py mode=t, validated
+    on hardware 2026-08-18). The cluster slot rides node_f col 6
+    (f32-exact), so each walk step loads just two scalar rows. Prim ids
+    are IMPLICIT (slot = base + row iota); the caller remaps slots to
+    global prim ids with one cluster_slot_prim gather per wavefront."""
+    return scene.mxu_node_f, scene.mxu_link, scene.mxu_feat
 
 
-def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
+def _closest_hit_mxu_kernel(node_f, link_i, feat,
                             ox, oy, oz, dx, dy, dz, tmax,
                             t_out, prim_out, u_out, v_out,
-                            feat_s, pid_s, sem_feat, sem_pid):
-    """feat/prim_ids live in HBM (memory_space=ANY): a dynamic-start
+                            feat_s, sem_feat):
+    """feat lives in HBM (memory_space=ANY): a dynamic-start
     multi-sublane VMEM load feeding the MXU hangs the chip at dispatch
     (measured on the axon runtime, 2026-08-17), so each cluster visit
-    instead DMAs its rows into statically-shaped VMEM scratch and the
-    dot_general reads the scratch with static offsets only."""
+    instead DMAs its columns into statically-shaped VMEM scratch and the
+    dot_general reads the scratch with static offsets only. prim_out
+    holds SLOT ids (base + row); the caller remaps to global prim ids."""
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     msub = oxv.shape[0]   # MXU_BLOCK // _LANE sublanes per ray block
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
     rt, row = _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv)
+    rt_pair = _rt_split(rt)   # split ONCE outside the walk loop (x3 mode)
     fuel_cap = node_f.shape[0] + 64
 
     BIG = jnp.int32(1 << 30)
     CK = CLUSTER_K
 
     def start_dma(base):
-        """Stream one cluster's feature rows + prim ids HBM -> scratch.
-        feat is cluster-major (scene.py): cluster c owns the contiguous
-        rows [4*base, 4*base + 4*CK) (base = c*CK), so the whole visit is
-        ONE 32 KB contiguous copy plus the small prim-id row."""
+        """Stream one cluster's feature columns HBM -> scratch. featT is
+        cluster-major (scene.py): cluster c owns the contiguous columns
+        [4*base, 4*base + 4*CK) (base = c*CK, so the lane start is a
+        multiple of 4*CK >= 512) — ONE 32 KB copy per visit."""
         dmas = [pltpu.make_async_copy(
-            feat.at[pl.ds(4 * base, 4 * CK), :], feat_s, sem_feat),
-            pltpu.make_async_copy(
-            prim_ids.at[pl.ds(base, CK), :], pid_s, sem_pid)]
+            feat.at[:, pl.ds(pl.multiple_of(4 * base, 4 * CK), 4 * CK)],
+            feat_s, sem_feat)]
         for d in dmas:
             d.start()
         return dmas
 
-    def cluster_test(t_best, best, bu, bv):
-        res = jax.lax.dot_general(
-            feat_s[:], rt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # (4*CK, 1024)
+    def cluster_test(base, t_best, best, bu, bv):
+        # precision: see MXU_PRECISION — the visit cost is pass-count-bound
+        res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, 1024)
         det = res[0 * CK:1 * CK]
         unum = res[1 * CK:2 * CK]
         vnum = res[2 * CK:3 * CK]
@@ -404,7 +465,11 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
         t_m = jnp.where(ok, t, jnp.inf)
         t_c = jnp.min(t_m, axis=0, keepdims=True)                # (1, 1024)
         win = ok & (t_m <= t_c)
-        pids = pid_s[:]                                          # (128, 1)
+        # implicit ids: row k of this cluster is slot base + k (within a
+        # cluster slots ascend with global prim id, so min-slot ties break
+        # exactly like the old min-pid rule)
+        pids = base + jax.lax.broadcasted_iota(
+            jnp.int32, (CK, t.shape[1]), 0)                      # (CK, 1024)
         prim_c = jnp.min(jnp.where(win, pids, BIG), axis=0, keepdims=True)
         # u/v from the SAME winner as prim_c (equidistant ties would
         # otherwise mix barycentrics across prims)
@@ -430,7 +495,8 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
         # buried inside lax.cond is a novel lowering, the unconditional
         # start/wait is the proven streaming shape, and starting before
         # the slab test overlaps the copy with the VPU work.
-        dmas = start_dma(jnp.maximum(slot_base, 0))
+        sb = jnp.maximum(slot_base, 0)
+        dmas = start_dma(sb)
 
         hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
         is_cl = slot_base >= 0
@@ -442,7 +508,7 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat, prim_ids,
         t_best, best, bu, bv = jax.lax.cond(
             is_cl & hit_any,
             lambda a: cluster_test(*a),
-            lambda a: a, (t_best, best, bu, bv))
+            lambda a: tuple(a[1:]), (sb, t_best, best, bu, bv))
 
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
                         miss_link, hit_link)
@@ -473,21 +539,22 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
     rt, row = _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv)
+    rt_pair = _rt_split(rt)   # split ONCE outside the walk loop (x3 mode)
     fuel_cap = node_f.shape[0] + 64
 
     CK = CLUSTER_K
 
     def start_dma(base):
-        # cluster-major feat: one contiguous (4*CK, 16) copy per visit
+        # cluster-major featT: one contiguous (16, 4*CK) lane slice per
+        # visit (see _closest_hit_mxu_kernel for the layout rationale)
         d = pltpu.make_async_copy(
-            feat.at[pl.ds(4 * base, 4 * CK), :], feat_s, sem_feat)
+            feat.at[:, pl.ds(pl.multiple_of(4 * base, 4 * CK), 4 * CK)],
+            feat_s, sem_feat)
         d.start()
         return [d]
 
     def cluster_test(occ_f):
-        res = jax.lax.dot_general(
-            feat_s[:], rt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # (4*CK, 1024)
+        res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, 1024)
         det = res[0 * CK:1 * CK]
         unum = res[1 * CK:2 * CK]
         vnum = res[2 * CK:3 * CK]
@@ -556,20 +623,19 @@ def _mxu_ray_spec(msub):
 
 def _mxu_call(n_blocks, msub, out_shapes, interpret):
     """pallas_call for the MXU cluster-leaf kernel: node/link tables in
-    VMEM (scalar row loads), feat/prim_ids resident in HBM (ANY) and
-    DMA-streamed per cluster into VMEM scratch — so VMEM use is O(1) in
-    scene size and the dot_general sees only static offsets."""
+    VMEM (scalar row loads), featT resident in HBM (ANY) and DMA-streamed
+    per cluster into VMEM scratch — so VMEM use is O(1) in scene size and
+    the dot_general sees only static offsets."""
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     rs = _mxu_ray_spec(msub)
     return pl.pallas_call(
         _closest_hit_mxu_kernel,
         grid=(n_blocks,),
-        in_specs=[_tab_spec, _tab_spec, any_spec, any_spec] + [rs] * 7,
+        in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
         out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
-                        pltpu.VMEM((CLUSTER_K, 1), jnp.int32),
-                        pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -587,7 +653,7 @@ def _mxu_anyhit_call(n_blocks, msub, out_shapes, interpret):
         in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
         out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[pltpu.VMEM((4 * CLUSTER_K, 16), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -647,11 +713,17 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
         tables = _pack_mxu_tables(scene)
         outs = _mxu_call(n_blocks, blk // _LANE, out_shapes,
                          interpret)(*tables, *args)
-    else:
-        node_f, node_i, link_i, prim_f = _pack_tables(scene)
-        outs = _grid_call(_closest_hit_kernel, n_blocks, out_shapes,
-                          interpret, n_tables=4)(node_f, node_i, link_i,
-                                                 prim_f, *args)
+        t, slot, u, v = (o.reshape(n_pad)[:N] for o in outs)
+        # kernel emits cluster SLOT ids (implicit base + row iota); one
+        # XLA gather per wavefront remaps to global prim ids — shading
+        # already gathers ~25 elem/lane, so +1 is noise
+        prim = jnp.where(slot >= 0,
+                         scene.cluster_slot_prim[jnp.maximum(slot, 0)], -1)
+        return t, prim, u, v
+    node_f, node_i, link_i, prim_f = _pack_tables(scene)
+    outs = _grid_call(_closest_hit_kernel, n_blocks, out_shapes,
+                      interpret, n_tables=4)(node_f, node_i, link_i,
+                                             prim_f, *args)
     t, prim, u, v = (o.reshape(n_pad)[:N] for o in outs)
     return t, prim, u, v
 
@@ -683,7 +755,7 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
             _blockify(t_max, n_pad)]
     sh = (n_pad // _LANE, _LANE)
     if use_mxu:
-        node_f, link_i, feat, _ = _pack_mxu_tables(scene)
+        node_f, link_i, feat = _pack_mxu_tables(scene)
         occ = _mxu_anyhit_call(n_blocks, blk // _LANE,
                                [jax.ShapeDtypeStruct(sh, jnp.int32)],
                                interpret)(node_f, link_i, feat, *args)

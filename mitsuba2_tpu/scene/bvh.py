@@ -30,9 +30,11 @@ LEAF_K = 4        # max prims per leaf (traversal always tests LEAF_K slots)
 # build time; pick powers of two >= 8 sublanes).
 import os as _os
 CLUSTER_K = int(_os.environ.get("MI_CLUSTER_K", "128"))
-assert CLUSTER_K >= 8 and CLUSTER_K % 8 == 0, \
-    f"MI_CLUSTER_K={CLUSTER_K}: must be a multiple of 8, >= 8 (and >= " \
-    f"LEAF_K={LEAF_K} so cluster_cut's subtree descent terminates)"
+assert CLUSTER_K >= 32 and CLUSTER_K % 8 == 0, \
+    f"MI_CLUSTER_K={CLUSTER_K}: must be a multiple of 8, >= 32 (4*K is " \
+    f"the MXU kernel's DMA lane-slice width/alignment — Mosaic requires " \
+    f"128-aligned minor-dim slices; and >= LEAF_K={LEAF_K} so " \
+    f"cluster_cut's subtree descent terminates)"
 assert CLUSTER_K >= LEAF_K
 N_BINS = 16       # SAH bins per axis
 

@@ -90,10 +90,12 @@ class SceneData:
     # 6, f32-exact) = cluster_index * CLUSTER_K at cut nodes, -1 else;
     # mxu_link: (R, 16) i32 [hit8 | miss8] compact-remapped octant links;
     # cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id per padded
-    # cluster slot (-1 padding); mxu_feat: (4*C*CLUSTER_K, 16) f32
-    # host-precomputed Möller–Trumbore plane rows, CLUSTER-MAJOR:
-    # cluster c owns rows [4*K*c, 4*K*(c+1)) as four contiguous K-row
-    # plane blocks [det; u; v; t] — one cluster visit = one contiguous DMA
+    # cluster slot (-1 padding); mxu_feat: (16, 4*C*CLUSTER_K) f32
+    # host-precomputed Möller–Trumbore plane rows TRANSPOSED (slot axis on
+    # lanes — Mosaic HBM slices must be 128-aligned in the minor dim),
+    # CLUSTER-MAJOR: cluster c owns columns [4*K*c, 4*K*(c+1)) as four
+    # contiguous K-column plane blocks [det; u; v; t] — one cluster visit
+    # = one contiguous (16, 4*K) DMA
     mxu_node_f: jnp.ndarray = None
     mxu_link: jnp.ndarray = None
     cluster_slot_prim: jnp.ndarray = None
@@ -442,7 +444,10 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         cn = np.cross(ce1, ce2)
         Sn = slot_prim.shape[0]          # = C * CK, C >= 1
         C = Sn // CK
-        # cluster-major: (C, 4 planes, CK slots, 16) -> (4*Sn, 16)
+        # cluster-major: (C, 4 planes, CK slots, 16) -> TRANSPOSED
+        # (16, 4*Sn). Mosaic requires HBM memref slices to be 128-aligned
+        # in the minor dim, so the slot axis must live on lanes; each MXU
+        # kernel visit DMAs a (16, 4*CK) lane slice (4*CK >= 512).
         fv = np.zeros((C, 4, CK, 16), np.float32)
         fv[:, 0, :, 0:3] = -cn.reshape(C, CK, 3)
         fv[:, 1, :, 0:3] = np.cross(cp0, ce2).reshape(C, CK, 3)
@@ -451,7 +456,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         fv[:, 2, :, 3:6] = -ce1.reshape(C, CK, 3)
         fv[:, 3, :, 6:9] = cn.reshape(C, CK, 3)
         fv[:, 3, :, 9] = -np.sum(cp0 * cn, -1).reshape(C, CK)
-        feat = fv.reshape(4 * Sn, 16)
+        feat = np.ascontiguousarray(fv.reshape(4 * Sn, 16).T)
 
     # --- emitter tables ----------------------------------------------------------
     E = max(len(emitter_descs), 1)
@@ -706,7 +711,7 @@ def refresh_mxu_feat(scene: SceneData) -> SceneData:
     p0n = jnp.sum(p0 * n, -1, keepdims=True)
     t = blk(n, 6)
     t = t.at[:, :, 9].set(-p0n.reshape(C, CK))
-    feat = jnp.stack([det, u, v, t], axis=1).reshape(4 * S, 16)
+    feat = jnp.stack([det, u, v, t], axis=1).reshape(4 * S, 16).T
     return scene.replace(mxu_feat=feat)
 
 
