@@ -10,6 +10,11 @@
 # kernels/traverse_pallas.py and rerun bench.py.
 set -e
 cd "$(dirname "$0")/.."
+# repo root for mitsuba2_tpu imports, APPENDED to the existing path: the
+# profile's PYTHONPATH carries the axon TPU plugin registration
+# (/root/.axon_site) — replacing it silently downgrades jax to cpu/tpu
+# backends and every phase dies at backend init.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LOG=${MXU_SEQ_LOG:-/tmp/mxu_hw_seq.log}
 filter() { grep -v "xla_bridge\|cpu_aot" ; }
 

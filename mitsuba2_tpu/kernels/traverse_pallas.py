@@ -118,7 +118,15 @@ def _link_picker(octv):
 def _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv):
     """The (16, B) ray-feature matrix R = [d, o x d, o, 1, 0...] of the
     Möller–Trumbore bilinear forms, rays flattened onto the lane axis
-    (probed reshape (8,128)->(1,1024): supported by this Mosaic)."""
+    (probed reshape (8,128)->(1,1024): supported by this Mosaic).
+
+    Callers pass RECENTRED origins o' = o - c (c = the visited cluster's
+    centroid, node_f cols 8:11; the feature planes are host-built about
+    the same c). The plane form's dot products scale with |o - ref|
+    while its results scale with t, so with raw origins the bf16-split
+    error floor is amplified by ~|o|/t (the round-2 red test: 2.3e-3 rel
+    t on 0.2% of lanes). A hit inside the cluster has |o - c| <= t + r_c,
+    bounding the amplification at ~(1 + r_c/t)."""
     msub = oxv.shape[0]
 
     def row(a):
@@ -132,7 +140,7 @@ def _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv):
          row(oxv), row(oyv), row(ozv),
          jnp.ones((1, msub * _LANE), jnp.float32),
          jnp.zeros((6, msub * _LANE), jnp.float32)], axis=0)
-    return rt, row
+    return rt
 
 
 def _slab(nf, ox, oy, oz, ix, iy, iz, t_best):
@@ -341,13 +349,19 @@ assert MXU_BLOCK > 0 and MXU_BLOCK % _LANE == 0, \
 # already pays for 128), so passes are the direct lever, all measured on
 # hardware (benchmarks/mxu_hw_check.py, 30k-tri gallery):
 #   highest  Mosaic bf16x6 — exact vs the scalar kernel (rel t 4e-4)
-#   x3       manual 3-pass bf16 split (DEFAULT dots on hi/lo halves,
-#            ~2^-17 rel) — Mosaic has NO HIGH lowering, so the classic
-#            ahbh + ahbl + albh expansion is hand-rolled; ~2x cheaper
+#   x4       manual 4-pass bf16 split: the full ahbh+ahbl+albh+albl
+#            expansion (bf16 x bf16 products are EXACT in f32, so the
+#            only residual is f32 accumulation, ~2^-22 x cancellation
+#            amplification — matched to the f32 edge-test oracle's own
+#            floor); 4/6 the highest cost
+#   x3       3-pass split dropping the albl term (~2^-18 x amplification;
+#            with cluster recentring the amplification is ~(1 + r_c/t),
+#            so this holds 1e-4 rel except near-grazing hits) — Mosaic
+#            has NO HIGH lowering, so the expansion is hand-rolled
 #   default  bf16x1 — 2x cheaper again but WRONG on real scenes (6% prim
 #            disagreement, occlusion mask errors); kept for experiments
 MXU_PRECISION = os.environ.get("MI_MXU_PRECISION", "x3")
-assert MXU_PRECISION in ("highest", "x3", "default"), MXU_PRECISION
+assert MXU_PRECISION in ("highest", "x4", "x3", "default"), MXU_PRECISION
 
 
 def _bf16_split(a):
@@ -375,19 +389,24 @@ def _mxu_dot(feat, rt_pair):
                                    precision=jax.lax.Precision.DEFAULT)
     f_hi, f_lo = _bf16_split(feat)
     p = jax.lax.Precision.DEFAULT
-    return (jax.lax.dot_general(f_hi, rt, dn,
-                                preferred_element_type=jnp.float32,
-                                precision=p)
-            + jax.lax.dot_general(f_hi, rt_lo, dn,
-                                  preferred_element_type=jnp.float32,
-                                  precision=p)
-            + jax.lax.dot_general(f_lo, rt, dn,
-                                  preferred_element_type=jnp.float32,
-                                  precision=p))
+    acc = (jax.lax.dot_general(f_hi, rt, dn,
+                               preferred_element_type=jnp.float32,
+                               precision=p)
+           + jax.lax.dot_general(f_hi, rt_lo, dn,
+                                 preferred_element_type=jnp.float32,
+                                 precision=p)
+           + jax.lax.dot_general(f_lo, rt, dn,
+                                 preferred_element_type=jnp.float32,
+                                 precision=p))
+    if MXU_PRECISION == "x4":
+        acc = acc + jax.lax.dot_general(f_lo, rt_lo, dn,
+                                        preferred_element_type=jnp.float32,
+                                        precision=p)
+    return acc
 
 
 def _rt_split(rt):
-    if MXU_PRECISION == "x3":
+    if MXU_PRECISION in ("x3", "x4"):
         hi, lo = _bf16_split(rt)
         return hi, lo
     return rt, rt
@@ -429,9 +448,10 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
     msub = oxv.shape[0]   # MXU_BLOCK // _LANE sublanes per ray block
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
-    rt, row = _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv)
-    rt_pair = _rt_split(rt)   # split ONCE outside the walk loop (x3 mode)
     fuel_cap = node_f.shape[0] + 64
+
+    def row(a):
+        return a.reshape(1, msub * _LANE)
 
     BIG = jnp.int32(1 << 30)
     CK = CLUSTER_K
@@ -448,7 +468,15 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
             d.start()
         return dmas
 
-    def cluster_test(base, t_best, best, bu, bv):
+    def cluster_test(base, ccx, ccy, ccz, t_best, best, bu, bv):
+        # ray features RECENTRED at the visited cluster's centroid (the
+        # planes in feat are host-built about the same point) — bounds
+        # the bf16-split cancellation amplification at ~(1 + r_c/t); see
+        # _mxu_ray_features. Rebuilt per visit inside the cluster branch:
+        # ~30 vector ops on (16, B), noise next to the 3-pass matmul.
+        rt = _mxu_ray_features(oxv - ccx, oyv - ccy, ozv - ccz,
+                               dxv, dyv, dzv)
+        rt_pair = _rt_split(rt)
         # precision: see MXU_PRECISION — the visit cost is pass-count-bound
         res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, 1024)
         det = res[0 * CK:1 * CK]
@@ -508,7 +536,8 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
         t_best, best, bu, bv = jax.lax.cond(
             is_cl & hit_any,
             lambda a: cluster_test(*a),
-            lambda a: tuple(a[1:]), (sb, t_best, best, bu, bv))
+            lambda a: tuple(a[4:]),
+            (sb, nf[0, 8], nf[0, 9], nf[0, 10], t_best, best, bu, bv))
 
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
                         miss_link, hit_link)
@@ -538,9 +567,10 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     msub = oxv.shape[0]
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
-    rt, row = _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv)
-    rt_pair = _rt_split(rt)   # split ONCE outside the walk loop (x3 mode)
     fuel_cap = node_f.shape[0] + 64
+
+    def row(a):
+        return a.reshape(1, msub * _LANE)
 
     CK = CLUSTER_K
 
@@ -553,7 +583,11 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         d.start()
         return [d]
 
-    def cluster_test(occ_f):
+    def cluster_test(ccx, ccy, ccz, occ_f):
+        # recentred ray features — see _closest_hit_mxu_kernel
+        rt = _mxu_ray_features(oxv - ccx, oyv - ccy, ozv - ccz,
+                               dxv, dyv, dzv)
+        rt_pair = _rt_split(rt)
         res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, 1024)
         det = res[0 * CK:1 * CK]
         unum = res[1 * CK:2 * CK]
@@ -588,8 +622,10 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         for d in dmas:
             d.wait()
 
-        occ_f = jax.lax.cond(is_cl & hit_any, cluster_test,
-                             lambda o: o, occ_f)
+        occ_f = jax.lax.cond(is_cl & hit_any,
+                             lambda a: cluster_test(*a),
+                             lambda a: a[3],
+                             (nf[0, 8], nf[0, 9], nf[0, 10], occ_f))
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
                         miss_link, hit_link)
         return nxt, fuel + 1, occ_f

@@ -86,16 +86,20 @@ class SceneData:
     # --- MXU leaf clusters (bvh.py::cluster_cut + cut_tree_tables;
     # traverse_pallas MXU path). The walk runs on the PRUNED cut-tree
     # (cut nodes + ancestors, R ~ 2*C rows — O(C) VMEM, not O(P)):
-    # mxu_node_f: (R, 8) f32 [min.xyz, max.xyz, slot, 0] where slot (col
-    # 6, f32-exact) = cluster_index * CLUSTER_K at cut nodes, -1 else;
+    # mxu_node_f: (R, 16) f32 [min.xyz, max.xyz, slot, 0, c.xyz, 0*5]
+    # where slot (col 6, f32-exact) = cluster_index * CLUSTER_K at cut
+    # nodes, -1 else, and c (cols 8:11) is the cluster centroid the
+    # kernels recenter ray features at (precision — see the RECENTRING
+    # note at the feature build);
     # mxu_link: (R, 16) i32 [hit8 | miss8] compact-remapped octant links;
     # cluster_slot_prim: (C * CLUSTER_K,) i32 global prim id per padded
     # cluster slot (-1 padding); mxu_feat: (16, 4*C*CLUSTER_K) f32
-    # host-precomputed Möller–Trumbore plane rows TRANSPOSED (slot axis on
-    # lanes — Mosaic HBM slices must be 128-aligned in the minor dim),
-    # CLUSTER-MAJOR: cluster c owns columns [4*K*c, 4*K*(c+1)) as four
-    # contiguous K-column plane blocks [det; u; v; t] — one cluster visit
-    # = one contiguous (16, 4*K) DMA
+    # host-precomputed Möller–Trumbore plane rows (p0 RECENTRED about the
+    # cluster centroid) TRANSPOSED (slot axis on lanes — Mosaic HBM
+    # slices must be 128-aligned in the minor dim), CLUSTER-MAJOR:
+    # cluster c owns columns [4*K*c, 4*K*(c+1)) as four contiguous
+    # K-column plane blocks [det; u; v; t] — one cluster visit = one
+    # contiguous (16, 4*K) DMA
     mxu_node_f: jnp.ndarray = None
     mxu_link: jnp.ndarray = None
     cluster_slot_prim: jnp.ndarray = None
@@ -408,9 +412,12 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
             "cluster slot ids exceed f32 exact-integer range"
         # slot rides node_f col 6 (exact in f32 up to 2^24) — one scalar row
         # load per walk step instead of two
+        # cols [0:6] bbox, 6 slot, 7 pad, [8:11] cluster centroid (the
+        # MXU kernels recenter the ray features per visit — see the
+        # RECENTRING note at the feature-table build below), [11:16] pad
         mxu_node_f = np.concatenate(
             [cut_min, cut_max, mxu_slot[:, None].astype(np.float32),
-             np.zeros((R, 1), np.float32)], -1)
+             np.zeros((R, 9), np.float32)], -1)
         mxu_link = np.concatenate(
             [cut_hit8.reshape(R, 8), cut_miss8.reshape(R, 8)], -1)
         slot_prim = np.full(max(len(cl_starts), 1) * CK, -1, np.int32)
@@ -441,9 +448,21 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         cp0 = p0[sidx] * valid
         ce1 = e1[sidx] * valid
         ce2 = e2[sidx] * valid
-        cn = np.cross(ce1, ce2)
         Sn = slot_prim.shape[0]          # = C * CK, C >= 1
         C = Sn // CK
+        # RECENTRING: the planes are built about each cluster's centroid
+        # (p0' = p0 - c) and the kernel feeds the MXU o' = o - c per
+        # visit. The plane form's products scale with |o - ref| while the
+        # result scales with t, so the bf16-split dot's error floor is
+        # amplified by |o - ref|/t; recentring at the cluster bounds that
+        # at ~(1 + r_cluster/t) because a hit inside the cluster has
+        # |o - c| <= t + r_cluster (the round-2 red-test root cause:
+        # raw origins gave amp ~600x -> 2.3e-3 rel t errors).
+        vcnt = np.maximum(valid.reshape(C, CK).sum(1), 1.0)
+        cl_c = (cp0.reshape(C, CK, 3).sum(1) / vcnt[:, None]).astype(
+            np.float32)
+        cp0 = cp0 - np.repeat(cl_c, CK, 0) * valid
+        cn = np.cross(ce1, ce2)
         # cluster-major: (C, 4 planes, CK slots, 16) -> TRANSPOSED
         # (16, 4*Sn). Mosaic requires HBM memref slices to be 128-aligned
         # in the minor dim, so the slot axis must live on lanes; each MXU
@@ -457,6 +476,9 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         fv[:, 3, :, 6:9] = cn.reshape(C, CK, 3)
         fv[:, 3, :, 9] = -np.sum(cp0 * cn, -1).reshape(C, CK)
         feat = np.ascontiguousarray(fv.reshape(4 * Sn, 16).T)
+        # kernel-visible copy of each cut node's cluster centroid
+        is_cl_node = cl_id_c >= 0
+        mxu_node_f[is_cl_node, 8:11] = cl_c[cl_id_c[is_cl_node]]
 
     # --- emitter tables ----------------------------------------------------------
     E = max(len(emitter_descs), 1)
@@ -694,10 +716,16 @@ def refresh_mxu_feat(scene: SceneData) -> SceneData:
     p0 = sg(scene.prim_p0)[idx] * valid
     e1 = sg(scene.prim_e1)[idx] * valid
     e2 = sg(scene.prim_e2)[idx] * valid
-    n = jnp.cross(e1, e2)
     S = sp.shape[0]
     CK = bvh_mod.CLUSTER_K
     C = S // CK
+    # recentring (must mirror the host build + kernel EXACTLY): planes
+    # about the per-cluster centroid; the kernel reads the matching c
+    # from mxu_node_f cols 8:11, refreshed below from the slot column
+    vcnt = jnp.maximum(valid.reshape(C, CK).sum(1), 1.0)
+    cl_c = p0.reshape(C, CK, 3).sum(1) / vcnt[:, None]
+    p0 = p0 - jnp.repeat(cl_c, CK, 0) * valid
+    n = jnp.cross(e1, e2)
 
     def blk(rows3, cols):
         # place (S, 3) rows at column offset `cols` of a (C, CK, 16) block
@@ -712,7 +740,11 @@ def refresh_mxu_feat(scene: SceneData) -> SceneData:
     t = blk(n, 6)
     t = t.at[:, :, 9].set(-p0n.reshape(C, CK))
     feat = jnp.stack([det, u, v, t], axis=1).reshape(4 * S, 16).T
-    return scene.replace(mxu_feat=feat)
+    slot = scene.mxu_node_f[:, 6].astype(jnp.int32)
+    node_c = jnp.where((slot >= 0)[:, None],
+                       cl_c[jnp.maximum(slot, 0) // CK], 0.0)
+    node_f = scene.mxu_node_f.at[:, 8:11].set(node_c)
+    return scene.replace(mxu_feat=feat, mxu_node_f=node_f)
 
 
 def compute_surface_interaction(scene: SceneData, ray: Ray,

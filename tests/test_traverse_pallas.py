@@ -147,10 +147,15 @@ def test_refresh_mxu_feat_tracks_geometry(monkeypatch):
     e1 = np.asarray(scene.prim_e1)[np.maximum(sp, 0)] * valid
     e2 = np.asarray(scene.prim_e2)[np.maximum(sp, 0)] * valid
     p0 = p0 * valid
-    n = np.cross(e1, e2)
     S = sp.shape[0]
     CK = traverse_pallas.CLUSTER_K
     C = S // CK
+    # planes are RECENTRED about the per-cluster centroid of the MOVED
+    # geometry (scene.py RECENTRING note) — mirror it here
+    vcnt = np.maximum(valid.reshape(C, CK).sum(1), 1.0)
+    cl_c = p0.reshape(C, CK, 3).sum(1) / vcnt[:, None]
+    p0 = p0 - np.repeat(cl_c, CK, 0) * valid
+    n = np.cross(e1, e2)
     exp = np.zeros((C, 4, CK, 16), np.float32)
     exp[:, 0, :, 0:3] = -n.reshape(C, CK, 3)
     exp[:, 1, :, 0:3] = np.cross(p0, e2).reshape(C, CK, 3)
