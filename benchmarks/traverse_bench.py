@@ -27,7 +27,8 @@ def _watchdog(sig, frame):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="jnp",
-                    choices=["jnp", "pallas", "mxu", "inst", "bvh8"])
+                    choices=["jnp", "pallas", "mxu", "inst", "bvh8",
+                             "bvh8mxu"])
     ap.add_argument("--inst-n", type=int, default=16,
                     help="inst backend: instance count for instanced_field")
     ap.add_argument("--n", type=int, default=262144)
@@ -35,6 +36,10 @@ def main():
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--watchdog", type=int, default=420)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sort", action="store_true",
+                    help="route through the production Morton/octant "
+                         "presort wrapper (scene._sorted_pallas_*) — the "
+                         "arrangement the walk model's step counts assume")
     args = ap.parse_args()
 
     signal.signal(signal.SIGALRM, _watchdog)
@@ -89,30 +94,58 @@ def main():
         # scene passed as a jit ARGUMENT: closing over SceneData embeds MBs
         # of constants in the HLO and stalls the remote compile service
         if args.backend == "inst":
-            closest = jax.jit(lambda sc, o, d: mod.ray_intersect_instanced(
-                sc, o, d, jnp.inf))
-            anyhit = jax.jit(lambda sc, o, d: mod.ray_test_instanced(
-                sc, o, d, 2.0))
+            cfn, afn = mod.ray_intersect_instanced, mod.ray_test_instanced
         elif args.backend == "bvh8":
-            closest = jax.jit(lambda sc, o, d: mod.ray_intersect_bvh8(
-                sc, o, d, jnp.inf))
-            anyhit = jax.jit(lambda sc, o, d: mod.ray_test_bvh8(
-                sc, o, d, 2.0))
+            cfn, afn = mod.ray_intersect_bvh8, mod.ray_test_bvh8
+        elif args.backend == "bvh8mxu":
+            cfn, afn = mod.ray_intersect_bvh8mxu, mod.ray_test_bvh8mxu
         else:
-            closest = jax.jit(lambda sc, o, d: mod.ray_intersect_preliminary(
-                sc, o, d, jnp.inf))
-            anyhit = jax.jit(lambda sc, o, d: mod.ray_test(sc, o, d, 2.0))
+            cfn, afn = mod.ray_intersect_preliminary, mod.ray_test
+        if args.sort:
+            # production arrangement: Morton/octant presort + unsort
+            from mitsuba2_tpu.core.vec import Vec3
+            from mitsuba2_tpu.scene import scene as scene_mod
+            _c, _a = cfn, afn
+
+            def vec(a):
+                return Vec3(a[:, 0], a[:, 1], a[:, 2])
+
+            if args.backend == "inst":
+                closest = jax.jit(lambda sc, o, d:
+                                  scene_mod._sorted_pallas_intersect(
+                                      sc, vec(o), vec(d), jnp.inf))
+                anyhit = jax.jit(lambda sc, o, d:
+                                 scene_mod._sorted_pallas_ray_test(
+                                     sc, vec(o), vec(d), 2.0))
+            else:
+                closest = jax.jit(lambda sc, o, d:
+                                  scene_mod._sorted_pallas_intersect(
+                                      sc, vec(o), vec(d), jnp.inf,
+                                      intersect_fn=_c))
+                anyhit = jax.jit(lambda sc, o, d:
+                                 scene_mod._sorted_pallas_ray_test(
+                                     sc, vec(o), vec(d), 2.0, test_fn=_a))
+        else:
+            closest = jax.jit(lambda sc, o, d: cfn(sc, o, d, jnp.inf))
+            anyhit = jax.jit(lambda sc, o, d: afn(sc, o, d, 2.0))
         closest = functools.partial(closest, scene)
         anyhit = functools.partial(anyhit, scene)
 
+        # per-round input variation: the tunneled axon runtime memoizes
+        # repeated IDENTICAL dispatches (docs/TPU_TRAVERSAL.md), so each
+        # timing round gets an epsilon-perturbed copy (precomputed and
+        # device-resident — not part of the timed region)
+        o_rounds = [jax.device_put(o + 1e-5 * (r + 1))
+                    for r in range(args.rounds)]
+        jax.block_until_ready(o_rounds)
         for name, fn in (("closest", closest), ("anyhit", anyhit)):
             t0 = time.perf_counter()
             out = fn(o, d)
             jax.block_until_ready(out)
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            for _ in range(args.rounds):
-                out = fn(o, d)
+            for r in range(args.rounds):
+                out = fn(o_rounds[r], d)
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / args.rounds
             mrays = N / dt / 1e6

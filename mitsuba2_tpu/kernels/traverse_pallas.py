@@ -412,6 +412,92 @@ def _rt_split(rt):
     return rt, rt
 
 
+def _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
+                         oxv, oyv, ozv, dxv, dyv, dzv,
+                         t_best, best, bu, bv):
+    """One MXU cluster visit (closest hit): recentred ray features, the
+    4-plane matmul over the DMA'd scratch, and the winner epilogue.
+    Shared by the threaded cut-tree walk (_closest_hit_mxu_kernel) and
+    the composed BVH8-walk kernel (_closest_hit_bvh8mxu_kernel).
+    Returns updated (t_best, best(SLOT ids), bu, bv)."""
+    msub, lanes = t_best.shape
+    CK = CLUSTER_K
+    BIG = jnp.int32(1 << 30)
+
+    def row(a):
+        return a.reshape(1, msub * lanes)
+
+    # ray features RECENTRED at the visited cluster's centroid (the
+    # planes in feat are host-built about the same point) — bounds the
+    # bf16-split cancellation amplification at ~(1 + r_c/t); see
+    # _mxu_ray_features. ~30 vector ops, noise next to the matmul.
+    rt = _mxu_ray_features(oxv - ccx, oyv - ccy, ozv - ccz,
+                           dxv, dyv, dzv)
+    rt_pair = _rt_split(rt)
+    # precision: see MXU_PRECISION — the visit cost is pass-count-bound
+    res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, B)
+    det = res[0 * CK:1 * CK]
+    unum = res[1 * CK:2 * CK]
+    vnum = res[2 * CK:3 * CK]
+    tnum = res[3 * CK:4 * CK]
+    inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    u = unum * inv
+    v = vnum * inv
+    t = tnum * inv
+    tb = row(t_best)
+    ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+          (t > 0.0) & (t < tb))
+    t_m = jnp.where(ok, t, jnp.inf)
+    t_c = jnp.min(t_m, axis=0, keepdims=True)                # (1, B)
+    win = ok & (t_m <= t_c)
+    # implicit ids: row k of this cluster is slot base + k (within a
+    # cluster slots ascend with global prim id, so min-slot ties break
+    # exactly like the old min-pid rule)
+    pids = base + jax.lax.broadcasted_iota(
+        jnp.int32, (CK, t.shape[1]), 0)                      # (CK, B)
+    prim_c = jnp.min(jnp.where(win, pids, BIG), axis=0, keepdims=True)
+    # u/v from the SAME winner as prim_c (equidistant ties would
+    # otherwise mix barycentrics across prims)
+    win2 = win & (pids == prim_c)
+    u_c = jnp.min(jnp.where(win2, u, jnp.inf), axis=0, keepdims=True)
+    v_c = jnp.min(jnp.where(win2, v, jnp.inf), axis=0, keepdims=True)
+    closer = t_c < tb
+    nt = jnp.where(closer, t_c, tb).reshape(msub, lanes)
+    nbest = jnp.where(closer, prim_c, row(best)).reshape(msub, lanes)
+    nu = jnp.where(closer, u_c, row(bu)).reshape(msub, lanes)
+    nv = jnp.where(closer, v_c, row(bv)).reshape(msub, lanes)
+    return nt, nbest, nu, nv
+
+
+def _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
+                        oxv, oyv, ozv, dxv, dyv, dzv, tmv, occ_f):
+    """One MXU cluster visit (any-hit). Padded slots have all-zero
+    feature rows -> det == 0 -> never counted as hits."""
+    msub, lanes = occ_f.shape
+    CK = CLUSTER_K
+
+    def row(a):
+        return a.reshape(1, msub * lanes)
+
+    rt = _mxu_ray_features(oxv - ccx, oyv - ccy, ozv - ccz,
+                           dxv, dyv, dzv)
+    rt_pair = _rt_split(rt)
+    res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, B)
+    det = res[0 * CK:1 * CK]
+    unum = res[1 * CK:2 * CK]
+    vnum = res[2 * CK:3 * CK]
+    tnum = res[3 * CK:4 * CK]
+    inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    u = unum * inv
+    v = vnum * inv
+    t = tnum * inv
+    tb = row(tmv)
+    ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+          (t > 0.0) & (t <= tb))
+    hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
+    return jnp.maximum(occ_f, hit.reshape(msub, lanes))
+
+
 def _pack_mxu_tables(scene):
     """(node_f (R,8), link_i (R,16), featT (16, 4*S) f32).
 
@@ -449,11 +535,6 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
     fuel_cap = node_f.shape[0] + 64
-
-    def row(a):
-        return a.reshape(1, msub * _LANE)
-
-    BIG = jnp.int32(1 << 30)
     CK = CLUSTER_K
 
     def start_dma(base):
@@ -469,47 +550,9 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
         return dmas
 
     def cluster_test(base, ccx, ccy, ccz, t_best, best, bu, bv):
-        # ray features RECENTRED at the visited cluster's centroid (the
-        # planes in feat are host-built about the same point) — bounds
-        # the bf16-split cancellation amplification at ~(1 + r_c/t); see
-        # _mxu_ray_features. Rebuilt per visit inside the cluster branch:
-        # ~30 vector ops on (16, B), noise next to the 3-pass matmul.
-        rt = _mxu_ray_features(oxv - ccx, oyv - ccy, ozv - ccz,
-                               dxv, dyv, dzv)
-        rt_pair = _rt_split(rt)
-        # precision: see MXU_PRECISION — the visit cost is pass-count-bound
-        res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, 1024)
-        det = res[0 * CK:1 * CK]
-        unum = res[1 * CK:2 * CK]
-        vnum = res[2 * CK:3 * CK]
-        tnum = res[3 * CK:4 * CK]
-        inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-        u = unum * inv
-        v = vnum * inv
-        t = tnum * inv
-        tb = row(t_best)
-        ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
-              (t > 0.0) & (t < tb))
-        t_m = jnp.where(ok, t, jnp.inf)
-        t_c = jnp.min(t_m, axis=0, keepdims=True)                # (1, 1024)
-        win = ok & (t_m <= t_c)
-        # implicit ids: row k of this cluster is slot base + k (within a
-        # cluster slots ascend with global prim id, so min-slot ties break
-        # exactly like the old min-pid rule)
-        pids = base + jax.lax.broadcasted_iota(
-            jnp.int32, (CK, t.shape[1]), 0)                      # (CK, 1024)
-        prim_c = jnp.min(jnp.where(win, pids, BIG), axis=0, keepdims=True)
-        # u/v from the SAME winner as prim_c (equidistant ties would
-        # otherwise mix barycentrics across prims)
-        win2 = win & (pids == prim_c)
-        u_c = jnp.min(jnp.where(win2, u, jnp.inf), axis=0, keepdims=True)
-        v_c = jnp.min(jnp.where(win2, v, jnp.inf), axis=0, keepdims=True)
-        closer = t_c < tb
-        nt = jnp.where(closer, t_c, tb).reshape(msub, _LANE)
-        nbest = jnp.where(closer, prim_c, row(best)).reshape(msub, _LANE)
-        nu = jnp.where(closer, u_c, row(bu)).reshape(msub, _LANE)
-        nv = jnp.where(closer, v_c, row(bv)).reshape(msub, _LANE)
-        return nt, nbest, nu, nv
+        return _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
+                                    oxv, oyv, ozv, dxv, dyv, dzv,
+                                    t_best, best, bu, bv)
 
     def cond(state):
         node, fuel = state[0], state[1]
@@ -568,10 +611,6 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
     fuel_cap = node_f.shape[0] + 64
-
-    def row(a):
-        return a.reshape(1, msub * _LANE)
-
     CK = CLUSTER_K
 
     def start_dma(base):
@@ -584,24 +623,9 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         return [d]
 
     def cluster_test(ccx, ccy, ccz, occ_f):
-        # recentred ray features — see _closest_hit_mxu_kernel
-        rt = _mxu_ray_features(oxv - ccx, oyv - ccy, ozv - ccz,
-                               dxv, dyv, dzv)
-        rt_pair = _rt_split(rt)
-        res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, 1024)
-        det = res[0 * CK:1 * CK]
-        unum = res[1 * CK:2 * CK]
-        vnum = res[2 * CK:3 * CK]
-        tnum = res[3 * CK:4 * CK]
-        inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-        u = unum * inv
-        v = vnum * inv
-        t = tnum * inv
-        tb = row(tmv)
-        ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
-              (t > 0.0) & (t <= tb))
-        hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
-        return jnp.maximum(occ_f, hit.reshape(msub, _LANE))
+        return _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
+                                   oxv, oyv, ozv, dxv, dyv, dzv,
+                                   tmv, occ_f)
 
     def cond(state):
         node, fuel, occ_f = state
@@ -1466,6 +1490,336 @@ def ray_test_bvh8(scene, ray_o, ray_d, t_max, interpret=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*_bvh8_tables(scene), *args)
+    if isinstance(occ, (tuple, list)):
+        occ = occ[0]
+    return (occ.reshape(n_pad)[:N]) != 0
+
+
+# ===========================================================================
+# Composed BVH8 walk x MXU cluster leaves (docs/TPU_TRAVERSAL.md "BVH8 x
+# MXU composition"): the child-testing walk runs on the BVH8 COLLAPSE OF
+# THE CLUSTER-CUT TREE (bvh.py::collapse_bvh8 cut mode — descent stops at
+# cluster roots), and each cluster leaf is tested as the 4-plane matmul
+# over DMA-streamed feature rows. The two levers multiply: ~6-7x fewer
+# walk steps than the threaded cut-tree walk (walk model) x the matmul
+# leaf throughput. Child rows are (Mc*8, 16) f32 [min.xyz, max.xyz, kind,
+# 0, centroid.xyz, 0*5]: kind >= 0 is a cluster SLOT BASE, -1 empty,
+# <= -2 an inner BVH8 child; centroid feeds the per-visit recentring.
+# prim outputs are SLOT ids (callers remap via cluster_slot_prim).
+# ===========================================================================
+
+
+def _closest_hit_bvh8mxu_kernel(child_f, order8, feat,
+                                ox, oy, oz, dx, dy, dz, tmax,
+                                t_out, prim_out, u_out, v_out,
+                                feat_s, sem_feat,
+                                stack_d: int, fuel_cap: int):
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    octv = _octant_vote(dxv, dyv, dzv)
+    msub = oxv.shape[0]
+    D = stack_d
+    CK = CLUSTER_K
+
+    def cond(state):
+        cur, fuel = state[0], state[1]
+        return (cur >= 0) & (fuel < fuel_cap)
+
+    def body(state):
+        cur, fuel, mask, fresh, sp = state[0:5]
+        st_n = list(state[5:5 + D])
+        st_m = list(state[5 + D:5 + 2 * D])
+        t_best, best, bu, bv = state[5 + 2 * D:]
+
+        ordrow = order8[pl.ds(cur * 8 + octv, 1), :]
+
+        # --- fresh visit: hitmask of all 8 children (octant visit order)
+        def fresh_fn(t_best):
+            m = jnp.int32(0)
+            for j in range(8):           # static: ordrow[0, j] directly
+                s = ordrow[0, j]
+                crow = child_f[pl.ds(cur * 8 + s, 1), :]
+                nonempty = crow[0, 6] != -1.0
+                hit = jnp.any(_slab_row(crow, oxv, oyv, ozv,
+                                        ixv, iyv, izv, t_best)) & nonempty
+                m = m | (hit.astype(jnp.int32) << j)
+            return m
+
+        mask = jax.lax.cond(fresh == 1, fresh_fn,
+                            lambda _: mask, t_best)
+
+        do_pop = mask == 0
+
+        # --- advance one hit child (indices clamped when popping) -------
+        j = _lowest_set_bit(mask)
+        mask_cleared = mask & ~(jnp.int32(1) << j)
+        s = _sel8_row(ordrow, j)
+        crow = child_f[pl.ds(cur * 8 + jnp.maximum(s, 0), 1), :]
+        kind = crow[0, 6]
+        is_leaf_c = kind >= 0.0
+        # DMA the advanced child's cluster columns unconditionally
+        # (clamped base; non-cluster advances stream cluster 0 and drop
+        # it) — START FIRST to overlap with the re-cull slab test; the
+        # unconditional start/wait is the proven streaming shape.
+        sb = jnp.maximum(kind.astype(jnp.int32), 0)
+        dma = pltpu.make_async_copy(
+            feat.at[:, pl.ds(pl.multiple_of(4 * sb, 4 * CK), 4 * CK)],
+            feat_s, sem_feat)
+        dma.start()
+        # re-cull against the t_best improved since the fresh visit
+        chit = jnp.any(_slab_row(crow, oxv, oyv, ozv, ixv, iyv, izv,
+                                 t_best)) & jnp.logical_not(do_pop)
+        dma.wait()
+
+        t_best, best, bu, bv = jax.lax.cond(
+            chit & is_leaf_c,
+            lambda a: _mxu_cluster_closest(feat_s, *a[:4],
+                                           oxv, oyv, ozv, dxv, dyv, dzv,
+                                           *a[4:]),
+            lambda a: tuple(a[4:]),
+            (sb, crow[0, 8], crow[0, 9], crow[0, 10],
+             t_best, best, bu, bv))
+
+        descend = chit & jnp.logical_not(is_leaf_c)
+        child_id = (-2 - kind.astype(jnp.int32))
+
+        # --- stack: select-chain push (descend) / pop (mask empty) ------
+        npop = jnp.maximum(sp - 1, 0)
+        pop_node = st_n[0]
+        pop_mask = st_m[0]
+        for k in range(1, D):
+            pop_node = jnp.where(npop == k, st_n[k], pop_node)
+            pop_mask = jnp.where(npop == k, st_m[k], pop_mask)
+        # push only if the parent still has unvisited children
+        push = descend & (mask_cleared != 0)
+        for k in range(D):
+            at = push & (sp == k)
+            st_n[k] = jnp.where(at, cur, st_n[k])
+            st_m[k] = jnp.where(at, mask_cleared, st_m[k])
+
+        ncur = jnp.where(do_pop,
+                         jnp.where(sp > 0, pop_node, jnp.int32(-1)),
+                         jnp.where(descend, child_id, cur))
+        nmask = jnp.where(do_pop,
+                          jnp.where(sp > 0, pop_mask, jnp.int32(0)),
+                          jnp.where(descend, jnp.int32(0), mask_cleared))
+        nfresh = jnp.where(descend, jnp.int32(1), jnp.int32(0))
+        nsp = jnp.where(do_pop, npop,
+                        jnp.where(push, jnp.minimum(sp + 1, D), sp))
+
+        return tuple([ncur, fuel + 1, nmask, nfresh, nsp]
+                     + st_n + st_m + [t_best, best, bu, bv])
+
+    zi = jnp.int32(0)
+    init = tuple([zi, zi, zi, jnp.int32(1), zi]
+                 + [jnp.int32(-1)] * D + [zi] * D
+                 + [tmax[:],
+                    jnp.full((msub, _LANE), -1, jnp.int32),
+                    jnp.zeros((msub, _LANE), jnp.float32),
+                    jnp.zeros((msub, _LANE), jnp.float32)])
+    out = jax.lax.while_loop(cond, body, init)
+    t_best, best, bu, bv = out[5 + 2 * D:]
+    t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
+    prim_out[:] = best
+    u_out[:] = bu
+    v_out[:] = bv
+
+
+def _any_hit_bvh8mxu_kernel(child_f, order8, feat,
+                            ox, oy, oz, dx, dy, dz, tmax, occ_out,
+                            feat_s, sem_feat,
+                            stack_d: int, fuel_cap: int):
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    tmv = tmax[:]
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    octv = _octant_vote(dxv, dyv, dzv)
+    msub = oxv.shape[0]
+    D = stack_d
+    CK = CLUSTER_K
+
+    def cond(state):
+        cur, fuel = state[0], state[1]
+        occ_f = state[5 + 2 * D]
+        return (cur >= 0) & (fuel < fuel_cap) & (jnp.min(occ_f) < 1.0)
+
+    def body(state):
+        cur, fuel, mask, fresh, sp = state[0:5]
+        st_n = list(state[5:5 + D])
+        st_m = list(state[5 + D:5 + 2 * D])
+        occ_f = state[5 + 2 * D]
+
+        ordrow = order8[pl.ds(cur * 8 + octv, 1), :]
+        alive = occ_f < 1.0
+
+        def fresh_fn(occ_f):
+            m = jnp.int32(0)
+            for j in range(8):
+                s = ordrow[0, j]
+                crow = child_f[pl.ds(cur * 8 + s, 1), :]
+                nonempty = crow[0, 6] != -1.0
+                hit = jnp.any(_slab_row(crow, oxv, oyv, ozv,
+                                        ixv, iyv, izv, tmv)
+                              & alive) & nonempty
+                m = m | (hit.astype(jnp.int32) << j)
+            return m
+
+        mask = jax.lax.cond(fresh == 1, fresh_fn, lambda _: mask, occ_f)
+        do_pop = mask == 0
+
+        j = _lowest_set_bit(mask)
+        mask_cleared = mask & ~(jnp.int32(1) << j)
+        s = _sel8_row(ordrow, j)
+        crow = child_f[pl.ds(cur * 8 + jnp.maximum(s, 0), 1), :]
+        kind = crow[0, 6]
+        is_leaf_c = kind >= 0.0
+        sb = jnp.maximum(kind.astype(jnp.int32), 0)
+        dma = pltpu.make_async_copy(
+            feat.at[:, pl.ds(pl.multiple_of(4 * sb, 4 * CK), 4 * CK)],
+            feat_s, sem_feat)
+        dma.start()
+        chit = jnp.logical_not(do_pop)
+        dma.wait()
+
+        occ_f = jax.lax.cond(
+            chit & is_leaf_c,
+            lambda a: _mxu_cluster_anyhit(feat_s, *a[:3],
+                                          oxv, oyv, ozv, dxv, dyv, dzv,
+                                          tmv, a[3]),
+            lambda a: a[3],
+            (crow[0, 8], crow[0, 9], crow[0, 10], occ_f))
+
+        descend = chit & jnp.logical_not(is_leaf_c)
+        child_id = (-2 - kind.astype(jnp.int32))
+
+        npop = jnp.maximum(sp - 1, 0)
+        pop_node = st_n[0]
+        pop_mask = st_m[0]
+        for k in range(1, D):
+            pop_node = jnp.where(npop == k, st_n[k], pop_node)
+            pop_mask = jnp.where(npop == k, st_m[k], pop_mask)
+        push = descend & (mask_cleared != 0)
+        for k in range(D):
+            at = push & (sp == k)
+            st_n[k] = jnp.where(at, cur, st_n[k])
+            st_m[k] = jnp.where(at, mask_cleared, st_m[k])
+
+        ncur = jnp.where(do_pop,
+                         jnp.where(sp > 0, pop_node, jnp.int32(-1)),
+                         jnp.where(descend, child_id, cur))
+        nmask = jnp.where(do_pop,
+                          jnp.where(sp > 0, pop_mask, jnp.int32(0)),
+                          jnp.where(descend, jnp.int32(0), mask_cleared))
+        nfresh = jnp.where(descend, jnp.int32(1), jnp.int32(0))
+        nsp = jnp.where(do_pop, npop,
+                        jnp.where(push, jnp.minimum(sp + 1, D), sp))
+
+        return tuple([ncur, fuel + 1, nmask, nfresh, nsp]
+                     + st_n + st_m + [occ_f])
+
+    zi = jnp.int32(0)
+    init = tuple([zi, zi, zi, jnp.int32(1), zi]
+                 + [jnp.int32(-1)] * D + [zi] * D
+                 + [jnp.zeros((msub, _LANE), jnp.float32)])
+    occ_f = jax.lax.while_loop(cond, body, init)[5 + 2 * D]
+    occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
+
+
+def _bvh8mxu_meta(scene):
+    Mc = scene.bvh8c_child.shape[0] // 8
+    stack_d = int(scene.bvh8c_depth) + BVH8_STACK_MARGIN
+    n_slots = int(scene.cluster_slot_prim.shape[0])
+    fuel_cap = 10 * Mc + 2 * (n_slots // CLUSTER_K) + 64
+    return stack_d, fuel_cap
+
+
+def _bvh8mxu_guard(scene):
+    if getattr(scene, "bvh8c_child", None) is None:
+        raise ValueError("scene has no composed BVH8-cut tables (tiny, "
+                         "instanced, or sphere-bearing scene)")
+
+
+def ray_intersect_bvh8mxu(scene, ray_o, ray_d, t_max, interpret=None):
+    """Closest hit via the composed BVH8 walk + MXU cluster leaves."""
+    sg = jax.lax.stop_gradient
+    scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    _bvh8mxu_guard(scene)
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
+    t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                jnp.shape(oz)[:1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = jnp.shape(oz)[0]
+    blk = MXU_BLOCK
+    n_pad = max(-(-N // blk) * blk, blk)
+    n_blocks = n_pad // blk
+    msub = blk // _LANE
+    args = [_blockify(a, n_pad) for a in (ox, oy, oz, dx, dy, dz, t_max)]
+    sh = (n_pad // _LANE, _LANE)
+    out_shapes = [jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.int32),
+                  jax.ShapeDtypeStruct(sh, jnp.float32),
+                  jax.ShapeDtypeStruct(sh, jnp.float32)]
+    stack_d, fuel_cap = _bvh8mxu_meta(scene)
+    kern = functools.partial(_closest_hit_bvh8mxu_kernel,
+                             stack_d=stack_d, fuel_cap=fuel_cap)
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    rs = _mxu_ray_spec(msub)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
+        out_specs=tuple(rs for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scene.bvh8c_child, scene.bvh8c_order, scene.mxu_feat, *args)
+    t, slot, u, v = (o.reshape(n_pad)[:N] for o in outs)
+    prim = jnp.where(slot >= 0,
+                     scene.cluster_slot_prim[jnp.maximum(slot, 0)], -1)
+    return t, prim, u, v
+
+
+def ray_test_bvh8mxu(scene, ray_o, ray_d, t_max, interpret=None):
+    """Any-hit occlusion via the composed BVH8 walk + MXU cluster leaves."""
+    sg = jax.lax.stop_gradient
+    scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
+    _bvh8mxu_guard(scene)
+    ox, oy, oz = _components(ray_o)
+    dx, dy, dz = _components(ray_d)
+    t_max = sg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                jnp.shape(oz)[:1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = jnp.shape(oz)[0]
+    blk = MXU_BLOCK
+    n_pad = max(-(-N // blk) * blk, blk)
+    n_blocks = n_pad // blk
+    msub = blk // _LANE
+    args = [_blockify(a, n_pad) for a in (ox, oy, oz, dx, dy, dz, t_max)]
+    sh = (n_pad // _LANE, _LANE)
+    stack_d, fuel_cap = _bvh8mxu_meta(scene)
+    kern = functools.partial(_any_hit_bvh8mxu_kernel,
+                             stack_d=stack_d, fuel_cap=fuel_cap)
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    rs = _mxu_ray_spec(msub)
+    occ = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
+        out_specs=(rs,),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
+        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scene.bvh8c_child, scene.bvh8c_order, scene.mxu_feat, *args)
     if isinstance(occ, (tuple, list)):
         occ = occ[0]
     return (occ.reshape(n_pad)[:N]) != 0

@@ -490,7 +490,8 @@ def build_two_level(blas_list, inst_group, inst_bb_min, inst_bb_max):
 # threaded BVH2 walk — docs/TPU_TRAVERSAL.md "BVH8 child-testing walk").
 # ---------------------------------------------------------------------------
 
-def collapse_bvh8(bvh: BVH):
+def collapse_bvh8(bvh: BVH, cluster_id=None, cluster_c=None,
+                  cluster_k: int = 0):
     """Collapse the DFS BVH2 into 8-wide nodes (LEVEL-SYNCHRONOUS,
     fully vectorized: the python-loop version cost ~5 s on a 313k-node
     tree; this runs in ~0.2 s).
@@ -505,9 +506,26 @@ def collapse_bvh8(bvh: BVH):
     node (-2 - kind). order8 row (node*8 + octant) permutes child slots
     into near-first visit order for that ray-direction octant (ties and
     empties last). `depth` bounds the walk's static stack.
+
+    CUT MODE (cluster_id/cluster_c/cluster_k given): collapse the
+    PRUNED cluster-cut tree instead — descent stops at cut nodes
+    (cluster_id >= 0), which become CLUSTER leaves with kind = their
+    MXU slot base (cluster_id * cluster_k), count 0, and the cluster
+    centroid in cols 8:11 of WIDENED (M*8, 16) rows. These are the
+    tables of the composed BVH8-walk + MXU-cluster-leaf kernel
+    (traverse_pallas ray_intersect_bvh8mxu; docs/TPU_TRAVERSAL.md
+    "BVH8 x MXU composition"): ~6-7x fewer walk steps than the
+    threaded cut-tree walk, matmul leaf tests unchanged.
     """
     left, right = children(bvh)
     inner = bvh.leaf_start < 0
+    cut_mode = cluster_id is not None
+    if cut_mode:
+        # every node at the cut terminates descent (original leaves are
+        # always at or below the cut, so all reached nodes above the cut
+        # are inner)
+        inner = inner.copy() if inner.flags.writeable else inner.copy()
+        inner = inner & (cluster_id < 0)
     if not inner[0]:
         raise ValueError("collapse_bvh8 needs an inner root (tiny scenes "
                          "take the brute-force path)")
@@ -540,7 +558,8 @@ def collapse_bvh8(bvh: BVH):
     # assign BVH8 ids level by level: the children of level L, taken in
     # row-major flattened order, ARE level L+1's roots in order
     M = total
-    child_f = np.zeros((M * 8, 8), np.float32)
+    W = 16 if cut_mode else 8
+    child_f = np.zeros((M * 8, W), np.float32)
     child_f[:, 6] = -1.0
     order8 = np.zeros((M * 8, 8), np.int32)
     for li, (roots, slots) in enumerate(levels):
@@ -560,10 +579,15 @@ def collapse_bvh8(bvh: BVH):
             ids = np.full((R, 8), -1, np.int64)
             ids[is_in] = bases[li + 1] + np.arange(int(is_in.sum()))
             kind[is_in] = (-2 - ids[is_in]).astype(np.float32)
-        kind[is_leaf] = bvh.leaf_start[safe[is_leaf]].astype(np.float32)
-        child_f[rows, 6] = kind
         cnt = np.zeros((R, 8), np.float32)
-        cnt[is_leaf] = bvh.leaf_count[safe[is_leaf]].astype(np.float32)
+        if cut_mode:
+            cl = cluster_id[safe[is_leaf]]
+            kind[is_leaf] = (cl * cluster_k).astype(np.float32)
+            child_f[rows[is_leaf], 8:11] = cluster_c[cl]
+        else:
+            kind[is_leaf] = bvh.leaf_start[safe[is_leaf]].astype(np.float32)
+            cnt[is_leaf] = bvh.leaf_count[safe[is_leaf]].astype(np.float32)
+        child_f[rows, 6] = kind
         child_f[rows, 7] = cnt
 
         cent = 0.5 * (bmin + bmax)                       # (R, 8, 3)

@@ -110,6 +110,12 @@ class SceneData:
     # bvh8_order: (M*8, 8) i32 per-octant near-first child permutations.
     bvh8_child: jnp.ndarray = None
     bvh8_order: jnp.ndarray = None
+    # --- composed BVH8-walk x MXU-cluster-leaf tables (collapse_bvh8 cut
+    # mode over the cluster-cut tree; traverse_pallas
+    # ray_intersect_bvh8mxu): child rows (Mc*8, 16) f32 with the cluster
+    # slot base in col 6 and the recentring centroid in cols 8:11
+    bvh8c_child: jnp.ndarray = None
+    bvh8c_order: jnp.ndarray = None
     # --- sensor motion (core/geometry.py::AnimatedTransform) ------------------
     # camera motion blur: keyframed to_world; rays sample a shutter time
     # uniformly over the key range. None = static camera. Shape motion is
@@ -152,6 +158,7 @@ class SceneData:
     has_instances: bool = struct.field(pytree_node=False, default=False)
     inst_fuel: int = struct.field(pytree_node=False, default=0)
     bvh8_depth: int = struct.field(pytree_node=False, default=0)
+    bvh8c_depth: int = struct.field(pytree_node=False, default=0)
     emitter_kinds: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     cam_type: str = struct.field(pytree_node=False, default="perspective")
     has_media: bool = struct.field(pytree_node=False, default=False)
@@ -395,6 +402,8 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         mxu_node_f = mxu_link = slot_prim = feat = None
         bvh8_child = bvh8_order = None
         bvh8_depth = 0
+        bvh8c_child = bvh8c_order = None
+        bvh8c_depth = 0
     else:
         tree = bvh_mod.build_bvh(bb_min, bb_max)
         oct_hit8, oct_miss8 = bvh_mod.build_octant_links(tree)
@@ -479,6 +488,14 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         # kernel-visible copy of each cut node's cluster centroid
         is_cl_node = cl_id_c >= 0
         mxu_node_f[is_cl_node, 8:11] = cl_c[cl_id_c[is_cl_node]]
+        # composed BVH8-walk x MXU-leaf tables: collapse the cut tree
+        # with cluster leaves (same size gate as the prim BVH8; a cut
+        # root means the whole scene is one cluster — MXU alone covers it)
+        bvh8c_child = bvh8c_order = None
+        bvh8c_depth = 0
+        if tree.miss.shape[0] > 96 and cl_id[0] < 0:
+            bvh8c_child, bvh8c_order, bvh8c_depth = bvh_mod.collapse_bvh8(
+                tree, cluster_id=cl_id, cluster_c=cl_c, cluster_k=CK)
 
     # --- emitter tables ----------------------------------------------------------
     E = max(len(emitter_descs), 1)
@@ -660,6 +677,9 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         bvh8_child=None if bvh8_child is None else dev(bvh8_child),
         bvh8_order=None if bvh8_order is None else dev(bvh8_order),
         bvh8_depth=bvh8_depth,
+        bvh8c_child=None if bvh8c_child is None else dev(bvh8c_child),
+        bvh8c_order=None if bvh8c_order is None else dev(bvh8c_order),
+        bvh8c_depth=bvh8c_depth,
         inst_inv=None if inst_inv16 is None else dev(inst_inv16),
         inst_fwd=None if inst_fwd16 is None else dev(inst_fwd16),
         has_instances=bool(inst_records),
@@ -939,23 +959,34 @@ _BACKEND = "auto"
 
 def set_backend(name: str) -> None:
     """Force the intersection backend: auto | brute | jnp | pallas |
-    bvh8 (the child-testing walk, kernels/traverse_pallas.py — opt-in
-    until compiled-on-TPU validation)."""
+    bvh8 (the child-testing walk) | bvh8mxu (the composed BVH8 walk +
+    MXU cluster leaves, kernels/traverse_pallas.py — opt-in until
+    compiled-on-TPU validation)."""
     global _BACKEND
-    assert name in ("auto", "brute", "jnp", "pallas", "bvh8"), name
+    assert name in ("auto", "brute", "jnp", "pallas", "bvh8",
+                    "bvh8mxu"), name
     _BACKEND = name
 
 
 def _pick_backend(scene) -> str:
     from ..kernels import brute
     if _BACKEND != "auto":
-        if scene.has_instances and _BACKEND in ("brute", "bvh8"):
+        if scene.has_instances and _BACKEND in ("brute", "bvh8",
+                                                "bvh8mxu"):
             raise ValueError(f"{_BACKEND} backend cannot intersect "
                              "shared-BLAS instanced scenes (prim tables "
                              "are instance-local); use jnp or pallas")
         if _BACKEND == "bvh8" and scene.bvh8_child is None:
             raise ValueError("bvh8 backend needs BVH8 tables (scene too "
                              "small; brute force covers it)")
+        if _BACKEND == "bvh8mxu":
+            if getattr(scene, "bvh8c_child", None) is None:
+                raise ValueError("bvh8mxu backend needs the composed "
+                                 "cut-tree tables (scene too small)")
+            if scene.has_spheres:
+                raise ValueError("bvh8mxu backend is triangle-only "
+                                 "(spheres have no bilinear plane form); "
+                                 "use pallas or bvh8")
         return _BACKEND
     if scene.has_instances:
         # instanced scenes need instance-aware walkers: the per-lane jnp
@@ -1019,7 +1050,7 @@ def _coherence_key(scene, ray_o, ray_d, t_max=None):
     return key
 
 
-def _sorted_pallas_intersect(scene, ray_o, ray_d, t_max):
+def _sorted_pallas_intersect(scene, ray_o, ray_d, t_max, intersect_fn=None):
     from ..kernels import traverse_pallas
     ox, oy, oz = ray_o.x, ray_o.y, ray_o.z
     dx, dy, dz = ray_d.x, ray_d.y, ray_d.z
@@ -1035,14 +1066,16 @@ def _sorted_pallas_intersect(scene, ray_o, ray_d, t_max):
         _, t, prim, u, v, inst = jax.lax.sort(
             (lane, t, prim, u, v, inst), num_keys=1)
         return t, prim, u, v, inst
-    t, prim, u, v = traverse_pallas.ray_intersect_preliminary(
+    if intersect_fn is None:
+        intersect_fn = traverse_pallas.ray_intersect_preliminary
+    t, prim, u, v = intersect_fn(
         scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
     # unsort: original lane index as the sort key carries results back
     _, t, prim, u, v = jax.lax.sort((lane, t, prim, u, v), num_keys=1)
     return t, prim, u, v
 
 
-def _sorted_pallas_ray_test(scene, ray_o, ray_d, t_max):
+def _sorted_pallas_ray_test(scene, ray_o, ray_d, t_max, test_fn=None):
     from ..kernels import traverse_pallas
     ox, oy, oz = ray_o.x, ray_o.y, ray_o.z
     dx, dy, dz = ray_d.x, ray_d.y, ray_d.z
@@ -1052,9 +1085,10 @@ def _sorted_pallas_ray_test(scene, ray_o, ray_d, t_max):
     lane = jnp.arange(n, dtype=jnp.int32)
     key, ox, oy, oz, dx, dy, dz, t_max, lane = jax.lax.sort(
         (key, ox, oy, oz, dx, dy, dz, t_max, lane), num_keys=1)
-    fn = (traverse_pallas.ray_test_instanced if scene.has_instances
-          else traverse_pallas.ray_test)
-    occ = fn(scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
+    if test_fn is None:
+        test_fn = (traverse_pallas.ray_test_instanced if scene.has_instances
+                   else traverse_pallas.ray_test)
+    occ = test_fn(scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
     _, occ = jax.lax.sort((lane, occ.astype(jnp.int32)), num_keys=1)
     return occ != 0
 
@@ -1077,9 +1111,16 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
                 sg(scene), sg(ray.o), sg(ray.d), sg(ray.maxt))
     elif backend == "brute":
         t, prim, u, v = brute.ray_intersect_brute(scene, ray.o, ray.d, ray.maxt)
-    elif backend == "bvh8":
-        t, prim, u, v = traverse_pallas.ray_intersect_bvh8(
-            scene, ray.o, ray.d, ray.maxt)
+    elif backend in ("bvh8", "bvh8mxu"):
+        # the child-testing walks benefit from the block-coherence
+        # presort exactly like the scalar packet kernel
+        fn = (traverse_pallas.ray_intersect_bvh8 if backend == "bvh8"
+              else traverse_pallas.ray_intersect_bvh8mxu)
+        if _want_sort(jnp.shape(ray.o.x)[0]):
+            t, prim, u, v = _sorted_pallas_intersect(
+                scene, ray.o, ray.d, ray.maxt, intersect_fn=fn)
+        else:
+            t, prim, u, v = fn(scene, ray.o, ray.d, ray.maxt)
     elif backend == "pallas":
         if _want_sort(jnp.shape(ray.o.x)[0]):
             t, prim, u, v = _sorted_pallas_intersect(
@@ -1115,8 +1156,13 @@ def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
             sg(scene), sg(ray.o), sg(ray.d), sg(ray.maxt))
     if backend == "brute":
         return brute.ray_test_brute(scene, ray.o, ray.d, ray.maxt)
-    if backend == "bvh8":
-        return traverse_pallas.ray_test_bvh8(scene, ray.o, ray.d, ray.maxt)
+    if backend in ("bvh8", "bvh8mxu"):
+        fn = (traverse_pallas.ray_test_bvh8 if backend == "bvh8"
+              else traverse_pallas.ray_test_bvh8mxu)
+        if _want_sort(jnp.shape(ray.o.x)[0]):
+            return _sorted_pallas_ray_test(
+                scene, ray.o, ray.d, ray.maxt, test_fn=fn)
+        return fn(scene, ray.o, ray.d, ray.maxt)
     if backend == "pallas":
         if _want_sort(jnp.shape(ray.o.x)[0]):
             return _sorted_pallas_ray_test(scene, ray.o, ray.d, ray.maxt)

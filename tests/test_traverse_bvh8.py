@@ -65,16 +65,74 @@ def test_bvh8_anyhit_matches_jnp_oracle(gallery):
 
 def test_bvh8_full_render_matches_default(gallery):
     """End-to-end render through set_backend('bvh8') equals the default
-    backend bit-for-bit (same seeds, same intersections)."""
+    backend bit-for-bit (same seeds, same intersections).
+
+    jax.clear_caches() between renders is LOAD-BEARING: the backend
+    switch is a module global read at trace time, so without it the
+    second render reuses the first's cached executable and the test
+    passes vacuously."""
+    import jax
     cfg = mi.RenderConfig(width=32, height=32, spp=4, spp_per_pass=4,
                           max_depth=2)
     ref = np.asarray(mi.render(gallery, cfg))
     scene_mod.set_backend("bvh8")
+    jax.clear_caches()
     try:
         img = np.asarray(mi.render(gallery, cfg))
     finally:
         scene_mod.set_backend("auto")
+        jax.clear_caches()
     np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("coherent", [True, False])
+def test_bvh8mxu_matches_brute(gallery, coherent):
+    """Composed BVH8-walk + MXU-cluster-leaf kernel vs the brute-force
+    oracle (same tolerance budget as the MXU cut-tree walk:
+    tests/test_traverse_big.py::test_mxu_cut_tree_matches_brute)."""
+    from mitsuba2_tpu.kernels import brute
+    assert gallery.bvh8c_child is not None
+    ov, dv = _rays(gallery, 4096, seed=3, coherent=coherent)
+    tb, pb, ub, vb = brute.ray_intersect_brute(gallery, ov, dv, jnp.inf)
+    tm, pm, um, vm = traverse_pallas.ray_intersect_bvh8mxu(
+        gallery, ov, dv, jnp.full(4096, jnp.inf), interpret=True)
+    tb, tm = np.asarray(tb), np.asarray(tm)
+    hb, hm = np.isfinite(tb), np.isfinite(tm)
+    np.testing.assert_array_equal(hb, hm)
+    np.testing.assert_allclose(tm[hm], tb[hb], rtol=1e-3, atol=1e-5)
+    rel = np.abs(tm[hm] - tb[hb]) / np.maximum(np.abs(tb[hb]), 1e-9)
+    assert np.percentile(rel, 99) < 1e-4, "bulk precision regressed"
+    same = np.asarray(pb) == np.asarray(pm)
+    assert same[hb].mean() > 0.99  # equidistant ties only
+
+
+def test_bvh8mxu_anyhit_matches_jnp_oracle(gallery):
+    ov, dv = _rays(gallery, 4096, seed=4)
+    oj = np.asarray(traverse_jnp.ray_test(gallery, ov, dv,
+                                          jnp.asarray(3.0)))
+    om = np.asarray(traverse_pallas.ray_test_bvh8mxu(
+        gallery, ov, dv, jnp.full(4096, 3.0, jnp.float32), interpret=True))
+    assert (oj == om).all()
+
+
+def test_bvh8mxu_full_render_matches_default(gallery):
+    """End-to-end render through set_backend('bvh8mxu') vs the default
+    backend (MXU plane-form precision budget, not bit-exact)."""
+    import jax
+    cfg = mi.RenderConfig(width=32, height=32, spp=4, spp_per_pass=4,
+                          max_depth=2)
+    ref = np.asarray(mi.render(gallery, cfg))
+    scene_mod.set_backend("bvh8mxu")
+    jax.clear_caches()
+    try:
+        img = np.asarray(mi.render(gallery, cfg))
+    finally:
+        scene_mod.set_backend("auto")
+        jax.clear_caches()
+    diff = np.abs(img - ref)
+    assert np.isfinite(img).all()
+    # MC renders with near-identical intersections: tiny mean deviation
+    assert diff.mean() < 1e-3, f"mean px diff {diff.mean()}"
 
 
 def test_bvh8_rejects_unsupported(gallery):
