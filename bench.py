@@ -5,16 +5,34 @@ Runs on whatever accelerator jax exposes (the driver runs it on one TPU
 chip). Rays counted: primary + per-bounce (shadow + bounce) wavefront rays,
 i.e. lanes * (1 + 2*(max_depth-1)) per pass — every lane pays lockstep
 traversal cost, so this is the honest per-chip work metric. Compilation is
-excluded (warmup pass).
+excluded (warmup passes).
+
+Protocol (uniform across metrics, BASELINE.md): 2 warmups (the tunneled
+runtime's first post-compile dispatches are erratically slow), then the
+MEDIAN of 5 single-run timings, each with a DIFFERENT seed so no two
+dispatches are identical (the tunneled runtime memoizes identical
+dispatches — docs/TPU_TRAVERSAL.md). The old mean-of-2 gallery protocol
+under-reported by ~30% (VERDICT round-2 weak #4).
 
 Metrics:
 - cornell_box_fwd_mrays_per_s: 32-prim scene (brute-force intersector) —
   measures shading + wavefront machinery throughput.
 - mesh_gallery_fwd_mrays_per_s: ~31k-tri scene (BVH traversal path) —
   measures the acceleration structure, the reference's kd-tree/OptiX
-  territory (VERDICT.md round-2 item 2).
-- cornell_box_fwd_adjoint_mrays_per_s: forward + two-phase adjoint
-  (BASELINE.md protocol reports forward and forward+adjoint separately).
+  territory.
+- mesh_gallery_fwd_adjoint_mrays_per_s: forward + two-phase adjoint on
+  the BVH-bound scene (BASELINE.md reports fwd and fwd+adjoint
+  separately — VERDICT round-2 missing #6).
+- cornell_box_fwd_adjoint_mrays_per_s: same on the Cornell box.
+- cornell_reparam_mrays_per_s: forward with every-bounce reparameterized
+  transport ON (config 5's integrator; K_AUX auxiliary traces per warped
+  direction make this the heaviest per-ray configuration).
+- mesh_gallery_491k_fwd_mrays_per_s: ~491k-tri gallery (subdiv=6) — the
+  scale proof that the accel path holds beyond VMEM-resident tables.
+
+MI_BENCH_BACKEND=<auto|pallas|bvh8|bvh8mxu|...> forces the intersection
+backend (hardware sweeps); MI_MXU_LEAVES/MI_MXU_BLOCK/MI_CLUSTER_K knobs
+pass through to the kernels.
 """
 import json
 import os
@@ -41,6 +59,23 @@ def _emit(metric, value, unit="Mrays/s"):
     }), flush=True)
 
 
+def _median_time(jax, run, warmups=2, reps=5):
+    """2 seed-varied warmups then the median of `reps` seed-varied runs."""
+    for r in range(warmups):
+        jax.block_until_ready(run(r))
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(warmups + r))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def _rays_per_pass(cfg):
+    lanes = cfg.width * cfg.height * cfg.spp_per_pass
+    return lanes * (1 + 2 * (cfg.max_depth - 1))
+
+
 def main():
     # fail fast instead of hanging the driver if the TPU runtime is wedged.
     # The alarm is RE-ARMED before each metric: first compiles of the big
@@ -59,76 +94,91 @@ def main():
     from mitsuba2_tpu.utils import jaxcache
     jaxcache.configure(jax)
 
+    forced = os.environ.get("MI_BENCH_BACKEND", "")
+    if forced:
+        from mitsuba2_tpu.scene import scene as scene_mod
+        scene_mod.set_backend(forced)
+    # MI_BENCH_SMOKE=1: tiny shapes, logic-only CI pass (numbers meaningless)
+    smoke = os.environ.get("MI_BENCH_SMOKE", "") == "1"
+    R, SPP = (32, 4) if smoke else (256, 64)
+
     # ---- 1) Cornell box, forward ------------------------------------------
     scene = cornell_box()
-    config = mi.RenderConfig(width=256, height=256, spp=64, spp_per_pass=16,
+    config = mi.RenderConfig(width=R, height=R, spp=SPP,
+                             spp_per_pass=SPP // 4,
                              max_depth=4, rr_depth=8)
-    n_lanes = config.width * config.height * config.spp_per_pass
-    rays_per_pass = n_lanes * (1 + 2 * (config.max_depth - 1))
     n_passes = config.spp // config.spp_per_pass
 
-    img, w = _render_all_passes_jit(scene, config, 0, n_passes)
-    jax.block_until_ready((img, w))
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        img, w = _render_all_passes_jit(scene, config, r + 1, n_passes)
-    jax.block_until_ready((img, w))
-    dt = time.perf_counter() - t0
+    dt = _median_time(jax, lambda r: _render_all_passes_jit(
+        scene, config, r, n_passes))
     _emit("cornell_box_fwd_mrays_per_s",
-          rays_per_pass * n_passes * reps / dt / 1e6)
+          _rays_per_pass(config) * n_passes / dt / 1e6)
 
     # ---- 2) Mesh gallery (~31k tris), forward: the BVH-bound path ---------
-    # wrapped so a failure here still lets the remaining metrics print
+    # each accel metric re-arms the alarm and is individually guarded so a
+    # failure still lets the remaining metrics print
+    gallery = None
+    gcfg = mi.RenderConfig(width=R, height=R, spp=4 if smoke else SPP // 4,
+                           spp_per_pass=4,
+                           max_depth=3, rr_depth=8)
+    g_passes = gcfg.spp // gcfg.spp_per_pass
     signal.alarm(1200)
     try:
-        _bench_gallery(jax, mi, _render_all_passes_jit, mesh_gallery)
+        gallery = mesh_gallery(subdiv=4)
+        dt = _median_time(jax, lambda r: _render_all_passes_jit(
+            gallery, gcfg, r, g_passes))
+        _emit("mesh_gallery_fwd_mrays_per_s",
+              _rays_per_pass(gcfg) * g_passes / dt / 1e6)
     except Exception as e:  # pragma: no cover - defensive for the driver
         print(f"mesh_gallery metric failed: {e!r}", file=sys.stderr)
 
-    # ---- 3) Cornell box, forward + adjoint --------------------------------
+    # ---- 3) Mesh gallery, forward + adjoint (BVH-bound adjoint) -----------
+    signal.alarm(1200)
+    try:
+        gtarget = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
+        dt = _median_time(jax, lambda r: render_l2_grad(
+            gallery, gcfg, gtarget, seed=r))
+        # forward pass + adjoint re-trace both traverse the full wavefront
+        _emit("mesh_gallery_fwd_adjoint_mrays_per_s",
+              2 * _rays_per_pass(gcfg) * g_passes / dt / 1e6)
+    except Exception as e:  # pragma: no cover
+        print(f"mesh_gallery adjoint metric failed: {e!r}", file=sys.stderr)
+
+    # ---- 4) Cornell box, forward + adjoint --------------------------------
     signal.alarm(1200)
     target = jnp.zeros((config.height, config.width, 3), jnp.float32)
-    # two warmups (the tunneled runtime's first post-compile dispatches
-    # are erratically slow), then MEDIAN of 5 single-run timings — the
-    # mean-of-2 protocol under-reported by ~30% vs mrays.py's
-    # best-of-warm on the same chip (278 vs 386 Mrays/s, round 2)
-    for r in range(2):
-        out = render_l2_grad(scene, config, target, seed=r)
-        jax.block_until_ready(out)
-    times = []
-    for r in range(5):
-        t0 = time.perf_counter()
-        out = render_l2_grad(scene, config, target, seed=r + 2)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
-    # forward pass + adjoint re-trace both traverse the full wavefront
+    dt = _median_time(jax, lambda r: render_l2_grad(
+        scene, config, target, seed=r))
     _emit("cornell_box_fwd_adjoint_mrays_per_s",
-          2 * rays_per_pass * n_passes / dt / 1e6)
+          2 * _rays_per_pass(config) * n_passes / dt / 1e6)
+
+    # ---- 5) Cornell box, reparameterized forward (config 5's transport) ---
+    signal.alarm(1200)
+    try:
+        rcfg = config.replace(reparam=True, spp=4 if smoke else 16,
+                              spp_per_pass=4)
+        r_passes = rcfg.spp // rcfg.spp_per_pass
+        dt = _median_time(jax, lambda r: _render_all_passes_jit(
+            scene, rcfg, r, r_passes))
+        _emit("cornell_reparam_mrays_per_s",
+              _rays_per_pass(rcfg) * r_passes / dt / 1e6)
+    except Exception as e:  # pragma: no cover
+        print(f"cornell_reparam metric failed: {e!r}", file=sys.stderr)
+
+    # ---- 6) ~491k-tri gallery (subdiv=6): the scale proof -----------------
+    signal.alarm(1200)
+    try:
+        big = mesh_gallery(subdiv=3 if smoke else 6)
+        bcfg = mi.RenderConfig(width=R, height=R, spp=4, spp_per_pass=4,
+                               max_depth=3, rr_depth=8)
+        dt = _median_time(jax, lambda r: _render_all_passes_jit(
+            big, bcfg, r, 1))
+        _emit("mesh_gallery_491k_fwd_mrays_per_s",
+              _rays_per_pass(bcfg) / dt / 1e6)
+    except Exception as e:  # pragma: no cover
+        print(f"491k metric failed: {e!r}", file=sys.stderr)
 
     signal.alarm(0)
-
-
-def _bench_gallery(jax, mi, _render_all_passes_jit, mesh_gallery):
-    import time
-    gallery = mesh_gallery(subdiv=4)
-    gcfg = mi.RenderConfig(width=256, height=256, spp=16, spp_per_pass=4,
-                           max_depth=3, rr_depth=8)
-    g_lanes = gcfg.width * gcfg.height * gcfg.spp_per_pass
-    g_rays_pass = g_lanes * (1 + 2 * (gcfg.max_depth - 1))
-    g_passes = gcfg.spp // gcfg.spp_per_pass
-
-    img, w = _render_all_passes_jit(gallery, gcfg, 0, g_passes)
-    jax.block_until_ready((img, w))
-    t0 = time.perf_counter()
-    g_reps = 2
-    for r in range(g_reps):
-        img, w = _render_all_passes_jit(gallery, gcfg, r + 1, g_passes)
-    jax.block_until_ready((img, w))
-    dt = time.perf_counter() - t0
-    _emit("mesh_gallery_fwd_mrays_per_s",
-          g_rays_pass * g_passes * g_reps / dt / 1e6)
 
 
 if __name__ == "__main__":
