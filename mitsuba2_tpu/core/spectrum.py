@@ -20,6 +20,8 @@ importance curve as the reference (`sample_rgb_spectrum`).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,27 +187,57 @@ def spectrum_to_srgb_t(values, wavelengths, pdfs):
 def srgb_model_fetch_interp_t(lattice, r, g, b):
     """Planar trilinear coefficient fetch: (N,) rgb channels ->
     (c2, c1, c0) each (N,). 24 dense (N,) gathers instead of 8 lane-padded
-    (N, 3) gathers."""
+    (N, 3) gathers.
+
+    The lattice uses the rgb2spec MAX-CHANNEL parameterization
+    (srgb_model_fetch_lattice): slice k = argmax channel, z = that
+    channel's value on a double-smoothstep node scale, (x, y) = the
+    other two channels divided by z. Interpolating coefficients
+    directly over the rgb cube fails badly (round-trip p99 ~8e-2:
+    coefficients blow up toward the gamut boundary and the luminance
+    axis crosses them); within a max-channel slice they are smooth
+    (measured round-trip p99 ~2e-3 at res 32)."""
     lattice = jnp.asarray(lattice)
-    res = lattice.shape[0]
-    ti = jnp.clip(r, 0.0, 1.0) * (res - 1)
-    tj = jnp.clip(g, 0.0, 1.0) * (res - 1)
-    tk = jnp.clip(b, 0.0, 1.0) * (res - 1)
-    i0 = jnp.clip(jnp.floor(ti).astype(jnp.int32), 0, res - 2)
-    j0 = jnp.clip(jnp.floor(tj).astype(jnp.int32), 0, res - 2)
-    k0 = jnp.clip(jnp.floor(tk).astype(jnp.int32), 0, res - 2)
-    fi, fj, fk = ti - i0, tj - j0, tk - k0
+    ZR, R = lattice.shape[1], lattice.shape[2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    k = jnp.where(r >= jnp.maximum(g, b), 0,
+                  jnp.where(g >= b, 1, 2))
+    mxc = jnp.maximum(mx, 1e-9)
+    x = jnp.where(k == 0, g, jnp.where(k == 1, b, r)) / mxc
+    y = jnp.where(k == 0, b, jnp.where(k == 1, r, g)) / mxc
+    z = jnp.clip(mx, 0.0, 1.0)
+
+    zn = jnp.asarray(_z_nodes(ZR))
+    # z cell + fraction WITHOUT per-lane gathers (select-chain over the
+    # ZR node values; dense vector ops beat the 0.1 G elem/s gather wall)
+    iz = jnp.clip(jnp.sum((z[..., None] >= zn[None, :]).astype(jnp.int32),
+                          axis=-1) - 1, 0, ZR - 2)
+    z_lo = z_hi = 0.0
+    for jn in range(ZR - 1):
+        sel = iz == jn
+        z_lo = jnp.where(sel, zn[jn], z_lo)
+        z_hi = jnp.where(sel, zn[jn + 1], z_hi)
+    fz = jnp.clip((z - z_lo) / jnp.maximum(z_hi - z_lo, 1e-12), 0.0, 1.0)
+
+    tx = jnp.clip(x, 0.0, 1.0) * (R - 1)
+    ty = jnp.clip(y, 0.0, 1.0) * (R - 1)
+    ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, R - 2)
+    iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, R - 2)
+    fx, fy = tx - ix, ty - iy
+
+    flat = lattice.reshape(3 * ZR * R * R, 3)
     out = []
     for c in range(3):
+        col = flat[:, c]
         acc = 0.0
-        for di in (0, 1):
-            wi_ = fi if di else (1.0 - fi)
-            for dj in (0, 1):
-                wj_ = fj if dj else (1.0 - fj)
-                for dk in (0, 1):
-                    wk_ = fk if dk else (1.0 - fk)
-                    acc = acc + lattice[i0 + di, j0 + dj, k0 + dk, c] * \
-                        (wi_ * wj_ * wk_)
+        for dz in (0, 1):
+            wz = fz if dz else (1.0 - fz)
+            for dy in (0, 1):
+                wy = fy if dy else (1.0 - fy)
+                for dx in (0, 1):
+                    wx = fx if dx else (1.0 - fx)
+                    idx = ((k * ZR + iz + dz) * R + iy + dy) * R + ix + dx
+                    acc = acc + col[idx] * (wz * wy * wx)
         out.append(acc)
     return out[0], out[1], out[2]
 
@@ -433,44 +465,175 @@ def spectrum_to_rgb_host(wl, values):
     return _spectrum_to_rgb_host(v)
 
 
+def _norm_to_raw(cf):
+    a, b, c = cf[:, 0], cf[:, 1], cf[:, 2]
+    return np.stack([
+        a / 100.0 ** 2,
+        b / 100.0 - 2 * a * 560.0 / 100.0 ** 2,
+        a * (560.0 / 100.0) ** 2 - b * 560.0 / 100.0 + c], axis=-1)
+
+
+def _fit_srgb_batch_norm(rgbs, iters: int = 60, init=None):
+    """Damped batched Gauss–Newton core on the NORMALIZED wavelength
+    axis. Plain GN DIVERGES for saturated colors (a (0.97, 0.9, 0.3)
+    target once walked to rgb (1.41, 0.26, -0.06)); a 4-halving
+    backtracking line search makes the residual monotone, and callers
+    chain `init` from an adjacent already-converged solve (the
+    ext/rgb2spec slice-propagation trick) so the lattice never seeds a
+    hard node from scratch. Returns cf (N, 3) normalized-axis."""
+    rgbs = np.asarray(rgbs, np.float64)
+    N = rgbs.shape[0]
+    wlc = (_FIT_WL - 560.0) / 100.0
+    basis = np.stack([wlc * wlc, wlc, np.ones_like(wlc)], axis=-1)  # (95,3)
+
+    def resid(cf):
+        x = (cf[:, 0:1] * wlc + cf[:, 1:2]) * wlc + cf[:, 2:3]   # (N, 95)
+        r = 0.5 + 0.5 * x / np.sqrt(1.0 + x * x)
+        return x, r @ _PROJ.T - rgbs
+
+    if init is None:
+        lum = np.clip(rgbs @ np.array([0.2126, 0.7152, 0.0722]),
+                      1e-4, 0.9999)
+        cf = np.zeros((N, 3))
+        cf[:, 2] = np.arctanh(2.0 * lum - 1.0)
+    else:
+        cf = np.array(init, np.float64, copy=True)
+    eye = 1e-10 * np.eye(3)
+    x, f = resid(cf)
+    cost = (f * f).sum(axis=1)
+    for _ in range(iters):
+        if np.sqrt(cost.max()) < 1e-10:
+            break
+        dr_dx = 0.5 / np.power(1.0 + x * x, 1.5)                  # (N, 95)
+        # J[n] = PROJ @ (dr_dx[n, :, None] * basis)  -> (N, 3, 3)
+        J = np.einsum("pw,nw,wc->npc", _PROJ, dr_dx, basis)
+        try:
+            step = np.linalg.solve(J + eye, f[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            step = np.linalg.solve(J + 1e-5 * np.eye(3),
+                                   f[..., None])[..., 0]
+        # backtracking: accept the largest halved step that improves
+        best_cf, best_cost = cf, cost
+        accepted = np.zeros(N, bool)
+        for _h in range(4):
+            cf_try = cf - step
+            _, f_try = resid(cf_try)
+            cost_try = (f_try * f_try).sum(axis=1)
+            better = (cost_try < best_cost) & ~accepted
+            best_cf = np.where(better[:, None], cf_try, best_cf)
+            best_cost = np.where(better, cost_try, best_cost)
+            accepted |= better
+            step = step * 0.5
+        cf = best_cf
+        x, f = resid(cf)
+        cost = (f * f).sum(axis=1)
+    return cf
+
+
+def fit_srgb_model_batch(rgbs, iters: int = 60, init_norm=None):
+    """Vectorized fit_srgb_model over (N, 3) colors (host, float64).
+
+    Batched damped Gauss–Newton (see _fit_srgb_batch_norm): all N
+    3-unknown/3-equation systems advance in lockstep — the scalar loop
+    cost ~1 ms/color, which made committing a real coefficient lattice
+    impractical; this fits the full lattice in seconds.
+
+    Returns (coeffs (N, 3) raw-wavelength-axis, scales (N,))."""
+    rgbs = np.asarray(rgbs, np.float64)
+    mx = rgbs.max(axis=1)
+    scales = np.where(mx > 0.999, mx / 0.999, 1.0)
+    cf = _fit_srgb_batch_norm(rgbs / scales[:, None], iters, init_norm)
+    return _norm_to_raw(cf), scales
+
+
 _LATTICE_CACHE = {}
+_LATTICE_RES = 32   # committed-table resolution (data/srgb_coeff_32.npz)
 
 
-def srgb_model_fetch_lattice(res: int = 16):
-    """Coefficient lattice over the sRGB cube for textured inputs.
+def _z_nodes(res: int):
+    """Nonuniform z (max-channel value) lattice nodes: double smoothstep
+    concentrates nodes near 0 and 1 where the fitted coefficients vary
+    fastest (ext/rgb2spec's scale array)."""
+    t = np.linspace(0.0, 1.0, res)
+    s = t * t * (3.0 - 2.0 * t)
+    return (s * s * (3.0 - 2.0 * s)).astype(np.float64)
 
-    Fit once per process (cached); trilinear interpolation of coefficients at
-    lookup time mirrors the reference's 3D coeff table (srgb_model_fetch)."""
+
+def srgb_model_fetch_lattice(res: int = _LATTICE_RES):
+    """Sigmoid-polynomial coefficient lattice in the rgb2spec MAX-CHANNEL
+    parameterization: shape (3, res, res, res, 3) indexed
+    [max-channel k][z node][y][x][coeff] with z = the max channel's
+    value on the _z_nodes scale and (x, y) = channels (k+1)%3, (k+2)%3
+    divided by the max. The TPU equivalent of the reference's
+    resources/data/srgb.coeff (ext/rgb2spec, SURVEY §2.3 srgb row).
+
+    The default resolution loads the COMMITTED table
+    (mitsuba2_tpu/data/srgb_coeff_32.npz, built by
+    benchmarks/gen_srgb_coeff.py) so spectral renders are stable across
+    rounds; other resolutions (tests) fit on demand via
+    fit_srgb_model_batch."""
     if res in _LATTICE_CACHE:
         return _LATTICE_CACHE[res]
-    grid = np.linspace(0.0, 1.0, res)
-    coeffs = np.zeros((res, res, res, 3), np.float64)
-    for i, r in enumerate(grid):
-        for j, g in enumerate(grid):
-            for k, b in enumerate(grid):
-                coeffs[i, j, k], _ = fit_srgb_model(np.array([r, g, b]))
+    out = None
+    if res == _LATTICE_RES:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", f"srgb_coeff_{res}.npz")
+        if os.path.exists(path):
+            out = np.load(path)["coeffs"].astype(np.float32)
+            assert out.shape == (3, res, res, res, 3), out.shape
+    if out is None:
+        out = _build_srgb_lattice(res)
     # cache HOST memory: a device array created under a jit trace would leak
     # its tracer into later traces
-    out = np.asarray(coeffs, np.float32)
     _LATTICE_CACHE[res] = out
     return out
 
 
+def _build_srgb_lattice(res: int):
+    """Fit the (3, res, res, res, 3) max-channel lattice. z slices are
+    fitted MIDDLE-OUT with each slice seeded from its already-converged
+    neighbor (ext/rgb2spec's propagation): saturated low-x/low-y high-z
+    nodes are unreachable by any bounded reflectance and plain GN seeds
+    diverge there; walking from the well-conditioned mid-brightness
+    slice keeps every node at its best-achievable solution."""
+    zn = _z_nodes(res)
+    grid = np.linspace(0.0, 1.0, res)
+    yv, xv = np.meshgrid(grid, grid, indexing="ij")    # (iy, ix)
+    out = np.zeros((3, res, res, res, 3), np.float32)
+    mid = res // 2
+    order = [mid]
+    for d in range(1, res):
+        if mid + d < res:
+            order.append(mid + d)
+        if mid - d >= 0:
+            order.append(mid - d)
+    for k in range(3):
+        norm_cache = {}
+        for iz in order:
+            z = zn[iz]
+            rgb = np.zeros((res, res, 3), np.float64)
+            rgb[..., k] = z
+            rgb[..., (k + 1) % 3] = xv * z
+            rgb[..., (k + 2) % 3] = yv * z
+            seed_iz = iz + 1 if iz < mid else iz - 1
+            init = norm_cache.get(seed_iz)
+            mx = rgb.reshape(-1, 3).max(axis=1)
+            scales = np.where(mx > 0.999, mx / 0.999, 1.0)
+            cf = _fit_srgb_batch_norm(rgb.reshape(-1, 3) / scales[:, None],
+                                      iters=60, init=init)
+            norm_cache[iz] = cf
+            out[k, iz] = _norm_to_raw(cf).reshape(res, res, 3) \
+                .astype(np.float32)
+    return out
+
+
 def srgb_model_fetch_interp(lattice, rgb):
-    """Trilinear interp of fitted coefficients at rgb in [0,1]^3 (device)."""
-    lattice = jnp.asarray(lattice)
-    res = lattice.shape[0]
-    t = jnp.clip(rgb, 0.0, 1.0) * (res - 1)
-    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, res - 2)
-    f = t - i0
-    def gather(di, dj, dk):
-        return lattice[i0[..., 0] + di, i0[..., 1] + dj, i0[..., 2] + dk]
-    c = (gather(0, 0, 0) * (1 - f[..., 0:1]) * (1 - f[..., 1:2]) * (1 - f[..., 2:3]) +
-         gather(1, 0, 0) * f[..., 0:1] * (1 - f[..., 1:2]) * (1 - f[..., 2:3]) +
-         gather(0, 1, 0) * (1 - f[..., 0:1]) * f[..., 1:2] * (1 - f[..., 2:3]) +
-         gather(0, 0, 1) * (1 - f[..., 0:1]) * (1 - f[..., 1:2]) * f[..., 2:3] +
-         gather(1, 1, 0) * f[..., 0:1] * f[..., 1:2] * (1 - f[..., 2:3]) +
-         gather(1, 0, 1) * f[..., 0:1] * (1 - f[..., 1:2]) * f[..., 2:3] +
-         gather(0, 1, 1) * (1 - f[..., 0:1]) * f[..., 1:2] * f[..., 2:3] +
-         gather(1, 1, 1) * f[..., 0:1] * f[..., 1:2] * f[..., 2:3])
-    return c
+    """Trilinear interp of fitted coefficients at rgb in [0,1]^3 (device).
+    (..., 3) wrapper over the planar max-channel fetch."""
+    rgb = jnp.asarray(rgb)
+    shape = rgb.shape[:-1]
+    r = rgb[..., 0].reshape(-1)
+    g = rgb[..., 1].reshape(-1)
+    b = rgb[..., 2].reshape(-1)
+    c2, c1, c0 = srgb_model_fetch_interp_t(lattice, r, g, b)
+    return jnp.stack([c2, c1, c0], axis=-1).reshape(shape + (3,))
