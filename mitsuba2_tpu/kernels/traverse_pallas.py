@@ -333,15 +333,20 @@ def _any_hit_kernel(node_f, node_i, prim_f,
 # ===========================================================================
 
 # CLUSTER_K imported from scene/bvh.py (MI_CLUSTER_K env override).
-# Module switch (tests compare both paths). Default OFF until the kernel
-# is validated compiled on real TPU hardware — flipping this routes every
-# sphere-free TPU scene through the MXU path. MI_MXU_LEAVES=1 flips it
-# from the environment (hardware-validation sweeps, bench runs).
-MXU_LEAVES = os.environ.get("MI_MXU_LEAVES", "0").lower() in ("1", "true")
+# Module switch (tests compare both paths). Default ON since the
+# 2026-08-19 hardware validation (benchmarks/mxu_hw_seq.sh): phase 2b
+# on-TPU correctness PASS (hit masks + prim ids equal vs the scalar
+# kernel, occlusion equal), phase 3 sorted gallery 5.9-6.7 Mrays/s
+# coherent closest vs 3.0 scalar (2.0-2.2x), 1.17 vs 0.81 incoherent.
+# MI_MXU_LEAVES=0 restores the scalar-leaf packet kernel.
+MXU_LEAVES = os.environ.get("MI_MXU_LEAVES", "1").lower() in ("1", "true")
 # Rays per MXU kernel grid step (multiple of 128). Bigger blocks amortize
 # the scalar walk + per-visit DMA over more rays, at the cost of a larger
-# block union of visited nodes — a hardware sweep knob.
-MXU_BLOCK = int(os.environ.get("MI_MXU_BLOCK", "1024"))
+# block union of visited nodes. Hardware sweep (2026-08-19, sorted
+# gallery, CK=128): block 1024 -> 5.92 Mrays/s, 4096 -> 6.67, 8192 ->
+# did not dispatch within the watchdog; CK=256@4096 traded -6% closest
+# for +17% anyhit — closest dominates render wall time, so 4096/128 it is.
+MXU_BLOCK = int(os.environ.get("MI_MXU_BLOCK", "4096"))
 assert MXU_BLOCK > 0 and MXU_BLOCK % _LANE == 0, \
     f"MI_MXU_BLOCK={MXU_BLOCK}: must be a positive multiple of {_LANE}"
 # MXU dot precision for the cluster plane tests. The visit cost is MXU

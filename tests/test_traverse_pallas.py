@@ -15,7 +15,12 @@ def random_rays(n, seed=0, spread=1.4):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def test_closest_hit_matches_oracle_cbox():
+def test_closest_hit_matches_oracle_cbox(monkeypatch):
+    # scalar-leaf packet kernel vs the jnp oracle at the scalar path's
+    # tight tolerance; the MXU-leaf path (default since the 2026-08-19
+    # hardware validation) has its own equivalence tests below with the
+    # x3-precision tolerance budget
+    monkeypatch.setattr(traverse_pallas, "MXU_LEAVES", False)
     scene = cornell_box()
     o, d = random_rays(2048)
     t_max = jnp.full(2048, jnp.inf)
