@@ -1,0 +1,297 @@
+"""Isolate WHAT makes a block-synchronous walk iteration cost ~1.7 us.
+
+probe_mxu_cost.py showed the per-while-iteration cost at block 4096 is
+~1.7 us whether or not the cluster matmul + epilogue run — so the walk,
+not the math, binds the MXU traversal path. The prime suspect is the
+vector->scalar round trip: every iteration reduces the block's slab masks
+to ONE scalar (jnp.any) that the scalar core must wait on before it can
+pick the next node — a full VPU->SREG pipeline drain per node.
+
+Modes (argv[1]):
+  any1     baseline: 1 node/iter, slab + jnp.any -> link select (the
+           shipped kernels' shape)
+  noany    same vector work, but the next node comes from scalar-only
+           arithmetic (no vector->scalar dependence). The iteration gap
+           vs any1 IS the round-trip cost.
+  lanes1k  any1 at 1024 lanes (SUB=8): does the cost scale with lanes?
+  pack8    8 nodes/iter: 8 scalar row loads + 8 slab masks combined IN
+           THE VECTOR DOMAIN into one bit-packed scalar (sum of per-node
+           any*2^k), ONE vector->scalar crossing, then 8 scalar-side
+           link picks. Iterations = N/8. If us/node drops ~8x vs any1,
+           the round trip amortizes and a multi-node walk design pays.
+  dot8     pack8 + the CK=128 cluster dot+epilogue every 8th node (the
+           composed design's projected shape).
+
+Usage: python benchmarks/probe_walk_latency.py <mode>   (under timeout!)
+Env: N_NODES (default 4096) total node visits per dispatch.
+"""
+import os
+import sys
+import time
+
+
+def stage(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__import__("mitsuba2_tpu.utils.jaxcache", fromlist=["x"]).configure(jax)
+stage(f"jax init {jax.devices()}")
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "any1"
+CK = 128
+LANES = 1024 if MODE == "lanes1k" else 4096
+SUB = LANES // 128
+R = 768
+S4 = 4 * CK * 8
+N_NODES = int(os.environ.get("N_NODES", "4096"))
+
+
+def _slab(nf, k, ox, oy, oz, ix, iy, iz, t_best):
+    t0x = (nf[k, 0] - ox) * ix
+    t1x = (nf[k, 3] - ox) * ix
+    t0y = (nf[k, 1] - oy) * iy
+    t1y = (nf[k, 4] - oy) * iy
+    t0z = (nf[k, 2] - oz) * iz
+    t1z = (nf[k, 5] - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.minimum(t0z, t1z))
+    tmx = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                  jnp.maximum(t0y, t1y)),
+                      jnp.maximum(t0z, t1z))
+    return (tmin <= tmx) & (tmx > 0.0) & (tmin < t_best)
+
+
+class _Rows:
+    """row-lazy 2-D view: self[k, c] loads row base+k as a (1, w) slice
+    once and reads element c from it (scalar-core loads, no vreg
+    extracts)."""
+
+    def __init__(self, ref, base):
+        self.ref, self.base, self.cache = ref, base, {}
+
+    def __getitem__(self, kc):
+        k, c = kc
+        if k not in self.cache:
+            self.cache[k] = self.ref[pl.ds(self.base + k, 1), :]
+        return self.cache[k][0, c]
+
+
+def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
+    seed = seed_ref[:]
+    ox = seed * 0.001
+    oy, oz = ox + 1.0, ox + 2.0
+    dx, dy, dz = ox + 0.1, ox + 0.2, ox + 0.3
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    rt = jnp.concatenate(
+        [ox.reshape(1, LANES), oy.reshape(1, LANES), oz.reshape(1, LANES),
+         dx.reshape(1, LANES), dy.reshape(1, LANES), dz.reshape(1, LANES),
+         jnp.ones((10, LANES), jnp.float32)], axis=0)
+
+    K = 8 if MODE in ("pack8", "dot8", "pack8or", "dot8or") else 1
+    n_iters = N_NODES // K
+
+    def epilogue(t_b, b, base):
+        res = jax.lax.dot_general(
+            feat_s[:], rt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        det = res[0 * CK:1 * CK]
+        unum = res[1 * CK:2 * CK]
+        vnum = res[2 * CK:3 * CK]
+        tnum = res[3 * CK:4 * CK]
+        inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        u, v, t = unum * inv, vnum * inv, tnum * inv
+        tb = t_b.reshape(1, LANES)
+        ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+              (t > 0.0) & (t < tb))
+        t_m = jnp.where(ok, t, jnp.inf)
+        t_c = jnp.min(t_m, axis=0, keepdims=True)
+        win = ok & (t_m <= t_c)
+        pids = base + jax.lax.broadcasted_iota(jnp.int32, (CK, LANES), 0)
+        prim_c = jnp.min(jnp.where(win, pids, 1 << 30), axis=0,
+                         keepdims=True)
+        closer = t_c < tb
+        nt = jnp.where(closer, t_c, tb).reshape(SUB, 128)
+        nb = jnp.where(closer, prim_c,
+                       b.reshape(1, LANES)).reshape(SUB, 128)
+        return nt, nb
+
+    def body(st):
+        i, node, t_best, best = st
+        if K == 1:
+            if MODE == "empty":
+                # scalar arithmetic only: the while_loop's own floor
+                nxt = (node * 5 + 1) % R
+                return i + 1, jnp.maximum(nxt, 0), t_best, best
+            if MODE == "load1":
+                # ONE dynamic (1, 8) row load, nothing else
+                nf = node_f[pl.ds(node, 1), :]
+                nxt = (nf[0, 7].astype(jnp.int32) + node + 1) % R
+                return i + 1, jnp.maximum(nxt, 0), t_best, best
+            if MODE == "any2":
+                # two independent slab+any reduces per iteration: if the
+                # vector->scalar reduce is the unit cost, this doubles
+                hit1 = _slab(node_f[pl.ds(node, 1), :], 0,
+                             ox, oy, oz, ix, iy, iz, t_best)
+                hit2 = _slab(node_f[pl.ds((node * 7 + 3) % R, 1), :], 0,
+                             ox, oy, oz, ix, iy, iz, t_best)
+                li = link_i[pl.ds(node, 1), :]
+                a1 = jnp.any(hit1)
+                a2 = jnp.any(hit2)
+                nxt = jnp.where(a1, li[0, 0],
+                                jnp.where(a2, li[0, 8], li[0, 1]))
+                return i + 1, jnp.maximum(nxt % R, 0), t_best, best
+            if MODE == "loadonly":
+                # dynamic (1, 8) row loads + scalar-arithmetic next; NO
+                # vector work at all. Cost here = the dynamic-start
+                # sublane slice itself.
+                nf = node_f[pl.ds(node, 1), :]
+                li = link_i[pl.ds(node, 1), :]
+                nxt = (li[0, 0] + nf[0, 0].astype(jnp.int32)) % R
+                return i + 1, jnp.maximum(nxt, 0), t_best, best
+            if MODE == "slabonly":
+                # full slab vector math + any-reduce, but node data from
+                # scalar ARITHMETIC (no loads): isolates broadcast+VPU+any
+                nf0 = (node * 0.001, node * 0.002, node * 0.003,
+                       node * 0.004, node * 0.005, node * 0.006)
+                t0x = (nf0[0] - ox) * ix
+                t1x = (nf0[3] - ox) * ix
+                t0y = (nf0[1] - oy) * iy
+                t1y = (nf0[4] - oy) * iy
+                t0z = (nf0[2] - oz) * iz
+                t1z = (nf0[5] - oz) * iz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                tmx = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                              jnp.maximum(t0y, t1y)),
+                                  jnp.maximum(t0z, t1z))
+                hit_any = jnp.any((tmin <= tmx) & (tmx > 0.0) &
+                                  (tmin < t_best))
+                nxt = jnp.where(hit_any, (node * 5 + 1) % R,
+                                (node * 3 + 2) % R)
+                return i + 1, jnp.maximum(nxt, 0), t_best, best
+            if MODE in ("dual", "dualdot"):
+                # TWO independent block walks interleaved in one loop:
+                # cursor 2 rides the same scalar-floor iteration. Rays
+                # per iteration doubles; vector work (2 slabs [+2
+                # epilogues every 4th]) must hide under / extend the
+                # floor. node2 = a decorrelated second cursor; its ray
+                # block here reuses the same vregs (cost model only).
+                node2 = (node * 3 + 5) % R
+                nf1 = node_f[pl.ds(node, 1), :]
+                nf2 = node_f[pl.ds(node2, 1), :]
+                li1 = link_i[pl.ds(node, 1), :]
+                hit1 = _slab(nf1, 0, ox, oy, oz, ix, iy, iz, t_best)
+                hit2 = _slab(nf2, 0, ox + 0.5, oy, oz, ix, iy, iz, t_best)
+                a1 = jnp.any(hit1)
+                a2 = jnp.any(hit2)
+                if MODE == "dualdot":
+                    def vis2(args):
+                        t_b, b = args
+                        t_b, b = epilogue(t_b, b, node)
+                        return epilogue(t_b, b, node2)
+                    t_best, best = jax.lax.cond(
+                        (i % 4 == 0) & (a1 | a2), vis2,
+                        lambda a: a, (t_best, best))
+                nxt = jnp.where(a1 & a2, li1[0, 0],
+                                jnp.where(a2, li1[0, 8], li1[0, 1]))
+                return i + 1, jnp.maximum(nxt % R, 0), t_best, best
+            nf = node_f[pl.ds(node, 1), :]
+            li = link_i[pl.ds(node, 1), :]
+            hit = _slab(nf, 0, ox, oy, oz, ix, iy, iz, t_best)
+            if MODE == "noany":
+                # scalar-only next: same loads + vector work, no
+                # vector->scalar dependence (hit folded into best so the
+                # slab math cannot be DCE'd)
+                nxt = (li[0, 0] * 5 + 1) % R
+                best = best + hit.astype(jnp.int32)
+            else:
+                hit_any = jnp.any(hit)
+                nxt = jnp.where(hit_any, li[0, 0], li[0, 8])
+            return i + 1, jnp.maximum(nxt % R, 0), t_best, best
+
+        # ---- K = 8: one packed crossing per 8 nodes -----------------------
+        # 8 SEPARATE (1, w) row loads: scalar reads from a 1-row slice are
+        # cheap scalar-core loads, while element extracts from one (8, w)
+        # loaded value are vreg extracts (~1.5 us each, the pack8 killer)
+        nf = _Rows(node_f, node)
+        li = _Rows(link_i, node)
+        if MODE in ("pack8or", "dot8or"):
+            # pack the 8 hit masks into ONE int32 lane-wise, then a single
+            # bitwise-OR reduce to scalar: per-bit k = any(hit_k), exactly,
+            # with one vector->scalar crossing for all 8 verdicts
+            code_v = jnp.zeros((SUB, 128), jnp.int32)
+            for k in range(8):
+                hit_k = _slab(nf, k, ox, oy, oz, ix, iy, iz, t_best)
+                code_v = code_v | (hit_k.astype(jnp.int32) << k)
+            # manual OR tree (lax.reduce with bitwise_or has no Pallas TC
+            # lowering): halve sublanes then lanes; one scalar read at
+            # the end = the single crossing
+            t_ = code_v
+            h = SUB
+            while h > 1:
+                h //= 2
+                t_ = t_[:h] | t_[h:2 * h]
+            w_ = 128
+            while w_ > 1:
+                w_ //= 2
+                t_ = t_[:, :w_] | t_[:, w_:2 * w_]
+            code = t_[0, 0]
+        else:
+            code = jnp.int32(0)
+            for k in range(8):
+                hit_k = _slab(nf, k, ox, oy, oz, ix, iy, iz, t_best)
+                # per-node any, packed via 8 separate max crossings
+                code = code + (jnp.max(hit_k.astype(jnp.int32)) << k)
+        # scalar-side unpack drives 8 link picks (select chain)
+        nxt = node
+        for k in range(8):
+            bit = (code >> k) & 1
+            nxt = jnp.where(bit == 1, li[k, 0], li[k, 8])
+        if MODE in ("dot8", "dot8or"):
+            t_best, best = epilogue(t_best, best, node)
+        return i + 1, jnp.maximum(nxt % (R - 8), 0), t_best, best
+
+    _, _, t_best, best = jax.lax.while_loop(
+        lambda st: st[0] < n_iters, body,
+        (jnp.int32(0), jnp.int32(0),
+         jnp.full((SUB, 128), 1e30, jnp.float32),
+         jnp.full((SUB, 128), -1, jnp.int32)))
+    out_ref[:] = t_best + best.astype(jnp.float32)
+
+
+rng = np.random.default_rng(0)
+node_f = jnp.asarray(rng.normal(size=(R, 8)), jnp.float32)
+link_i = jnp.asarray(rng.integers(0, R, size=(R, 16)), jnp.int32)
+featT = jnp.asarray(rng.normal(size=(16, S4)), jnp.float32)
+
+fn = pl.pallas_call(
+    kern,
+    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+              pl.BlockSpec(memory_space=pltpu.VMEM),
+              pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+              pl.BlockSpec(memory_space=pltpu.VMEM)],
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    out_shape=jax.ShapeDtypeStruct((SUB, 128), jnp.float32),
+    scratch_shapes=[pltpu.VMEM((16, 4 * CK), jnp.float32),
+                    pltpu.SemaphoreType.DMA(())])
+jfn = jax.jit(fn)
+seed = jnp.zeros((SUB, 128), jnp.float32)
+out = jax.block_until_ready(jfn(node_f, link_i, featT, seed))
+stage(f"compiled+warm mode={MODE}")
+REPS = 8
+t0 = time.perf_counter()
+for r in range(REPS):
+    out = jfn(node_f, link_i, featT, seed + r)
+jax.block_until_ready(out)
+dt = (time.perf_counter() - t0) / REPS
+print(f"mode={MODE}: {dt / N_NODES * 1e6:.3f} us/node "
+      f"({dt * 1e3:.2f} ms / {N_NODES} nodes)", flush=True)

@@ -349,6 +349,12 @@ MXU_LEAVES = os.environ.get("MI_MXU_LEAVES", "1").lower() in ("1", "true")
 MXU_BLOCK = int(os.environ.get("MI_MXU_BLOCK", "4096"))
 assert MXU_BLOCK > 0 and MXU_BLOCK % _LANE == 0, \
     f"MI_MXU_BLOCK={MXU_BLOCK}: must be a positive multiple of {_LANE}"
+# 8192 SILENTLY MISCOMPILES on this Mosaic (2026-08-19: the walk loop
+# exits immediately -> "1600 Mrays/s" of wrong results; suspect the
+# (msub, 128)->(1, msub*128) relayout above 32 sublanes). Hard-fail
+# rather than return garbage.
+assert MXU_BLOCK <= 4096, \
+    f"MI_MXU_BLOCK={MXU_BLOCK}: >4096 miscompiles (see comment)"
 # MXU dot precision for the cluster plane tests. The visit cost is MXU
 # OUTPUT-bound ((4K, lanes) tiles x bf16 passes; the 16-deep contraction
 # already pays for 128), so passes are the direct lever, all measured on
@@ -419,12 +425,17 @@ def _rt_split(rt):
 
 def _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
                          oxv, oyv, ozv, dxv, dyv, dzv,
-                         t_best, best, bu, bv):
+                         t_best, best):
     """One MXU cluster visit (closest hit): recentred ray features, the
     4-plane matmul over the DMA'd scratch, and the winner epilogue.
     Shared by the threaded cut-tree walk (_closest_hit_mxu_kernel) and
     the composed BVH8-walk kernel (_closest_hit_bvh8mxu_kernel).
-    Returns updated (t_best, best(SLOT ids), bu, bv)."""
+    Returns updated (t_best, best(SLOT ids)). Barycentrics are NOT
+    tracked: compute_surface_interaction re-solves exact f32
+    Möller–Trumbore from the gathered verts (scene/scene.py), so per
+    visit we save the u/v winner extraction (two masked min-reduces +
+    selects on (CK, B) tiles) — per-iteration vector work must hide
+    under the ~2 us scalar while-loop floor (probe_walk_latency.py)."""
     msub, lanes = t_best.shape
     CK = CLUSTER_K
     BIG = jnp.int32(1 << 30)
@@ -461,17 +472,10 @@ def _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
     pids = base + jax.lax.broadcasted_iota(
         jnp.int32, (CK, t.shape[1]), 0)                      # (CK, B)
     prim_c = jnp.min(jnp.where(win, pids, BIG), axis=0, keepdims=True)
-    # u/v from the SAME winner as prim_c (equidistant ties would
-    # otherwise mix barycentrics across prims)
-    win2 = win & (pids == prim_c)
-    u_c = jnp.min(jnp.where(win2, u, jnp.inf), axis=0, keepdims=True)
-    v_c = jnp.min(jnp.where(win2, v, jnp.inf), axis=0, keepdims=True)
     closer = t_c < tb
     nt = jnp.where(closer, t_c, tb).reshape(msub, lanes)
     nbest = jnp.where(closer, prim_c, row(best)).reshape(msub, lanes)
-    nu = jnp.where(closer, u_c, row(bu)).reshape(msub, lanes)
-    nv = jnp.where(closer, v_c, row(bv)).reshape(msub, lanes)
-    return nt, nbest, nu, nv
+    return nt, nbest
 
 
 def _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
@@ -554,17 +558,17 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
             d.start()
         return dmas
 
-    def cluster_test(base, ccx, ccy, ccz, t_best, best, bu, bv):
+    def cluster_test(base, ccx, ccy, ccz, t_best, best):
         return _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
                                     oxv, oyv, ozv, dxv, dyv, dzv,
-                                    t_best, best, bu, bv)
+                                    t_best, best)
 
     def cond(state):
         node, fuel = state[0], state[1]
         return (node >= 0) & (fuel < fuel_cap)
 
     def body(state):
-        node, fuel, t_best, best, bu, bv = state
+        node, fuel, t_best, best = state
         nf = node_f[pl.ds(node, 1), :]
         slot_base = nf[0, 6].astype(jnp.int32)
         # DMA unconditionally (clamped base) and START FIRST — a DMA
@@ -581,25 +585,26 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
         for d in dmas:
             d.wait()
 
-        t_best, best, bu, bv = jax.lax.cond(
+        t_best, best = jax.lax.cond(
             is_cl & hit_any,
             lambda a: cluster_test(*a),
             lambda a: tuple(a[4:]),
-            (sb, nf[0, 8], nf[0, 9], nf[0, 10], t_best, best, bu, bv))
+            (sb, nf[0, 8], nf[0, 9], nf[0, 10], t_best, best))
 
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
                         miss_link, hit_link)
-        return nxt, fuel + 1, t_best, best, bu, bv
+        return nxt, fuel + 1, t_best, best
 
     init = (jnp.int32(0), jnp.int32(0), tmax[:],
-            jnp.full((msub, _LANE), -1, jnp.int32),
-            jnp.zeros((msub, _LANE), jnp.float32),
-            jnp.zeros((msub, _LANE), jnp.float32))
-    _, _, t_best, best, bu, bv = jax.lax.while_loop(cond, body, init)
+            jnp.full((msub, _LANE), -1, jnp.int32))
+    _, _, t_best, best = jax.lax.while_loop(cond, body, init)
     t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
     prim_out[:] = best
-    u_out[:] = bu
-    v_out[:] = bv
+    # barycentrics are re-solved exactly in compute_surface_interaction
+    # from the gathered verts; emit zeros (sphere scenes never take the
+    # MXU path, so nothing downstream reads these for parameterization)
+    u_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
+    v_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
 
 
 def _any_hit_mxu_kernel(node_f, link_i, feat,
@@ -665,6 +670,181 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
 
 
+# --- dual-walk MXU kernels ---------------------------------------------------
+# probe_walk_latency.py (2026-08-19): a Pallas while_loop iteration has a
+# ~2 us SCALAR floor (an empty body costs the same as one with loads +
+# slab + any + the cluster matmul — the vector work hides under it). So
+# the cheapest throughput lever is to make each iteration serve MORE
+# rays: these kernels interleave TWO independent MXU_BLOCK-ray block
+# walks (own cursor, links, octant, DMA scratch) in ONE loop. The second
+# walk's vector work rides the same floor (probe mode `dualdot`:
+# 0.82 us/node-visit vs 1.7 single = ~2x). Block 8192 with ONE cursor
+# would be equivalent-but-better; it silently miscompiles (see
+# MXU_BLOCK guard above), and dual 4096 sidesteps the bad relayout.
+# Walks run in lockstep until BOTH finish; a finished walk keeps
+# streaming (clamped) cluster 0 with all updates masked by its active
+# bit — wasted vector work, but below the floor.
+
+MXU_WALKS = int(os.environ.get("MI_MXU_WALKS", "2"))
+assert MXU_WALKS in (1, 2), f"MI_MXU_WALKS={MXU_WALKS}: 1 or 2"
+
+
+def _mxu_walk_prep(node_f, feat, scratch, sem, refs, w, msub):
+    """Per-walk closures: ray component slices + link picker + DMA."""
+    ox, oy, oz, dx, dy, dz, tmax = refs
+    s = pl.ds(w * msub, msub)
+    oxv, oyv, ozv = ox[s, :], oy[s, :], oz[s, :]
+    dxv, dyv, dzv = dx[s, :], dy[s, :], dz[s, :]
+    ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
+    pick = _link_picker(_octant_vote(dxv, dyv, dzv))
+    CK = CLUSTER_K
+
+    def start_dma(sb):
+        d = pltpu.make_async_copy(
+            feat.at[:, pl.ds(pl.multiple_of(4 * sb, 4 * CK), 4 * CK)],
+            scratch, sem)
+        d.start()
+        return d
+
+    return dict(o=(oxv, oyv, ozv), d=(dxv, dyv, dzv),
+                inv=(ixv, iyv, izv), tm=tmax[s, :], pick=pick,
+                start_dma=start_dma, scratch=scratch)
+
+
+def _closest_hit_mxu2_kernel(node_f, link_i, feat,
+                             ox, oy, oz, dx, dy, dz, tmax,
+                             t_out, prim_out, u_out, v_out,
+                             feat_s0, feat_s1, sem0, sem1):
+    """Two interleaved cut-tree walks (see block comment above)."""
+    msub = ox.shape[0] // 2
+    fuel_cap = node_f.shape[0] + 64
+    refs = (ox, oy, oz, dx, dy, dz, tmax)
+    wk = [_mxu_walk_prep(node_f, feat, s_, m_, refs, w, msub)
+          for w, (s_, m_) in enumerate([(feat_s0, sem0),
+                                        (feat_s1, sem1)])]
+
+    def cond(state):
+        n0, n1, fuel = state[0], state[1], state[2]
+        return ((n0 >= 0) | (n1 >= 0)) & (fuel < fuel_cap)
+
+    def body(state):
+        n0, n1, fuel, t0, b0, t1, b1 = state
+        nodes, tb, bb = [n0, n1], [t0, t1], [b0, b1]
+        nf, sb, is_cl, dmas, links = [], [], [], [], []
+        for w in range(2):
+            nw = jnp.maximum(nodes[w], 0)
+            nfw = node_f[pl.ds(nw, 1), :]
+            slot = nfw[0, 6].astype(jnp.int32)
+            sbw = jnp.maximum(slot, 0)
+            nf.append(nfw)
+            sb.append(sbw)
+            is_cl.append(slot >= 0)
+            dmas.append(wk[w]["start_dma"](sbw))
+            links.append(wk[w]["pick"](link_i[pl.ds(nw, 1), :]))
+        hits = []
+        for w in range(2):
+            hits.append(jnp.any(_slab(nf[w], *wk[w]["o"], *wk[w]["inv"],
+                                      tb[w])))
+        new_nodes = []
+        for w in range(2):
+            dmas[w].wait()
+            active = nodes[w] >= 0
+            scratch = wk[w]["scratch"]
+            od = wk[w]["o"] + wk[w]["d"]
+
+            def test(a, scratch=scratch, od=od):
+                return _mxu_cluster_closest(scratch, a[0], a[1], a[2],
+                                            a[3], *od, a[4], a[5])
+
+            tb[w], bb[w] = jax.lax.cond(
+                active & is_cl[w] & hits[w], test, lambda a: tuple(a[4:]),
+                (sb[w], nf[w][0, 8], nf[w][0, 9], nf[w][0, 10],
+                 tb[w], bb[w]))
+            hit_link, miss_link = links[w]
+            nxt = jnp.where(is_cl[w] | jnp.logical_not(hits[w]),
+                            miss_link, hit_link)
+            new_nodes.append(jnp.where(active, nxt, jnp.int32(-1)))
+        return (new_nodes[0], new_nodes[1], fuel + 1,
+                tb[0], bb[0], tb[1], bb[1])
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            wk[0]["tm"], jnp.full((msub, _LANE), -1, jnp.int32),
+            wk[1]["tm"], jnp.full((msub, _LANE), -1, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    t0, b0, t1, b1 = out[3:]
+    t_best = jnp.concatenate([t0, t1], axis=0)
+    best = jnp.concatenate([b0, b1], axis=0)
+    t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
+    prim_out[:] = best
+    u_out[:] = jnp.zeros((2 * msub, _LANE), jnp.float32)
+    v_out[:] = jnp.zeros((2 * msub, _LANE), jnp.float32)
+
+
+def _any_hit_mxu2_kernel(node_f, link_i, feat,
+                         ox, oy, oz, dx, dy, dz, tmax,
+                         occ_out, feat_s0, feat_s1, sem0, sem1):
+    """Dual-walk occlusion variant (early exit per walk via its active
+    bit; loop ends when both walks are exhausted or fully occluded)."""
+    msub = ox.shape[0] // 2
+    fuel_cap = node_f.shape[0] + 64
+    refs = (ox, oy, oz, dx, dy, dz, tmax)
+    wk = [_mxu_walk_prep(node_f, feat, s_, m_, refs, w, msub)
+          for w, (s_, m_) in enumerate([(feat_s0, sem0),
+                                        (feat_s1, sem1)])]
+
+    def live(n, occ_f):
+        return (n >= 0) & (jnp.min(occ_f) < 1.0)
+
+    def cond(state):
+        n0, n1, fuel, o0, o1 = state
+        return (live(n0, o0) | live(n1, o1)) & (fuel < fuel_cap)
+
+    def body(state):
+        n0, n1, fuel, o0, o1 = state
+        nodes, occ = [n0, n1], [o0, o1]
+        nf, sb, is_cl, dmas, links = [], [], [], [], []
+        for w in range(2):
+            nw = jnp.maximum(nodes[w], 0)
+            nfw = node_f[pl.ds(nw, 1), :]
+            slot = nfw[0, 6].astype(jnp.int32)
+            nf.append(nfw)
+            sb.append(jnp.maximum(slot, 0))
+            is_cl.append(slot >= 0)
+            dmas.append(wk[w]["start_dma"](sb[w]))
+            links.append(wk[w]["pick"](link_i[pl.ds(nw, 1), :]))
+        hits = []
+        for w in range(2):
+            alive = occ[w] < 1.0
+            hits.append(jnp.any(_slab(nf[w], *wk[w]["o"], *wk[w]["inv"],
+                                      wk[w]["tm"]) & alive))
+        new_nodes = []
+        for w in range(2):
+            dmas[w].wait()
+            active = nodes[w] >= 0
+            scratch = wk[w]["scratch"]
+            od = wk[w]["o"] + wk[w]["d"]
+            tm = wk[w]["tm"]
+
+            def test(a, scratch=scratch, od=od, tm=tm):
+                return _mxu_cluster_anyhit(scratch, a[0], a[1], a[2],
+                                           *od, tm, a[3])
+
+            occ[w] = jax.lax.cond(
+                active & is_cl[w] & hits[w], test, lambda a: a[3],
+                (nf[w][0, 8], nf[w][0, 9], nf[w][0, 10], occ[w]))
+            hit_link, miss_link = links[w]
+            nxt = jnp.where(is_cl[w] | jnp.logical_not(hits[w]),
+                            miss_link, hit_link)
+            new_nodes.append(jnp.where(active, nxt, jnp.int32(-1)))
+        return new_nodes[0], new_nodes[1], fuel + 1, occ[0], occ[1]
+
+    z = jnp.zeros((msub, _LANE), jnp.float32)
+    out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0), z, z))
+    occ_f = jnp.concatenate([out[3], out[4]], axis=0)
+    occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
+
+
 def _blockify(x, n_pad):
     x = jnp.pad(x, (0, n_pad - x.shape[0]))
     return x.reshape(n_pad // _LANE, _LANE)
@@ -686,40 +866,47 @@ def _mxu_ray_spec(msub):
                         memory_space=pltpu.VMEM)
 
 
-def _mxu_call(n_blocks, msub, out_shapes, interpret):
+def _mxu_call(n_blocks, msub, out_shapes, interpret, walks=1):
     """pallas_call for the MXU cluster-leaf kernel: node/link tables in
     VMEM (scalar row loads), featT resident in HBM (ANY) and DMA-streamed
     per cluster into VMEM scratch — so VMEM use is O(1) in scene size and
-    the dot_general sees only static offsets."""
+    the dot_general sees only static offsets. walks=2 selects the
+    dual-walk kernel (msub here is the TOTAL sublane rows per grid
+    step, i.e. walks * MXU_BLOCK/128)."""
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     rs = _mxu_ray_spec(msub)
+    kern = _closest_hit_mxu2_kernel if walks == 2 else \
+        _closest_hit_mxu_kernel
+    scratch = [pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32)] * walks + \
+        [pltpu.SemaphoreType.DMA] * walks
     return pl.pallas_call(
-        _closest_hit_mxu_kernel,
+        kern,
         grid=(n_blocks,),
         in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
         out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
-def _mxu_anyhit_call(n_blocks, msub, out_shapes, interpret):
+def _mxu_anyhit_call(n_blocks, msub, out_shapes, interpret, walks=1):
     """Occlusion variant of _mxu_call: no prim-id stream (padded slots
     are self-masking via their all-zero feature rows)."""
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     rs = _mxu_ray_spec(msub)
+    kern = _any_hit_mxu2_kernel if walks == 2 else _any_hit_mxu_kernel
+    scratch = [pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32)] * walks + \
+        [pltpu.SemaphoreType.DMA] * walks
     return pl.pallas_call(
-        _any_hit_mxu_kernel,
+        kern,
         grid=(n_blocks,),
         in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
         out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -761,7 +948,8 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
     N = jnp.shape(oz)[0]
     use_mxu = (MXU_LEAVES and not scene.has_spheres and
                getattr(scene, "mxu_feat", None) is not None)
-    blk = MXU_BLOCK if use_mxu else BLOCK
+    walks = MXU_WALKS if (use_mxu and N > MXU_BLOCK) else 1
+    blk = MXU_BLOCK * walks if use_mxu else BLOCK
     n_pad = max(-(-N // blk) * blk, blk)
     n_blocks = n_pad // blk
 
@@ -777,7 +965,7 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
     if use_mxu:
         tables = _pack_mxu_tables(scene)
         outs = _mxu_call(n_blocks, blk // _LANE, out_shapes,
-                         interpret)(*tables, *args)
+                         interpret, walks=walks)(*tables, *args)
         t, slot, u, v = (o.reshape(n_pad)[:N] for o in outs)
         # kernel emits cluster SLOT ids (implicit base + row iota); one
         # XLA gather per wavefront remaps to global prim ids — shading
@@ -810,7 +998,8 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
     N = jnp.shape(oz)[0]
     use_mxu = (MXU_LEAVES and not scene.has_spheres and
                getattr(scene, "mxu_feat", None) is not None)
-    blk = MXU_BLOCK if use_mxu else BLOCK
+    walks = MXU_WALKS if (use_mxu and N > MXU_BLOCK) else 1
+    blk = MXU_BLOCK * walks if use_mxu else BLOCK
     n_pad = max(-(-N // blk) * blk, blk)
     n_blocks = n_pad // blk
 
@@ -823,7 +1012,8 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
         node_f, link_i, feat = _pack_mxu_tables(scene)
         occ = _mxu_anyhit_call(n_blocks, blk // _LANE,
                                [jax.ShapeDtypeStruct(sh, jnp.int32)],
-                               interpret)(node_f, link_i, feat, *args)
+                               interpret,
+                               walks=walks)(node_f, link_i, feat, *args)
     else:
         node_f, node_i, _, prim_f = _pack_tables(scene)
         occ = _grid_call(_any_hit_kernel, n_blocks,
@@ -1535,7 +1725,7 @@ def _closest_hit_bvh8mxu_kernel(child_f, order8, feat,
         cur, fuel, mask, fresh, sp = state[0:5]
         st_n = list(state[5:5 + D])
         st_m = list(state[5 + D:5 + 2 * D])
-        t_best, best, bu, bv = state[5 + 2 * D:]
+        t_best, best = state[5 + 2 * D:]
 
         ordrow = order8[pl.ds(cur * 8 + octv, 1), :]
 
@@ -1577,14 +1767,14 @@ def _closest_hit_bvh8mxu_kernel(child_f, order8, feat,
                                  t_best)) & jnp.logical_not(do_pop)
         dma.wait()
 
-        t_best, best, bu, bv = jax.lax.cond(
+        t_best, best = jax.lax.cond(
             chit & is_leaf_c,
             lambda a: _mxu_cluster_closest(feat_s, *a[:4],
                                            oxv, oyv, ozv, dxv, dyv, dzv,
                                            *a[4:]),
             lambda a: tuple(a[4:]),
             (sb, crow[0, 8], crow[0, 9], crow[0, 10],
-             t_best, best, bu, bv))
+             t_best, best))
 
         descend = chit & jnp.logical_not(is_leaf_c)
         child_id = (-2 - kind.astype(jnp.int32))
@@ -1614,21 +1804,21 @@ def _closest_hit_bvh8mxu_kernel(child_f, order8, feat,
                         jnp.where(push, jnp.minimum(sp + 1, D), sp))
 
         return tuple([ncur, fuel + 1, nmask, nfresh, nsp]
-                     + st_n + st_m + [t_best, best, bu, bv])
+                     + st_n + st_m + [t_best, best])
 
     zi = jnp.int32(0)
     init = tuple([zi, zi, zi, jnp.int32(1), zi]
                  + [jnp.int32(-1)] * D + [zi] * D
                  + [tmax[:],
-                    jnp.full((msub, _LANE), -1, jnp.int32),
-                    jnp.zeros((msub, _LANE), jnp.float32),
-                    jnp.zeros((msub, _LANE), jnp.float32)])
+                    jnp.full((msub, _LANE), -1, jnp.int32)])
     out = jax.lax.while_loop(cond, body, init)
-    t_best, best, bu, bv = out[5 + 2 * D:]
+    t_best, best = out[5 + 2 * D:]
     t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
     prim_out[:] = best
-    u_out[:] = bu
-    v_out[:] = bv
+    # u/v re-solved exactly in compute_surface_interaction (see
+    # _mxu_cluster_closest docstring)
+    u_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
+    v_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
 
 
 def _any_hit_bvh8mxu_kernel(child_f, order8, feat,

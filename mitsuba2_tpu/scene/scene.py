@@ -840,6 +840,35 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
         inv = 1.0 / jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
         return x * inv, y * inv, z * inv
 
+    # Exact f32 Möller–Trumbore RE-SOLVE of the winning triangle. The
+    # verts are already gathered (the expensive part), so re-deriving
+    # (u, v, t) here costs ~25 planar FLOPs and makes the shading record
+    # independent of the intersector's precision mode — the MXU cluster
+    # kernels track winners through a bf16-split plane form (~1e-4 rel t,
+    # kernels/traverse_pallas.py MXU_PRECISION) and skip per-visit u/v
+    # winner extraction entirely (they emit u=v=0). Barycentrics are
+    # affine-invariant, so the world-space solve is equally valid for
+    # instanced hits. Kernel u/v survive only as the non-tri (sphere)
+    # parameterization and as the fallback for degenerate dets.
+    mt_pvx = ray.d.y * e2z - ray.d.z * e2y
+    mt_pvy = ray.d.z * e2x - ray.d.x * e2z
+    mt_pvz = ray.d.x * e2y - ray.d.y * e2x
+    mt_det = e1x * mt_pvx + e1y * mt_pvy + e1z * mt_pvz
+    mt_inv = jnp.where(jnp.abs(mt_det) < 1e-18, 0.0, 1.0 / mt_det)
+    mt_tvx, mt_tvy, mt_tvz = ray.o.x - p0x, ray.o.y - p0y, ray.o.z - p0z
+    mt_qvx = mt_tvy * e1z - mt_tvz * e1y
+    mt_qvy = mt_tvz * e1x - mt_tvx * e1z
+    mt_qvz = mt_tvx * e1y - mt_tvy * e1x
+    u_x = (mt_tvx * mt_pvx + mt_tvy * mt_pvy + mt_tvz * mt_pvz) * mt_inv
+    v_x = (ray.d.x * mt_qvx + ray.d.y * mt_qvy + ray.d.z * mt_qvz) * mt_inv
+    t_x = (e2x * mt_qvx + e2y * mt_qvy + e2z * mt_qvz) * mt_inv
+    ok_x = (valid & (ptype == PRIM_TRI) & (mt_inv != 0.0) &
+            jnp.isfinite(t_x) & (t_x > 0.0))
+    u = jnp.where(ok_x, u_x, u)
+    v = jnp.where(ok_x, v_x, v)
+    w = 1.0 - u - v
+    t_ref = jnp.where(ok_x, t_x, pi.t)
+
     # Triangle: position from barycentrics (better precision than o + t d)
     ptx = p0x + e1x * u + e2x * v
     pty = p0y + e1y * u + e2y * v
@@ -939,7 +968,7 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
 
     si = SurfaceInteraction(
         valid=valid,
-        t=jnp.where(valid, pi.t, jnp.inf),
+        t=jnp.where(valid, t_ref, jnp.inf),
         p=p, n=ng, sh_frame=sh_frame, uv=uv,
         wi=sh_frame.to_local(wi_world),
         shape=jnp.where(valid, _gth.scalar(scene.prim_shape, idx), -1),

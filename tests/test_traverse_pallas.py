@@ -95,11 +95,30 @@ def test_mxu_leaf_path_matches_scalar_kernel(monkeypatch):
     assert same[hit_s].mean() > 0.995        # equidistant ties only
     np.testing.assert_allclose(t_m[hit_s & ~same], t_s[hit_s & ~same],
                                rtol=1e-3, atol=1e-5)
+    # The MXU kernels no longer track barycentric winners (u_out == 0);
+    # compute_surface_interaction re-solves exact f32 Möller–Trumbore
+    # from the gathered verts. Check uv/t THROUGH that stage: both paths
+    # must produce matching shading records wherever the same prim won.
+    from mitsuba2_tpu.core.vec import Vec2, Vec3
+    from mitsuba2_tpu.core.geometry import Ray
+    from mitsuba2_tpu.render.interaction import PreliminaryIntersection
+    from mitsuba2_tpu.scene.scene import compute_surface_interaction
+
+    def si_of(t, p, uu, vv):
+        ray = Ray.make(o, d)
+        pi = PreliminaryIntersection(t=t, prim_index=p,
+                                     prim_uv=Vec2(uu, vv))
+        return compute_surface_interaction(scene, ray, pi)
+
+    si_s = si_of(*map(jnp.asarray, (t_s, p_s, u_s, v_s)))
+    si_m = si_of(*map(jnp.asarray, (t_m, p_m, u_m, v_m)))
     sel = same & hit_s
-    np.testing.assert_allclose(np.asarray(u_m)[sel], np.asarray(u_s)[sel],
-                               rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(v_m)[sel], np.asarray(v_s)[sel],
-                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(si_m.uv.x)[sel],
+                               np.asarray(si_s.uv.x)[sel],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(si_m.t)[sel],
+                               np.asarray(si_s.t)[sel],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_mxu_any_hit_matches_scalar_kernel(monkeypatch):
@@ -188,3 +207,31 @@ def test_mxu_flag_sphere_scene_falls_back(monkeypatch):
     t_j, _, _, _ = traverse_jnp.ray_intersect_preliminary(scene, o, d, t_max)
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_j),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mxu_dual_walk_matches_single(monkeypatch):
+    """The dual-walk MXU kernels (MI_MXU_WALKS=2: two interleaved block
+    walks riding one while-loop scalar floor) must reproduce the
+    single-walk kernels bit-for-bit — same blocks, same per-block walks,
+    only the loop interleaving differs."""
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+    scene = mesh_gallery(subdiv=1)
+    n = traverse_pallas.MXU_BLOCK + 2048   # forces walks=2 (+ padding)
+    o, d = random_rays(n, seed=11, spread=2.5)
+    t_max = jnp.full(n, jnp.inf)
+    monkeypatch.setattr(traverse_pallas, "MXU_LEAVES", True)
+
+    monkeypatch.setattr(traverse_pallas, "MXU_WALKS", 1)
+    t1, p1, _, _ = traverse_pallas.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    occ1 = traverse_pallas.ray_test(scene, o, d, jnp.full(n, 0.7),
+                                    interpret=True)
+    monkeypatch.setattr(traverse_pallas, "MXU_WALKS", 2)
+    t2, p2, _, _ = traverse_pallas.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    occ2 = traverse_pallas.ray_test(scene, o, d, jnp.full(n, 0.7),
+                                    interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
