@@ -60,9 +60,19 @@ def _emit(metric, value, unit="Mrays/s"):
 
 
 def _median_time(jax, run, warmups=2, reps=5):
-    """2 seed-varied warmups then the median of `reps` seed-varied runs."""
+    """2 seed-varied warmups then the median of `reps` seed-varied runs.
+
+    Timing hygiene on the tunneled axon runtime (2026-08-19): until the
+    process performs one device->host FETCH, block_until_ready returns
+    immediately and bur-only timings are fantasy (docs/TPU_TRAVERSAL.md,
+    "Timing hygiene"). One warmup output is fetched here to flip the
+    stream to synchronous before anything is timed."""
+    import numpy as _np
     for r in range(warmups):
-        jax.block_until_ready(run(r))
+        out = run(r)
+        jax.block_until_ready(out)
+        if r == 0:
+            _ = _np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     times = []
     for r in range(reps):
         t0 = time.perf_counter()

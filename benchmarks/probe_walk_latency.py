@@ -29,6 +29,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def stage(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
@@ -48,7 +50,7 @@ CK = 128
 LANES = 1024 if MODE == "lanes1k" else 4096
 SUB = LANES // 128
 R = 768
-S4 = 4 * CK * 8
+S4 = 4 * CK * int(os.environ.get("N_CLUSTERS", "8"))
 N_NODES = int(os.environ.get("N_NODES", "4096"))
 
 
@@ -97,6 +99,30 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
     K = 8 if MODE in ("pack8", "dot8", "pack8or", "dot8or") else 1
     n_iters = N_NODES // K
 
+    if MODE == "densereal":
+        # call the REAL kernel helpers (traverse_pallas._mxu_rt_parts /
+        # _mxu_cluster_closest) inside the probe harness: if this is
+        # slow, the helpers' lowering differs from the inline probe
+        # (e.g. _mxu_dot's full-f32 operands); if fast, the gap is in
+        # the kernel harness (grid / fori_loop / ref IO).
+        from mitsuba2_tpu.kernels import traverse_pallas as _tp
+        rt_parts_real = _tp._mxu_rt_parts(
+            seed * 0.001, seed * 0.001 + 1.0, seed * 0.001 + 2.0,
+            seed * 0.001 + 0.1, seed * 0.001 + 0.2, seed * 0.001 + 0.3)
+
+    if MODE in ("densert", "densecc"):
+        # the real MXU kernels' hoisted recentring operands
+        # (_mxu_rt_parts): rt0 + three coefficient matrices, built once
+        z1 = jnp.zeros((1, LANES), jnp.float32)
+        one = jnp.ones((1, LANES), jnp.float32)
+        z7 = jnp.zeros((7, LANES), jnp.float32)
+        rdx = dx.reshape(1, LANES)
+        rdy = dy.reshape(1, LANES)
+        rdz = dz.reshape(1, LANES)
+        cax = jnp.concatenate([z1, z1, z1, z1, -rdz, rdy, one, z1, z1, z7], 0)
+        cay = jnp.concatenate([z1, z1, z1, rdz, z1, -rdx, z1, one, z1, z7], 0)
+        caz = jnp.concatenate([z1, z1, z1, -rdy, rdx, z1, z1, z1, one, z7], 0)
+
     def epilogue(t_b, b, base):
         res = jax.lax.dot_general(
             feat_s[:], rt, (((0,), (0,)), ((), ())),
@@ -126,6 +152,127 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
     def body(st):
         i, node, t_best, best = st
         if K == 1:
+            if MODE == "densereal":
+                from mitsuba2_tpu.kernels import traverse_pallas as _tp
+                base = (i * (4 * CK)) % S4
+                dma_ = pltpu.make_async_copy(
+                    featT.at[:, pl.ds(pl.multiple_of(base, 4 * CK),
+                                      4 * CK)],
+                    feat_s, sem)
+                dma_.start()
+                nf = node_f[pl.ds(i % R, 1), :]
+                ccx = nf[0, 0] * 0.001
+                ccy = nf[0, 1] * 0.001
+                ccz = nf[0, 2] * 0.001
+                dma_.wait()
+                t_best, best = _tp._mxu_cluster_closest(
+                    feat_s, base, ccx, ccy, ccz, rt_parts_real,
+                    t_best, best)
+                return i + 1, node, t_best, best
+            if MODE in ("densert", "densecc"):
+                # dense + the real kernel's PER-VISIT work: centroid ->
+                # recentred rt (3 broadcast-FMA passes) -> bf16 split ->
+                # x3 dot -> epilogue. densert: centroid from scalar
+                # arithmetic; densecc: from a dynamic (1, 8) row load +
+                # 3 scalar element reads (the kernel's exact shape).
+                base = (i * (4 * CK)) % S4
+                dma_ = pltpu.make_async_copy(
+                    featT.at[:, pl.ds(pl.multiple_of(base, 4 * CK),
+                                      4 * CK)],
+                    feat_s, sem)
+                dma_.start()
+                if MODE == "densecc":
+                    nf = node_f[pl.ds(i % R, 1), :]
+                    ccx = nf[0, 0] * 0.001
+                    ccy = nf[0, 1] * 0.001
+                    ccz = nf[0, 2] * 0.001
+                else:
+                    fi = i.astype(jnp.float32)
+                    ccx, ccy, ccz = fi * 0.001, fi * 0.002, fi * 0.003
+                dma_.wait()
+                rt_c = rt - (ccx * cax + ccy * cay + ccz * caz)
+                rt_hi = rt_c.astype(jnp.bfloat16).astype(jnp.float32)
+                rt_lo = rt_c - rt_hi
+                f_hi = feat_s[:].astype(jnp.bfloat16).astype(jnp.float32)
+                f_lo = feat_s[:] - f_hi
+                dn = (((0,), (0,)), ((), ()))
+                res = (jax.lax.dot_general(
+                           f_hi, rt_hi, dn,
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           f_hi, rt_lo, dn,
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           f_lo, rt_hi, dn,
+                           preferred_element_type=jnp.float32))
+                det = res[0 * CK:1 * CK]
+                unum = res[1 * CK:2 * CK]
+                vnum = res[2 * CK:3 * CK]
+                tnum = res[3 * CK:4 * CK]
+                inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+                u, v, t = unum * inv, vnum * inv, tnum * inv
+                tb = t_best.reshape(1, LANES)
+                ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) &
+                      (u + v <= 1.0) & (t > 0.0) & (t < tb))
+                t_m = jnp.where(ok, t, jnp.inf)
+                t_c = jnp.min(t_m, axis=0, keepdims=True)
+                win = ok & (t_m <= t_c)
+                pids = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (CK, LANES), 0)
+                prim_c = jnp.min(jnp.where(win, pids, 1 << 30),
+                                 axis=0, keepdims=True)
+                closer = t_c < tb
+                t_best = jnp.where(closer, t_c, tb).reshape(SUB, 128)
+                best = jnp.where(closer, prim_c,
+                                 best.reshape(1, LANES)).reshape(SUB, 128)
+                return i + 1, node, t_best, best
+            if MODE == "dense":
+                # NO walk: the loop counter drives the cluster DMA + x3
+                # bf16-split dot + full epilogue every iteration. This is
+                # the per-VISIT cost with no serial cursor dependency —
+                # the dense-sweep design's unit (and free to pipeline).
+                base = (i * (4 * CK)) % S4
+                dma_ = pltpu.make_async_copy(
+                    featT.at[:, pl.ds(pl.multiple_of(base, 4 * CK),
+                                      4 * CK)],
+                    feat_s, sem)
+                dma_.start()
+                dma_.wait()
+                rt_hi = rt.astype(jnp.bfloat16).astype(jnp.float32)
+                rt_lo = rt - rt_hi
+                f_hi = feat_s[:].astype(jnp.bfloat16).astype(jnp.float32)
+                f_lo = feat_s[:] - f_hi
+                dn = (((0,), (0,)), ((), ()))
+                res = (jax.lax.dot_general(
+                           f_hi, rt_hi, dn,
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           f_hi, rt_lo, dn,
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           f_lo, rt_hi, dn,
+                           preferred_element_type=jnp.float32))
+                det = res[0 * CK:1 * CK]
+                unum = res[1 * CK:2 * CK]
+                vnum = res[2 * CK:3 * CK]
+                tnum = res[3 * CK:4 * CK]
+                inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+                u, v, t = unum * inv, vnum * inv, tnum * inv
+                tb = t_best.reshape(1, LANES)
+                ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) &
+                      (u + v <= 1.0) & (t > 0.0) & (t < tb))
+                t_m = jnp.where(ok, t, jnp.inf)
+                t_c = jnp.min(t_m, axis=0, keepdims=True)
+                win = ok & (t_m <= t_c)
+                pids = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (CK, LANES), 0)
+                prim_c = jnp.min(jnp.where(win, pids, 1 << 30),
+                                 axis=0, keepdims=True)
+                closer = t_c < tb
+                t_best = jnp.where(closer, t_c, tb).reshape(SUB, 128)
+                best = jnp.where(closer, prim_c,
+                                 best.reshape(1, LANES)).reshape(SUB, 128)
+                return i + 1, node, t_best, best
             if MODE == "empty":
                 # scalar arithmetic only: the while_loop's own floor
                 nxt = (node * 5 + 1) % R
@@ -282,10 +429,16 @@ fn = pl.pallas_call(
     out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     out_shape=jax.ShapeDtypeStruct((SUB, 128), jnp.float32),
     scratch_shapes=[pltpu.VMEM((16, 4 * CK), jnp.float32),
-                    pltpu.SemaphoreType.DMA(())])
+                    pltpu.SemaphoreType.DMA(())],
+    compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024))
 jfn = jax.jit(fn)
 seed = jnp.zeros((SUB, 128), jnp.float32)
 out = jax.block_until_ready(jfn(node_f, link_i, featT, seed))
+# timing hygiene (2026-08-19): ONE host fetch flips the tunneled axon
+# stream out of its deferred mode, in which block_until_ready returns
+# immediately and timings are fantasy. Keep this before ANY timing.
+_ = np.asarray(out)[:1]
 stage(f"compiled+warm mode={MODE}")
 REPS = 8
 t0 = time.perf_counter()

@@ -143,6 +143,13 @@ def main():
             out = fn(o, d)
             jax.block_until_ready(out)
             compile_s = time.perf_counter() - t0
+            # MANDATORY timing hygiene on the tunneled axon runtime
+            # (2026-08-19): until the process performs one device->host
+            # FETCH, block_until_ready returns immediately (~0.1 ms) no
+            # matter the queued work — bur-only timing in a fetch-free
+            # process measures NOTHING. One fetch flips the stream to
+            # synchronous; bur is honest afterwards.
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
             t0 = time.perf_counter()
             for r in range(args.rounds):
                 out = fn(o_rounds[r], d)

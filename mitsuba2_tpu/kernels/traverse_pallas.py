@@ -143,6 +143,43 @@ def _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv):
     return rt
 
 
+def _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv):
+    """Hoisted per-visit recentring: rt(c) = rt0 - (cx Ax + cy Ay + cz Az).
+
+    _mxu_ray_features rebuilt the full (16, B) feature matrix (a 16-row
+    concatenate + cross products) at EVERY cluster visit — measured
+    ~15 us/visit on hardware (2026-08-19; the dense-sweep probe without
+    the rebuild runs the whole visit at the ~2 us loop floor). The
+    recentred features are LINEAR in the centroid c:
+        m' = (o - c) x d = o x d - c x d,   o' = o - c
+    so build rt0 = rt(c=0) and the three coefficient matrices once per
+    kernel instance, and each visit is three broadcast-FMA passes:
+        Ax: row4 = -dz, row5 = +dy, row6 = 1
+        Ay: row3 = +dz, row5 = -dx, row7 = 1
+        Az: row3 = -dy, row4 = +dx, row8 = 1
+    (rows: [d.xyz | (oxd).xyz | o.xyz | 1 | 0*6])."""
+    msub = oxv.shape[0]
+    B = msub * _LANE
+
+    def row(a):
+        return a.reshape(1, B)
+
+    z1 = jnp.zeros((1, B), jnp.float32)
+    one = jnp.ones((1, B), jnp.float32)
+    z7 = jnp.zeros((7, B), jnp.float32)
+    rt0 = _mxu_ray_features(oxv, oyv, ozv, dxv, dyv, dzv)
+    rdx, rdy, rdz = row(dxv), row(dyv), row(dzv)
+    ax = jnp.concatenate([z1, z1, z1, z1, -rdz, rdy, one, z1, z1, z7], 0)
+    ay = jnp.concatenate([z1, z1, z1, rdz, z1, -rdx, z1, one, z1, z7], 0)
+    az = jnp.concatenate([z1, z1, z1, -rdy, rdx, z1, z1, z1, one, z7], 0)
+    return rt0, ax, ay, az
+
+
+def _mxu_rt_at(rt_parts, ccx, ccy, ccz):
+    rt0, ax, ay, az = rt_parts
+    return rt0 - (ccx * ax + ccy * ay + ccz * az)
+
+
 def _slab(nf, ox, oy, oz, ix, iy, iz, t_best):
     """Vectorized AABB slab test of one node against the lane block."""
     t0x = (nf[0, 0] - ox) * ix
@@ -423,8 +460,7 @@ def _rt_split(rt):
     return rt, rt
 
 
-def _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
-                         oxv, oyv, ozv, dxv, dyv, dzv,
+def _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz, rt_parts,
                          t_best, best):
     """One MXU cluster visit (closest hit): recentred ray features, the
     4-plane matmul over the DMA'd scratch, and the winner epilogue.
@@ -445,10 +481,11 @@ def _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
 
     # ray features RECENTRED at the visited cluster's centroid (the
     # planes in feat are host-built about the same point) — bounds the
-    # bf16-split cancellation amplification at ~(1 + r_c/t); see
-    # _mxu_ray_features. ~30 vector ops, noise next to the matmul.
-    rt = _mxu_ray_features(oxv - ccx, oyv - ccy, ozv - ccz,
-                           dxv, dyv, dzv)
+    # bf16-split cancellation amplification at ~(1 + r_c/t). Hoisted
+    # form: three broadcast-FMA passes over the prebuilt rt0/Ax/Ay/Az
+    # (_mxu_rt_parts) — rebuilding the feature matrix per visit cost
+    # ~15 us/visit on hardware.
+    rt = _mxu_rt_at(rt_parts, ccx, ccy, ccz)
     rt_pair = _rt_split(rt)
     # precision: see MXU_PRECISION — the visit cost is pass-count-bound
     res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, B)
@@ -478,8 +515,7 @@ def _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
     return nt, nbest
 
 
-def _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
-                        oxv, oyv, ozv, dxv, dyv, dzv, tmv, occ_f):
+def _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz, rt_parts, tmv, occ_f):
     """One MXU cluster visit (any-hit). Padded slots have all-zero
     feature rows -> det == 0 -> never counted as hits."""
     msub, lanes = occ_f.shape
@@ -488,8 +524,7 @@ def _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
     def row(a):
         return a.reshape(1, msub * lanes)
 
-    rt = _mxu_ray_features(oxv - ccx, oyv - ccy, ozv - ccz,
-                           dxv, dyv, dzv)
+    rt = _mxu_rt_at(rt_parts, ccx, ccy, ccz)
     rt_pair = _rt_split(rt)
     res = _mxu_dot(feat_s[:], rt_pair)                       # (4*CK, B)
     det = res[0 * CK:1 * CK]
@@ -558,10 +593,11 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
             d.start()
         return dmas
 
+    rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
+
     def cluster_test(base, ccx, ccy, ccz, t_best, best):
         return _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
-                                    oxv, oyv, ozv, dxv, dyv, dzv,
-                                    t_best, best)
+                                    rt_parts, t_best, best)
 
     def cond(state):
         node, fuel = state[0], state[1]
@@ -632,10 +668,11 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         d.start()
         return [d]
 
+    rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
+
     def cluster_test(ccx, ccy, ccz, occ_f):
         return _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
-                                   oxv, oyv, ozv, dxv, dyv, dzv,
-                                   tmv, occ_f)
+                                   rt_parts, tmv, occ_f)
 
     def cond(state):
         node, fuel, occ_f = state
@@ -708,7 +745,8 @@ def _mxu_walk_prep(node_f, feat, scratch, sem, refs, w, msub):
 
     return dict(o=(oxv, oyv, ozv), d=(dxv, dyv, dzv),
                 inv=(ixv, iyv, izv), tm=tmax[s, :], pick=pick,
-                start_dma=start_dma, scratch=scratch)
+                start_dma=start_dma, scratch=scratch,
+                rt=_mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv))
 
 
 def _closest_hit_mxu2_kernel(node_f, link_i, feat,
@@ -750,11 +788,11 @@ def _closest_hit_mxu2_kernel(node_f, link_i, feat,
             dmas[w].wait()
             active = nodes[w] >= 0
             scratch = wk[w]["scratch"]
-            od = wk[w]["o"] + wk[w]["d"]
+            rt_parts = wk[w]["rt"]
 
-            def test(a, scratch=scratch, od=od):
+            def test(a, scratch=scratch, rt_parts=rt_parts):
                 return _mxu_cluster_closest(scratch, a[0], a[1], a[2],
-                                            a[3], *od, a[4], a[5])
+                                            a[3], rt_parts, a[4], a[5])
 
             tb[w], bb[w] = jax.lax.cond(
                 active & is_cl[w] & hits[w], test, lambda a: tuple(a[4:]),
@@ -822,12 +860,12 @@ def _any_hit_mxu2_kernel(node_f, link_i, feat,
             dmas[w].wait()
             active = nodes[w] >= 0
             scratch = wk[w]["scratch"]
-            od = wk[w]["o"] + wk[w]["d"]
+            rt_parts = wk[w]["rt"]
             tm = wk[w]["tm"]
 
-            def test(a, scratch=scratch, od=od, tm=tm):
+            def test(a, scratch=scratch, rt_parts=rt_parts, tm=tm):
                 return _mxu_cluster_anyhit(scratch, a[0], a[1], a[2],
-                                           *od, tm, a[3])
+                                           rt_parts, tm, a[3])
 
             occ[w] = jax.lax.cond(
                 active & is_cl[w] & hits[w], test, lambda a: a[3],
@@ -843,6 +881,120 @@ def _any_hit_mxu2_kernel(node_f, link_i, feat,
         cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0), z, z))
     occ_f = jnp.concatenate([out[3], out[4]], axis=0)
     occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
+
+
+# --- dense cluster-sweep MXU kernels (default OFF — a measured loss) --------
+# No walk at all: a counter-driven loop DMAs EVERY cluster and runs the
+# plane matmul + epilogue unconditionally — coherence-independent by
+# construction. HISTORY (2026-08-19): this path was built on a probe
+# reading of 1.61 us/visit that turned out to be a TIMING ARTIFACT of
+# the tunneled axon runtime — in a process that has never performed a
+# device->host fetch, block_until_ready returns immediately and bur-only
+# timings are fantasy (see docs/TPU_TRAVERSAL.md "Timing hygiene").
+# Under the honest protocol (one fetch after warmup) a dense visit costs
+# ~14 us — the matmul+epilogue vector work itself, not walk overhead —
+# so the sweep measures 1.0-1.05 Mrays/s on the 359-cluster gallery
+# versus the cut-tree walk's 7.53 coherent / 1.20 incoherent closest and
+# 23.1 / 1.63 anyhit. The walk's culling (visits ~= the block's cluster
+# union, far below C) beats paying C visits unconditionally at every
+# scene size tested. Kept compilable + interpret-tested as the
+# coherence-independence baseline; enable with MI_MXU_DENSE=1|auto.
+
+MXU_DENSE_MAX = int(os.environ.get("MI_MXU_DENSE_MAX", "768"))
+_MXU_DENSE = os.environ.get("MI_MXU_DENSE", "0")
+assert _MXU_DENSE in ("auto", "0", "1")
+
+
+def _use_dense(scene):
+    if _MXU_DENSE == "0":
+        return False
+    C = scene.mxu_ccs.shape[0] if getattr(scene, "mxu_ccs", None) \
+        is not None else None
+    if C is None:
+        return False
+    return True if _MXU_DENSE == "1" else C <= MXU_DENSE_MAX
+
+
+def _closest_hit_mxu_dense_kernel(ccs, feat,
+                                  ox, oy, oz, dx, dy, dz, tmax,
+                                  t_out, prim_out, u_out, v_out,
+                                  feat_s, sem):
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    msub = oxv.shape[0]
+    C = ccs.shape[0]
+    CK = CLUSTER_K
+    rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
+
+    def body(i, st):
+        t_best, best = st
+        dma = pltpu.make_async_copy(
+            feat.at[:, pl.ds(pl.multiple_of(i * 4 * CK, 4 * CK), 4 * CK)],
+            feat_s, sem)
+        dma.start()
+        cc = ccs[pl.ds(i, 1), :]
+        dma.wait()
+        return _mxu_cluster_closest(feat_s, i * CK, cc[0, 0], cc[0, 1],
+                                    cc[0, 2], rt_parts, t_best, best)
+
+    t_best, best = jax.lax.fori_loop(
+        0, C, body,
+        (tmax[:], jnp.full((msub, _LANE), -1, jnp.int32)))
+    t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
+    prim_out[:] = best
+    u_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
+    v_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
+
+
+def _any_hit_mxu_dense_kernel(ccs, feat,
+                              ox, oy, oz, dx, dy, dz, tmax,
+                              occ_out, feat_s, sem):
+    """Dense occlusion sweep; exits once every lane is occluded (the
+    counter-in-while shape keeps the body unconditional)."""
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    tmv = tmax[:]
+    msub = oxv.shape[0]
+    C = ccs.shape[0]
+    CK = CLUSTER_K
+    rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
+
+    def cond(st):
+        i, occ_f = st
+        return (i < C) & (jnp.min(occ_f) < 1.0)
+
+    def body(st):
+        i, occ_f = st
+        dma = pltpu.make_async_copy(
+            feat.at[:, pl.ds(pl.multiple_of(i * 4 * CK, 4 * CK), 4 * CK)],
+            feat_s, sem)
+        dma.start()
+        cc = ccs[pl.ds(i, 1), :]
+        dma.wait()
+        occ_f = _mxu_cluster_anyhit(feat_s, cc[0, 0], cc[0, 1], cc[0, 2],
+                                    rt_parts, tmv, occ_f)
+        return i + 1, occ_f
+
+    _, occ_f = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((msub, _LANE), jnp.float32)))
+    occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
+
+
+def _mxu_dense_call(kern, n_blocks, msub, out_shapes, interpret):
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    rs = _mxu_ray_spec(msub)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[_tab_spec, any_spec] + [rs] * 7,
+        out_specs=tuple(rs for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
 
 
 def _blockify(x, n_pad):
@@ -948,7 +1100,8 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
     N = jnp.shape(oz)[0]
     use_mxu = (MXU_LEAVES and not scene.has_spheres and
                getattr(scene, "mxu_feat", None) is not None)
-    walks = MXU_WALKS if (use_mxu and N > MXU_BLOCK) else 1
+    dense = use_mxu and _use_dense(scene)
+    walks = MXU_WALKS if (use_mxu and not dense and N > MXU_BLOCK) else 1
     blk = MXU_BLOCK * walks if use_mxu else BLOCK
     n_pad = max(-(-N // blk) * blk, blk)
     n_blocks = n_pad // blk
@@ -963,9 +1116,15 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
                   jax.ShapeDtypeStruct(sh, jnp.float32),
                   jax.ShapeDtypeStruct(sh, jnp.float32)]
     if use_mxu:
-        tables = _pack_mxu_tables(scene)
-        outs = _mxu_call(n_blocks, blk // _LANE, out_shapes,
-                         interpret, walks=walks)(*tables, *args)
+        if dense:
+            outs = _mxu_dense_call(
+                _closest_hit_mxu_dense_kernel, n_blocks, blk // _LANE,
+                out_shapes, interpret)(scene.mxu_ccs, scene.mxu_feat,
+                                       *args)
+        else:
+            tables = _pack_mxu_tables(scene)
+            outs = _mxu_call(n_blocks, blk // _LANE, out_shapes,
+                             interpret, walks=walks)(*tables, *args)
         t, slot, u, v = (o.reshape(n_pad)[:N] for o in outs)
         # kernel emits cluster SLOT ids (implicit base + row iota); one
         # XLA gather per wavefront remaps to global prim ids — shading
@@ -998,7 +1157,8 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
     N = jnp.shape(oz)[0]
     use_mxu = (MXU_LEAVES and not scene.has_spheres and
                getattr(scene, "mxu_feat", None) is not None)
-    walks = MXU_WALKS if (use_mxu and N > MXU_BLOCK) else 1
+    dense = use_mxu and _use_dense(scene)
+    walks = MXU_WALKS if (use_mxu and not dense and N > MXU_BLOCK) else 1
     blk = MXU_BLOCK * walks if use_mxu else BLOCK
     n_pad = max(-(-N // blk) * blk, blk)
     n_blocks = n_pad // blk
@@ -1009,11 +1169,18 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
             _blockify(t_max, n_pad)]
     sh = (n_pad // _LANE, _LANE)
     if use_mxu:
-        node_f, link_i, feat = _pack_mxu_tables(scene)
-        occ = _mxu_anyhit_call(n_blocks, blk // _LANE,
-                               [jax.ShapeDtypeStruct(sh, jnp.int32)],
-                               interpret,
-                               walks=walks)(node_f, link_i, feat, *args)
+        if dense:
+            occ = _mxu_dense_call(
+                _any_hit_mxu_dense_kernel, n_blocks, blk // _LANE,
+                [jax.ShapeDtypeStruct(sh, jnp.int32)],
+                interpret)(scene.mxu_ccs, scene.mxu_feat, *args)
+        else:
+            node_f, link_i, feat = _pack_mxu_tables(scene)
+            occ = _mxu_anyhit_call(
+                n_blocks, blk // _LANE,
+                [jax.ShapeDtypeStruct(sh, jnp.int32)],
+                interpret,
+                walks=walks)(node_f, link_i, feat, *args)
     else:
         node_f, node_i, _, prim_f = _pack_tables(scene)
         occ = _grid_call(_any_hit_kernel, n_blocks,
@@ -1716,6 +1883,7 @@ def _closest_hit_bvh8mxu_kernel(child_f, order8, feat,
     msub = oxv.shape[0]
     D = stack_d
     CK = CLUSTER_K
+    rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
 
     def cond(state):
         cur, fuel = state[0], state[1]
@@ -1769,8 +1937,7 @@ def _closest_hit_bvh8mxu_kernel(child_f, order8, feat,
 
         t_best, best = jax.lax.cond(
             chit & is_leaf_c,
-            lambda a: _mxu_cluster_closest(feat_s, *a[:4],
-                                           oxv, oyv, ozv, dxv, dyv, dzv,
+            lambda a: _mxu_cluster_closest(feat_s, *a[:4], rt_parts,
                                            *a[4:]),
             lambda a: tuple(a[4:]),
             (sb, crow[0, 8], crow[0, 9], crow[0, 10],
@@ -1833,6 +2000,7 @@ def _any_hit_bvh8mxu_kernel(child_f, order8, feat,
     msub = oxv.shape[0]
     D = stack_d
     CK = CLUSTER_K
+    rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
 
     def cond(state):
         cur, fuel = state[0], state[1]
@@ -1879,8 +2047,7 @@ def _any_hit_bvh8mxu_kernel(child_f, order8, feat,
 
         occ_f = jax.lax.cond(
             chit & is_leaf_c,
-            lambda a: _mxu_cluster_anyhit(feat_s, *a[:3],
-                                          oxv, oyv, ozv, dxv, dyv, dzv,
+            lambda a: _mxu_cluster_anyhit(feat_s, *a[:3], rt_parts,
                                           tmv, a[3]),
             lambda a: a[3],
             (crow[0, 8], crow[0, 9], crow[0, 10], occ_f))

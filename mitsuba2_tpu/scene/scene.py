@@ -104,6 +104,10 @@ class SceneData:
     mxu_link: jnp.ndarray = None
     cluster_slot_prim: jnp.ndarray = None
     mxu_feat: jnp.ndarray = None
+    # (C, 8) f32 per-cluster centroids [c.xyz, 0*5] in SLOT order — the
+    # dense cluster-sweep kernels read row i per visit (the walk kernels
+    # read the same centroid off the cut-tree row instead)
+    mxu_ccs: jnp.ndarray = None
     # --- BVH8 child-testing walk tables (bvh.py::collapse_bvh8; the
     # round-3 traversal candidate, walk-model 6-7.4x fewer steps).
     # bvh8_child: (M*8, 8) f32 [min.xyz, max.xyz, kind, count];
@@ -399,7 +403,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         # MXU cluster path does not support instanced scenes yet — the
         # dispatch guard (traverse_pallas) routes them to the scalar
         # instanced kernels
-        mxu_node_f = mxu_link = slot_prim = feat = None
+        mxu_node_f = mxu_link = slot_prim = feat = mxu_ccs = None
         bvh8_child = bvh8_order = None
         bvh8_depth = 0
         bvh8c_child = bvh8c_order = None
@@ -450,7 +454,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     # Built here rather than at trace time — the per-slot prim gathers are
     # pathological as XLA device ops (~0.15 G elem/s on TPU).
     if slot_prim is None:
-        feat = None   # instanced scenes skip the MXU tables (scalar path)
+        feat = mxu_ccs = None  # instanced scenes skip the MXU tables
     else:
         sidx = np.maximum(slot_prim, 0)
         valid = (slot_prim >= 0)[:, None].astype(np.float32)
@@ -488,6 +492,8 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         # kernel-visible copy of each cut node's cluster centroid
         is_cl_node = cl_id_c >= 0
         mxu_node_f[is_cl_node, 8:11] = cl_c[cl_id_c[is_cl_node]]
+        mxu_ccs = np.zeros((C, 8), np.float32)
+        mxu_ccs[:, 0:3] = cl_c
         # composed BVH8-walk x MXU-leaf tables: collapse the cut tree
         # with cluster leaves (same size gate as the prim BVH8; a cut
         # root means the whole scene is one cluster — MXU alone covers it)
@@ -674,6 +680,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         mxu_link=None if mxu_link is None else dev(mxu_link.astype(np.int32)),
         cluster_slot_prim=None if slot_prim is None else dev(slot_prim),
         mxu_feat=None if feat is None else dev(feat),
+        mxu_ccs=None if mxu_ccs is None else dev(mxu_ccs),
         bvh8_child=None if bvh8_child is None else dev(bvh8_child),
         bvh8_order=None if bvh8_order is None else dev(bvh8_order),
         bvh8_depth=bvh8_depth,
@@ -764,7 +771,10 @@ def refresh_mxu_feat(scene: SceneData) -> SceneData:
     node_c = jnp.where((slot >= 0)[:, None],
                        cl_c[jnp.maximum(slot, 0) // CK], 0.0)
     node_f = scene.mxu_node_f.at[:, 8:11].set(node_c)
-    return scene.replace(mxu_feat=feat, mxu_node_f=node_f)
+    ccs = scene.mxu_ccs
+    if ccs is not None:
+        ccs = ccs.at[:, 0:3].set(cl_c)
+    return scene.replace(mxu_feat=feat, mxu_node_f=node_f, mxu_ccs=ccs)
 
 
 def compute_surface_interaction(scene: SceneData, ray: Ray,

@@ -235,3 +235,35 @@ def test_mxu_dual_walk_matches_single(monkeypatch):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
+
+
+def test_mxu_dense_sweep_matches_walk(monkeypatch):
+    """The dense cluster-sweep kernels (counter-driven DMA + matmul over
+    ALL clusters, no walk — the pipelined-floor design) must agree with
+    the cut-tree walk: same hit masks and occlusion, same t up to
+    cross-cluster equidistant ties (visit order differs)."""
+    from mitsuba2_tpu.kernels import traverse_pallas as tp
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+    scene = mesh_gallery(subdiv=1)
+    assert scene.mxu_ccs is not None
+    n = 4096
+    o, d = random_rays(n, seed=13, spread=2.5)
+    t_max = jnp.full(n, jnp.inf)
+    monkeypatch.setattr(tp, "MXU_LEAVES", True)
+
+    monkeypatch.setattr(tp, "_MXU_DENSE", "0")
+    t_w, p_w, _, _ = tp.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    occ_w = tp.ray_test(scene, o, d, jnp.full(n, 0.6), interpret=True)
+    monkeypatch.setattr(tp, "_MXU_DENSE", "1")
+    t_d, p_d, _, _ = tp.ray_intersect_preliminary(
+        scene, o, d, t_max, interpret=True)
+    occ_d = tp.ray_test(scene, o, d, jnp.full(n, 0.6), interpret=True)
+
+    t_w, t_d = np.asarray(t_w), np.asarray(t_d)
+    hw_, hd_ = np.isfinite(t_w), np.isfinite(t_d)
+    np.testing.assert_array_equal(hw_, hd_)
+    np.testing.assert_allclose(t_d[hd_], t_w[hw_], rtol=1e-5, atol=1e-6)
+    same = np.asarray(p_w) == np.asarray(p_d)
+    assert same[hw_].mean() > 0.995
+    np.testing.assert_array_equal(np.asarray(occ_w), np.asarray(occ_d))
