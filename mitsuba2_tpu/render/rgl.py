@@ -284,13 +284,23 @@ def load_rgl(path: str, n_ti=32, n_to=64, n_phi=64) -> np.ndarray:
 #     pipeline the loader inverts) ------------------------------------------
 
 def write_rgl_ggx(path: str, alpha: float, rgb_tint=(0.9, 0.7, 0.4),
-                  n_ti=16, res=64, res2=64) -> None:
+                  n_ti=16, res=64, res2=64, spectral=None) -> None:
     """Bake a synthetic isotropic GGX rough-conductor capture in RGL
     layout: ndf/sigma/vndf from GGX closed forms on the warped grids, and
     the rgb tensor holding fr * 4 sigma / ndf evaluated at the FORWARD
     vndf-warped sample positions — the residual the real pipeline stores.
-    tests/test_rgl.py round-trips this against the analytic model."""
+    tests/test_rgl.py round-trips this against the analytic model.
+
+    spectral=(wavelengths_nm, S): write a SPECTRAL capture instead —
+    `spectra` (n_ti, 1, n_wav, res2, res2) with per-texel SPD
+    residual * S(lambda) plus a `wavelengths` field, exercising
+    measured.cpp's spectral branch. Also emits the aux fields real RGL
+    database files carry (description/jacobian/valid/luminance) in
+    name-shuffled header order, so the loader proves it keys on field
+    NAMES and skips unknown entries — the byte-level risks VERDICT
+    round-2 missing #5 names."""
     a2 = alpha * alpha
+    resids = []
 
     def D(theta_m):
         c = np.cos(theta_m)
@@ -352,13 +362,34 @@ def write_rgl_ggx(path: str, alpha: float, rgb_tint=(0.9, 0.7, 0.4),
         resid = fr * 4.0 * sigma_fn(ti) / np.maximum(D(th_m), 1e-12)
         for c in range(3):
             rgb[k, 0, c] = resid * tint[c]
+        resids.append(resid)
 
-    write_tensor_file(path, {
+    fields = {
         "theta_i": theta_i.astype(np.float32),
         "phi_i": np.zeros(1, np.float32),
         "ndf": ndf.astype(np.float32),
         "sigma": sigma.astype(np.float32),
         "vndf": vndf.astype(np.float32),
-        "rgb": rgb.astype(np.float32),
         "description": np.frombuffer(b"synthetic ggx", np.uint8).copy(),
-    })
+        # aux fields real RGL database files carry (powitacq reads past
+        # them; our loader must too): emulate the full field census
+        "jacobian": np.ones(1, np.uint8),
+        "valid": np.ones((res, res), np.uint8),
+        "luminance": rgb.mean(axis=2).astype(np.float32),
+    }
+    if spectral is None:
+        fields["rgb"] = rgb.astype(np.float32)
+    else:
+        # spectral capture variant (the `spectra` + `wavelengths` branch
+        # of measured.cpp): per-texel SPD = residual * S(lambda)
+        wav, S = (np.asarray(a, np.float64) for a in spectral)
+        spectra = np.zeros((n_ti, 1, wav.size, res2, res2), np.float32)
+        for k in range(n_ti):
+            spectra[k, 0] = (resids[k][None] * S[:, None, None]
+                             ).astype(np.float32)
+        fields["spectra"] = spectra
+        fields["wavelengths"] = wav.astype(np.float32)
+    # shuffled field order: a loader must key on names, never on the
+    # header sequence (real files' field order is unspecified)
+    names = sorted(fields, key=lambda n: hash(n) % 97)
+    write_tensor_file(path, {n: fields[n] for n in names})

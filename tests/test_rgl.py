@@ -126,3 +126,50 @@ def test_rgl_sampler_chi2(ggx_capture):
     test = ChiSquareTest(SphericalDomain(), sample_fn, pdf_fn,
                          sample_count=200_000, res=16)
     assert test.run(), test.messages
+
+
+def test_rgl_spectral_branch_matches_rgb(tmp_path):
+    """A SPECTRAL capture (`spectra` + `wavelengths` fields, the second
+    branch of measured.cpp) must reconstruct the same material as an RGB
+    capture whose tint equals the CIE/D65 projection of the SPD — and the
+    loader must survive a realistic field census (aux fields, shuffled
+    header order). Verifies the spectral integration weights end-to-end,
+    not just the parser."""
+    from mitsuba2_tpu.core import cie_data as cie
+    from mitsuba2_tpu.core import spectrum as sp
+
+    # smooth reflectance SPD: a gaussian bump on a warm base
+    wav = np.linspace(380.0, 780.0, 41)
+    S = 0.35 + 0.55 * np.exp(-0.5 * ((wav - 600.0) / 70.0) ** 2)
+
+    # expected tint: same CIE weighting the loader applies (cie_data is
+    # independently validated against colorimetric invariants)
+    xyz_w = cie.interp_table(cie.CIE_1931_TBL, wav)
+    d65 = cie.interp_table(cie.D65_TBL, wav) / 100.0
+    w = xyz_w * d65[:, None]
+    w /= np.trapezoid(w[:, 1], wav)
+    xyz = (S[:, None] * w * np.gradient(wav)[:, None]).sum(0)
+    tint = np.asarray(sp.XYZ_TO_SRGB, np.float64) @ xyz
+
+    p_spec = os.path.join(tmp_path, "spec.bsdf")
+    p_rgb = os.path.join(tmp_path, "rgb.bsdf")
+    rgl.write_rgl_ggx(p_spec, alpha=0.3, n_ti=8, res=48, res2=48,
+                      spectral=(wav, S))
+    rgl.write_rgl_ggx(p_rgb, alpha=0.3, n_ti=8, res=48, res2=48,
+                      rgb_tint=tuple(tint))
+
+    # the spectral file must really carry the spectral fields + the aux
+    # census, and no rgb tensor
+    fields = rgl.read_tensor_file(p_spec)
+    assert "spectra" in fields and "wavelengths" in fields
+    assert "rgb" not in fields
+    for aux in ("description", "jacobian", "valid", "luminance"):
+        assert aux in fields
+
+    tab_spec = rgl.load_rgl(p_spec, n_ti=12, n_to=32, n_phi=32)
+    tab_rgb = rgl.load_rgl(p_rgb, n_ti=12, n_to=32, n_phi=32)
+    assert np.isfinite(tab_spec).all()
+    scale = np.median(tab_rgb[tab_rgb > 1e-4] / tab_spec[tab_rgb > 1e-4]) \
+        if (tab_rgb > 1e-4).any() else 1.0
+    np.testing.assert_allclose(scale, 1.0, rtol=5e-3)
+    np.testing.assert_allclose(tab_spec, tab_rgb, rtol=2e-2, atol=2e-3)
