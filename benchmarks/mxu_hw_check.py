@@ -11,6 +11,8 @@ def _watchdog(sig, frame):
 signal.signal(signal.SIGALRM, _watchdog)
 signal.alarm(420)
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 __import__("mitsuba2_tpu.utils.jaxcache", fromlist=["x"]).configure(jax)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

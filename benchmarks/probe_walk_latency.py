@@ -226,6 +226,82 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
                 best = jnp.where(closer, prim_c,
                                  best.reshape(1, LANES)).reshape(SUB, 128)
                 return i + 1, node, t_best, best
+            if MODE == "densedma":
+                # DMA start+wait only: the visit's data-movement floor
+                base = (i * (4 * CK)) % S4
+                dma_ = pltpu.make_async_copy(
+                    featT.at[:, pl.ds(pl.multiple_of(base, 4 * CK),
+                                      4 * CK)],
+                    feat_s, sem)
+                dma_.start()
+                dma_.wait()
+                t_best = jnp.minimum(t_best, feat_s[0, 0])
+                return i + 1, node, t_best, best
+            if MODE in ("densedot1", "densedot3"):
+                # DMA + the plane matmul(s), NO epilogue: isolates the
+                # MXU passes. densedot1 = one bf16 pass; densedot3 = the
+                # x3 split. Consumer: one min-reduce into t_best.
+                base = (i * (4 * CK)) % S4
+                dma_ = pltpu.make_async_copy(
+                    featT.at[:, pl.ds(pl.multiple_of(base, 4 * CK),
+                                      4 * CK)],
+                    feat_s, sem)
+                dma_.start()
+                dma_.wait()
+                dn = (((0,), (0,)), ((), ()))
+                if MODE == "densedot3":
+                    rt_hi = rt.astype(jnp.bfloat16).astype(jnp.float32)
+                    rt_lo = rt - rt_hi
+                    f_hi = feat_s[:].astype(jnp.bfloat16).astype(
+                        jnp.float32)
+                    f_lo = feat_s[:] - f_hi
+                    res = (jax.lax.dot_general(
+                               f_hi, rt_hi, dn,
+                               preferred_element_type=jnp.float32)
+                           + jax.lax.dot_general(
+                               f_hi, rt_lo, dn,
+                               preferred_element_type=jnp.float32)
+                           + jax.lax.dot_general(
+                               f_lo, rt_hi, dn,
+                               preferred_element_type=jnp.float32))
+                else:
+                    res = jax.lax.dot_general(
+                        feat_s[:], rt, dn,
+                        preferred_element_type=jnp.float32)
+                t_new = jnp.min(res[3 * CK:4 * CK], axis=0,
+                                keepdims=True).reshape(SUB, 128)
+                t_best = jnp.minimum(t_best, t_new)
+                return i + 1, node, t_best, best
+            if MODE == "denseepi":
+                # recentring + split + FULL epilogue but a 1-pass fake
+                # res (no DMA, no dots): isolates the VPU epilogue.
+                fi = i.astype(jnp.float32)
+                rt_c = rt - (fi * 0.001) * rt
+                rt_hi = rt_c.astype(jnp.bfloat16).astype(jnp.float32)
+                rt_lo = rt_c - rt_hi
+                res = (rt_hi[0, 0] + rt_lo[0, 0]) * jnp.ones(
+                    (4 * CK, LANES), jnp.float32)
+                det = res[0 * CK:1 * CK]
+                unum = res[1 * CK:2 * CK]
+                vnum = res[2 * CK:3 * CK]
+                tnum = res[3 * CK:4 * CK]
+                inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+                u, v, t = unum * inv, vnum * inv, tnum * inv
+                tb = t_best.reshape(1, LANES)
+                ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) &
+                      (u + v <= 1.0) & (t > 0.0) & (t < tb))
+                t_m = jnp.where(ok, t, jnp.inf)
+                t_c = jnp.min(t_m, axis=0, keepdims=True)
+                win = ok & (t_m <= t_c)
+                pids = i + jax.lax.broadcasted_iota(
+                    jnp.int32, (CK, LANES), 0)
+                prim_c = jnp.min(jnp.where(win, pids, 1 << 30),
+                                 axis=0, keepdims=True)
+                closer = t_c < tb
+                t_best = jnp.where(closer, t_c, tb).reshape(SUB, 128)
+                best = jnp.where(closer, prim_c,
+                                 best.reshape(1, LANES)).reshape(SUB, 128)
+                return i + 1, node, t_best, best
             if MODE == "dense":
                 # NO walk: the loop counter drives the cluster DMA + x3
                 # bf16-split dot + full epilogue every iteration. This is

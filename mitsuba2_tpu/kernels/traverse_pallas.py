@@ -408,8 +408,21 @@ assert MXU_BLOCK <= 4096, \
 #            has NO HIGH lowering, so the expansion is hand-rolled
 #   default  bf16x1 — 2x cheaper again but WRONG on real scenes (6% prim
 #            disagreement, occlusion mask errors); kept for experiments
-MXU_PRECISION = os.environ.get("MI_MXU_PRECISION", "x3")
-assert MXU_PRECISION in ("highest", "x4", "x3", "default"), MXU_PRECISION
+#   cat3/cat4 same products as x3/x4 in ONE dot: the split operands are
+#            CONCATENATED along the contraction dim (depth 48/64 — still
+#            one 128-deep MXU pass per output tile), so the pass count
+#            drops 3x/4x and the two (4K, B) accumulation adds vanish.
+#            The sum is accumulated inside the MXU in f32 instead of as
+#            explicit adds — same error budget.
+# Default cat3 (2026-08-19 hardware sweep, sorted gallery 262k rays):
+#   x3   7.53 coh closest / 23.1 coh any / 1.20 inc closest / 1.63 inc any
+#   cat3 10.93           / 24.3         / 2.21              / 3.05
+#   cat4 10.05           / 23.1         / 2.17              / 3.01
+# cat3 = identical products to x3 in one MXU pass; hardware-validated
+# (mxu_hw_check: prim agree 1.0, occ equal, same t envelope).
+MXU_PRECISION = os.environ.get("MI_MXU_PRECISION", "cat3")
+assert MXU_PRECISION in ("highest", "x4", "x3", "cat3", "cat4",
+                         "default"), MXU_PRECISION
 
 
 def _bf16_split(a):
@@ -437,6 +450,15 @@ def _mxu_dot(feat, rt_pair):
                                    precision=jax.lax.Precision.DEFAULT)
     f_hi, f_lo = _bf16_split(feat)
     p = jax.lax.Precision.DEFAULT
+    if MXU_PRECISION in ("cat3", "cat4"):
+        fs = [f_hi, f_hi, f_lo]
+        rs = [rt, rt_lo, rt]
+        if MXU_PRECISION == "cat4":
+            fs.append(f_lo)
+            rs.append(rt_lo)
+        return jax.lax.dot_general(
+            jnp.concatenate(fs, 0), jnp.concatenate(rs, 0), dn,
+            preferred_element_type=jnp.float32, precision=p)
     acc = (jax.lax.dot_general(f_hi, rt, dn,
                                preferred_element_type=jnp.float32,
                                precision=p)
@@ -454,7 +476,7 @@ def _mxu_dot(feat, rt_pair):
 
 
 def _rt_split(rt):
-    if MXU_PRECISION in ("x3", "x4"):
+    if MXU_PRECISION in ("x3", "x4", "cat3", "cat4"):
         hi, lo = _bf16_split(rt)
         return hi, lo
     return rt, rt
