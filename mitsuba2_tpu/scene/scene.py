@@ -872,6 +872,15 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
     u_x = (mt_tvx * mt_pvx + mt_tvy * mt_pvy + mt_tvz * mt_pvz) * mt_inv
     v_x = (ray.d.x * mt_qvx + ray.d.y * mt_qvy + ray.d.z * mt_qvz) * mt_inv
     t_x = (e2x * mt_qvx + e2y * mt_qvy + e2z * mt_qvz) * mt_inv
+    # DETACHED, like the kernel outputs they replace: this re-solve is a
+    # PRIMAL precision fix only. Differentiable barycentrics here would
+    # be w.r.t. the FIXED ray — under a vertex perturbation the hit point
+    # p = p0 + u e1 + v e2 would then slide along the ray instead of
+    # following the surface, which zeroes the reparameterized boundary
+    # gradient (diff/reparam.py::_follow_point depends on fixed-
+    # barycentric geometry following; caught by
+    # tests/test_reparam.py::test_depth2_shadow_boundary_gradient).
+    u_x, v_x, t_x = (jax.lax.stop_gradient(a) for a in (u_x, v_x, t_x))
     ok_x = (valid & (ptype == PRIM_TRI) & (mt_inv != 0.0) &
             jnp.isfinite(t_x) & (t_x > 0.0))
     u = jnp.where(ok_x, u_x, u)
