@@ -14,6 +14,14 @@ dispatches are identical (the tunneled runtime memoizes identical
 dispatches — docs/TPU_TRAVERSAL.md). The old mean-of-2 gallery protocol
 under-reported by ~30% (VERDICT round-2 weak #4).
 
+Round-3 protocol fix (docs/TPU_TRAVERSAL.md "Timing hygiene"): one warmup
+output is FETCHED to host before timing — without it the tunneled runtime
+defers work and block_until_ready returns immediately. This makes the
+Cornell numbers drop vs BENCH_r02 (488 -> ~366 Mrays/s fwd): the r02
+Cornell phase ran before the process's first fetch, so part of its timing
+was deferred-mode fantasy; the gallery metrics (measured after the first
+fetch) were honest in both rounds and are directly comparable.
+
 Metrics:
 - cornell_box_fwd_mrays_per_s: 32-prim scene (brute-force intersector) —
   measures shading + wavefront machinery throughput.

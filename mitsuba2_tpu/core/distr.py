@@ -185,6 +185,37 @@ class IrregularContinuousDistribution:
 # Used by the envmap emitter. Sampling treats the grid as piecewise-bilinear.
 # ---------------------------------------------------------------------------
 
+def _vose_tables(weights: np.ndarray):
+    """Walker/Vose alias tables for a discrete pmf (host, O(n)).
+
+    Returns (prob (n,), alias (n,)): sample i0 ~ U{0..n-1}, accept i0 with
+    probability prob[i0], else take alias[i0] — the classic O(1) discrete
+    sampler. Small/large worklists as index arrays (python-loop-free
+    except the pairing loop, which runs n iterations of O(1) numpy ops —
+    ~0.2 s for a 512x256 envmap, scene-build-time only)."""
+    w = np.asarray(weights, np.float64).ravel()
+    n = w.size
+    s = w.sum()
+    assert n > 0 and s > 0, "alias table needs a non-empty positive pmf"
+    scaled = w * (n / s)
+    prob = np.ones(n)
+    alias = np.arange(n, dtype=np.int64)
+    small = list(np.nonzero(scaled < 1.0)[0])
+    large = list(np.nonzero(scaled >= 1.0)[0])
+    scaled = scaled.copy()
+    while small and large:
+        s_i = small.pop()
+        l_i = large.pop()
+        prob[s_i] = scaled[s_i]
+        alias[s_i] = l_i
+        scaled[l_i] = (scaled[l_i] + scaled[s_i]) - 1.0
+        (small if scaled[l_i] < 1.0 else large).append(l_i)
+    # float residue: leftovers are ~1 -> accept always
+    for i in small + large:
+        prob[i] = 1.0
+    return prob, alias
+
+
 @struct.dataclass
 class Marginal2D:
     """Sample a 2D density given on an (h, w) grid over [0,1]^2.
@@ -198,20 +229,39 @@ class Marginal2D:
     marg_cdf: jnp.ndarray   # (h,) cumulative row sums
     cond_cdf: jnp.ndarray   # (h, w) cumulative within-row sums
     total: jnp.ndarray      # ()
+    # Optional alias tables (Vose/Walker) over the flattened cells: the
+    # TPU fast path. CDF inversion costs ~22 gathered elements per lane
+    # (row searchsorted + log2(w)-step column bisection) and per-lane
+    # gathers run at ~0.15 G elem/s on this runtime (docs/TPU_TRAVERSAL.md
+    # primitive table) — ~38 ms per 262k-lane NEE wavefront on a 256x512
+    # envmap, dominating the render. The alias path samples the SAME
+    # piecewise-constant cell distribution with 3 gathers (prob, alias,
+    # pdf). Trade-off: the (u -> position) map is discontinuous, so
+    # low-discrepancy stratification over the envmap is lost — keep CDF
+    # inversion for QMC-sensitive uses by building with alias=False.
+    alias_p: jnp.ndarray = None   # (h*w,) acceptance probabilities
+    alias_i: jnp.ndarray = None   # (h*w,) alias targets (int32)
 
     @staticmethod
-    def build(data) -> "Marginal2D":
+    def build(data, alias: bool = False) -> "Marginal2D":
         d = np.asarray(data, np.float64)
         assert d.ndim == 2
         cond = np.cumsum(d, axis=1)
         row_sums = cond[:, -1]
         marg = np.cumsum(row_sums)
         total = float(marg[-1])
+        alias_p = alias_i = None
+        if alias:
+            alias_p, alias_i = _vose_tables(d.ravel())
         return Marginal2D(
             data=jnp.asarray(d, jnp.float32),
             marg_cdf=jnp.asarray(marg, jnp.float32),
             cond_cdf=jnp.asarray(cond, jnp.float32),
-            total=jnp.float32(total))
+            total=jnp.float32(total),
+            alias_p=None if alias_p is None else
+            jnp.asarray(alias_p, jnp.float32),
+            alias_i=None if alias_i is None else
+            jnp.asarray(alias_i, jnp.int32))
 
     @property
     def shape(self):
@@ -224,10 +274,33 @@ class Marginal2D:
         The pdf is w.r.t. the unit square (multiply by h*w/total ... already
         normalized here). The conditional-row search is a per-lane bisection
         over the flattened CDF table ((N,) gathers — no (N, w) row
-        materialization, no lane padding)."""
+        materialization, no lane padding). With alias tables (build
+        alias=True), 3 gathers replace the whole search — same cell
+        distribution, same pdf."""
         from .vec import Vec2, as_vec2
         u = as_vec2(u)
         h, w = self.data.shape
+        if self.alias_p is not None:
+            N = h * w
+            z = jnp.minimum(u.x, m.ONE_MINUS_EPSILON) * N
+            i0 = z.astype(jnp.int32)
+            frac = z - i0
+            p = jnp.take(self.alias_p, i0)
+            take = frac < p
+            idx = jnp.where(take, i0, jnp.take(self.alias_i, i0))
+            # residual reuse: frac is uniform in [0, 1); conditioned on
+            # the branch it is uniform in [0, p) / [p, 1) — rescale into
+            # the in-cell x coordinate (Vose's standard entropy reuse)
+            uc = jnp.where(take, frac / jnp.maximum(p, 1e-20),
+                           (frac - p) / jnp.maximum(1.0 - p, 1e-20))
+            uc = jnp.clip(uc, 0.0, m.ONE_MINUS_EPSILON)
+            row = idx // w
+            col = idx - row * w
+            ur = jnp.clip(u.y, 0.0, m.ONE_MINUS_EPSILON)
+            pos = Vec2((col + uc) / w, (row + ur) / h)
+            pdf = (jnp.take(self.data.reshape(-1), idx) * (h * w) /
+                   jnp.maximum(self.total, 1e-20))
+            return pos, pdf
         flat_cond = self.cond_cdf.reshape(-1)
         # Row from marginal
         target_r = u.y * self.total

@@ -96,3 +96,33 @@ def test_hierarchical2d_agrees_with_marginal2d():
     pdf_m_at_h = M2.eval_pdf(pos_h)
     np.testing.assert_allclose(np.asarray(pdf_h), np.asarray(pdf_m_at_h),
                                rtol=1e-4)
+
+
+def test_marginal2d_alias_matches_cdf_inversion():
+    """The alias fast path (build alias=True — the TPU envmap default)
+    must sample the SAME piecewise-constant cell distribution as CDF
+    inversion, with an identical pdf, and its in-cell reuse coordinate
+    must stay uniform (no entropy-starving artifacts)."""
+    rng = np.random.default_rng(7)
+    data = rng.random((16, 32)) ** 3 + 1e-3     # spiky, like an envmap sun
+    M_cdf = distr.Marginal2D.build(data)
+    M_al = distr.Marginal2D.build(data, alias=True)
+    u = jnp.asarray(rng.random((200_000, 2)).astype(np.float32))
+    pos_a, pdf_a = M_al.sample(u)
+    # pdf must be self-consistent with eval_pdf (the MIS contract)
+    np.testing.assert_allclose(np.asarray(pdf_a),
+                               np.asarray(M_al.eval_pdf(pos_a)), rtol=2e-3)
+    # cell histogram matches the density (same contract the CDF test uses)
+    pa = np.asarray(pos_a.to_array())
+    h_a, _, _ = np.histogram2d(pa[:, 1], pa[:, 0], bins=(16, 32),
+                               range=[[0, 1], [0, 1]])
+    expected = data / data.sum()
+    assert np.abs(h_a / h_a.sum() - expected).max() < 5e-3
+    # in-cell coordinates uniform: first moment of the fractional parts
+    fx = pa[:, 0] * 32 - np.floor(pa[:, 0] * 32)
+    fy = pa[:, 1] * 16 - np.floor(pa[:, 1] * 16)
+    assert abs(fx.mean() - 0.5) < 5e-3 and abs(fy.mean() - 0.5) < 5e-3
+    # pdf formula identical to the CDF build's
+    pos_c, pdf_c = M_cdf.sample(u)
+    np.testing.assert_allclose(np.asarray(M_al.eval_pdf(pos_c)),
+                               np.asarray(pdf_c), rtol=2e-3)
