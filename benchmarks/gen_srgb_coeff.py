@@ -4,7 +4,7 @@ The TPU-native equivalent of the reference's `ext/rgb2spec` generator for
 `resources/data/srgb.coeff` (SURVEY.md §2.3 srgb row): a batched
 Gauss–Newton fit (core/spectrum.py::fit_srgb_model_batch) of the Jakob &
 Hanika 2019 sigmoid-polynomial model at every node of a RES^3 lattice
-over the linear-sRGB cube, written to mitsuba2_tpu/data/srgb_coeff_32.npz
+over the linear-sRGB cube, written to mitsuba2_tpu/data/srgb_coeff_<RES>.npz
 and loaded by srgb_model_fetch_lattice at import time. Committing the
 table makes spectral renders stable across rounds (VERDICT round-2
 missing #3) and removes the per-process fitting cost.
@@ -22,6 +22,11 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the fit is host numpy; the report's jnp calls must NOT touch the TPU
+# (this environment's axon plugin ignores JAX_PLATFORMS, so config.update)
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 
 from mitsuba2_tpu.core import spectrum as sp  # noqa: E402
 

@@ -74,13 +74,17 @@ def cornell_box(light_radiance=LIGHT, boxes: bool = True) -> SceneData:
     return build_scene(s, sensor)
 
 
-def veach_mis() -> SceneData:
+def veach_mis(envmap: bool = False) -> SceneData:
     """Veach MIS test scene: four increasingly rough metal plates lit by
     four spherical emitters of decreasing size and increasing radiance
     (the classic multiple-importance-sampling stress test; mirrors the
     reference's veach_mis test scene layout). BSDF sampling wins on the
     smooth plates / small lights; NEE wins on rough plates / large lights —
-    only MIS renders all 16 combinations with low variance."""
+    only MIS renders all 16 combinations with low variance.
+
+    envmap=True adds a dim procedural sky dome (BASELINE config 3 pairs
+    area + envmap emitters on this scene), exercising the alias-table
+    envmap importance sampling alongside the area-light NEE."""
     plates = []
     alphas = [0.005, 0.02, 0.05, 0.1]
     # plates recede in z and rise in y, tilted to reflect the lights
@@ -117,7 +121,21 @@ def veach_mis() -> SceneData:
                              up=[0, 1, 0])
     sensor = {"type": "perspective", "to_world": np.asarray(cam.matrix),
               "fov": 38.0}
-    return build_scene(plates, sensor)
+    emitters = []
+    if envmap:
+        # dim gradient sky + bright horizon sun blob: low average radiance
+        # (keeps the MIS variance structure of the classic scene) but a
+        # strongly peaked distribution so alias-table importance sampling
+        # is actually load-bearing, not uniform.
+        H, W = 16, 32
+        th = (np.arange(H) + 0.5) / H * np.pi
+        sky = np.zeros((H, W, 3), np.float32)
+        sky[..., 2] = 0.04 + 0.08 * np.cos(th)[:, None]
+        sky[..., 0] = 0.02
+        sky[..., 1] = 0.03
+        sky[4:6, 7:9] = [1.5, 1.3, 0.9]
+        emitters = [{"type": "envmap", "data": sky, "scale": 1.0}]
+    return build_scene(plates, sensor, emitters=emitters)
 
 
 def _icosphere(subdiv: int):

@@ -130,7 +130,7 @@ def test_pallas_kernel_under_shard_map():
     compose with shard_map — the multi-chip big-scene render rides
     pallas_call inside per-device shards (SURVEY.md §2.6 P5)."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from mitsuba2_tpu.core.vec import Vec3
     from mitsuba2_tpu.kernels import traverse_pallas as tp
