@@ -67,6 +67,134 @@ def compare(scene_xml: str, ref_image: str, defines, spp=None) -> dict:
     return out
 
 
+def compare_grads(scene_xml, target_image, ref_grads_path, defines,
+                  spp=None, rtol=0.1) -> dict:
+    """Gradient-allclose vs a reference dump (BASELINE configs 4-5).
+
+    ref_grads_path: .npz mapping parameter names (our traverse() naming;
+    a reference-side exporter maps its names onto ours) -> gradient arrays
+    of dL/dparam for L = mean((render - target)^2), the loss both sides
+    agree on. We recompute the same gradients by jax.grad through
+    scene_with (the FD-validated path of tests/test_grad.py) and report
+    per-param relative error + cosine similarity.
+
+    Tolerances are looser than the image comparison: the two builds use
+    different samplers, so per-param gradients agree only up to each
+    side's MC noise — crank --spp until the rel error stabilizes.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mitsuba2_tpu.core import io_bitmap
+    from mitsuba2_tpu.diff import scene_with
+    from mitsuba2_tpu.render.integrators import render
+    from mitsuba2_tpu.scene import loader
+
+    params = {}
+    for d in defines or []:
+        k, _, v = d.partition("=")
+        params[k] = v
+    scene, cfg = loader.load_file(scene_xml, **params)
+    if spp:
+        cfg = cfg.replace(spp=spp)
+    target = jnp.asarray(np.asarray(io_bitmap.read(target_image),
+                                    np.float32))
+    ref = {k: np.asarray(v, np.float64)
+           for k, v in np.load(ref_grads_path).items()}
+    return _grads_report(scene, cfg, target, ref,
+                         scene_name=os.path.basename(scene_xml), rtol=rtol)
+
+
+def _grads_report(scene, cfg, target, ref_grads, scene_name, rtol=0.1):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mitsuba2_tpu.diff import scene_with, traverse
+    from mitsuba2_tpu.render.integrators import render
+
+    pm = traverse(scene)
+    missing = [n for n in ref_grads if n not in pm]
+    if missing:
+        return {"scene": scene_name, "error":
+                f"params not in our traverse(): {missing} "
+                f"(available: {sorted(pm.keys())[:20]}...)"}
+    theta0 = {n: jnp.asarray(pm[n]) for n in ref_grads}
+
+    def loss_fn(theta):
+        img = render(scene_with(scene, theta), cfg, seed=3)
+        return jnp.mean((img - target) ** 2)
+
+    ours = jax.grad(loss_fn)(theta0)
+    per_param = {}
+    all_ok = True
+    for n, g_ref in ref_grads.items():
+        g = np.asarray(ours[n], np.float64).reshape(g_ref.shape)
+        scale = max(float(np.abs(g_ref).max()), 1e-12)
+        rel = np.abs(g - g_ref) / (np.abs(g_ref) + 1e-3 * scale)
+        cos = float((g * g_ref).sum() /
+                    max(np.linalg.norm(g) * np.linalg.norm(g_ref), 1e-30))
+        ok = bool(np.median(rel) < rtol and cos > 0.99)
+        all_ok = all_ok and ok
+        per_param[n] = {"rel_l1": round(float(rel.mean()), 5),
+                        "rel_median": round(float(np.median(rel)), 5),
+                        "rel_max": round(float(rel.max()), 4),
+                        "cosine": round(cos, 6), "allclose": ok}
+    return {"scene": scene_name, "spp": cfg.spp, "mode": "grads",
+            "params": per_param, "allclose": all_ok}
+
+
+def grads_selftest() -> int:
+    """Prove the --grads pipeline against the FD oracle: dump central-FD
+    gradients of the agreed loss for two Cornell-box parameters as a fake
+    'reference' npz, then the comparator's AD path must declare allclose
+    (BASELINE interim oracle: 'FD as interim' until reference bytes
+    appear)."""
+    import tempfile
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.diff import scene_with, traverse
+    from mitsuba2_tpu.render.integrators import render
+    from mitsuba2_tpu.scene.presets import cornell_box
+
+    scene = cornell_box(boxes=False)
+    cfg = mi.RenderConfig(width=12, height=12, spp=8, spp_per_pass=8,
+                          max_depth=3, rr_depth=99)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    names = ["left.bsdf.reflectance", "light.emitter.radiance"]
+    pm = traverse(scene)
+
+    def loss_at(updates):
+        img = render(scene_with(scene, updates), cfg, seed=3)
+        return float(jnp.mean((img - target) ** 2))
+
+    ref = {}
+    for n in names:
+        x = np.asarray(pm[n], np.float64)
+        eps = 2e-3 * max(1.0, float(np.abs(x).max()))
+        g = np.zeros_like(x)
+        for i in range(x.size):
+            dx = np.zeros_like(x)
+            dx.flat[i] = eps
+            g.flat[i] = (loss_at({n: jnp.asarray(x + dx, jnp.float32)}) -
+                         loss_at({n: jnp.asarray(x - dx, jnp.float32)})) \
+                / (2 * eps)
+        ref[n] = g
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
+        np.savez(f.name, **ref)
+        path = f.name
+    res = _grads_report(scene, cfg, target,
+                        {k: np.asarray(v) for k, v in np.load(path).items()},
+                        scene_name="cornell_box(selftest)", rtol=0.05)
+    os.unlink(path)
+    print(json.dumps(res), flush=True)
+    return 0 if res.get("allclose") else 2
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", help="scene .xml")
@@ -75,11 +203,30 @@ def main():
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--batch", default=None,
                     help="directory of {name.xml, name_ref.exr} pairs")
+    ap.add_argument("--grads", default=None, metavar="REF_GRADS_NPZ",
+                    help="gradient mode: compare jax.grad of the L2 loss "
+                         "(render(scene) vs REF image) against a reference "
+                         "gradient dump {param_name: array} (configs 4-5)")
+    ap.add_argument("--grads-rtol", type=float, default=0.1)
+    ap.add_argument("--grads-selftest", action="store_true",
+                    help="validate the --grads pipeline against the FD "
+                         "oracle on a built-in scene (no files needed)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.grads_selftest:
+        return grads_selftest()
+    if args.grads:
+        if not (args.scene and args.ref):
+            print("--grads needs scene.xml + target image", file=sys.stderr)
+            return 1
+        res = compare_grads(args.scene, args.ref, args.grads, args.define,
+                            args.spp, rtol=args.grads_rtol)
+        print(json.dumps(res), flush=True)
+        return 0 if res.get("allclose") else 2
 
     pairs = []
     if args.batch:
