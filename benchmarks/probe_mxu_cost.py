@@ -5,9 +5,14 @@ block=4096, CK=128, isolating each component (usage: argv[1] = mode):
 
   step   scalar node-row load + slab test + link pick only
   dma    step + unconditional 32 KB DMA start/wait per iteration
-  dot    dma + the (512,16)x(16,4096) HIGHEST-precision dot every 4th
-         iteration (cond), NO epilogue
+  dot    dma + the production-precision dot (MI_MXU_PRECISION, default
+         cat3) every 4th iteration (cond), NO epilogue
   full   dot + the full Möller–Trumbore epilogue + winner tracking
+  opt    dot + the OPTIMIZED epilogue (sign-scaled validity tests — no
+         divide on the (CK,B) tile; NR reciprocal only on the t ratio)
+  dot1 / full1 / opt1   same but the visit fires EVERY iteration —
+         isolates per-VISIT cost directly (visit-bound workloads like
+         the incoherent gallery closest-hit live here)
 
 Reports us/iteration for N_ITERS iterations averaged over reps with
 per-rep input variation (the tunneled runtime memoizes identical
@@ -23,6 +28,9 @@ __import__("mitsuba2_tpu.utils.jaxcache", fromlist=["x"]).configure(jax)
 stage(f"jax init {jax.devices()}")
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "full"
+BASE_MODE = MODE.rstrip("1")
+EVERY = 1 if MODE.endswith("1") else 4
+from mitsuba2_tpu.kernels import traverse_pallas as tp  # noqa: E402
 CK = 128
 LANES = 4096
 SUB = LANES // 128
@@ -42,6 +50,7 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
         [ox.reshape(1, LANES), oy.reshape(1, LANES), oz.reshape(1, LANES),
          dx.reshape(1, LANES), dy.reshape(1, LANES), dz.reshape(1, LANES),
          jnp.ones((10, LANES), jnp.float32)], axis=0)     # (16, LANES)
+    rt_pair = tp._rt_split(rt)  # production dot precision (MI_MXU_PRECISION)
 
     def body(st):
         i, node, t_best, best = st
@@ -63,7 +72,7 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
         nxt = jnp.where(hit_any, li[0, 0], li[0, 8])
         base = (i * (4 * CK)) % S4
 
-        if MODE in ("dma", "dot", "full"):
+        if BASE_MODE in ("dma", "dot", "full", "opt"):
             d = pltpu.make_async_copy(
                 featT.at[:, pl.ds(pl.multiple_of(base, 4 * CK), 4 * CK)],
                 feat_s, sem)
@@ -72,26 +81,39 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
 
         def visit(args):
             t_b, b = args
-            res = jax.lax.dot_general(
-                feat_s[:], rt, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # (4CK, LANES)
-            if MODE == "dot":
+            res = tp._mxu_dot(feat_s[:], rt_pair)     # (4CK, LANES)
+            if BASE_MODE == "dot":
                 return jnp.minimum(t_b, res[0:SUB, 0:128] * 1e-9), b
             det = res[0 * CK:1 * CK]
             unum = res[1 * CK:2 * CK]
             vnum = res[2 * CK:3 * CK]
             tnum = res[3 * CK:4 * CK]
-            inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-            u = unum * inv
-            v = vnum * inv
-            t = tnum * inv
             tb = t_b.reshape(1, LANES)
-            ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
-                  (t > 0.0) & (t < tb))
-            t_m = jnp.where(ok, t, jnp.inf)
+            if BASE_MODE == "opt":
+                # sign-scaled validity: all tests against |det| — no
+                # (CK,B) divide; the t ratio uses a 2-op NR reciprocal
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                sd = det * sgn
+                su = unum * sgn
+                sv = vnum * sgn
+                st = tnum * sgn
+                ok = ((sd > 1e-12) & (su >= 0.0) & (sv >= 0.0) &
+                      (su + sv <= sd) & (st > 0.0) & (st < tb * sd))
+                rcp = pl.reciprocal(jnp.maximum(sd, 1e-30), approx=True)
+                rcp = rcp * (2.0 - sd * rcp)          # one NR step
+                t_m = jnp.where(ok, st * rcp, jnp.inf)
+                win_src = t_m
+            else:
+                inv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+                u = unum * inv
+                v = vnum * inv
+                t = tnum * inv
+                ok = ((inv != 0.0) & (u >= 0.0) & (v >= 0.0) &
+                      (u + v <= 1.0) & (t > 0.0) & (t < tb))
+                t_m = jnp.where(ok, t, jnp.inf)
+                win_src = t_m
             t_c = jnp.min(t_m, axis=0, keepdims=True)
-            win = ok & (t_m <= t_c)
+            win = win_src <= t_c
             pids = base + jax.lax.broadcasted_iota(jnp.int32, (CK, LANES), 0)
             prim_c = jnp.min(jnp.where(win, pids, 1 << 30),
                              axis=0, keepdims=True)
@@ -101,9 +123,10 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
                            ).reshape(SUB, 128)
             return nt, nb
 
-        if MODE in ("dot", "full"):
+        if BASE_MODE in ("dot", "full", "opt"):
             t_best, best = jax.lax.cond(
-                (i % 4 == 0) & hit_any, visit, lambda a: a, (t_best, best))
+                (i % EVERY == 0) & hit_any, visit, lambda a: a,
+                (t_best, best))
         return i + 1, jnp.maximum(nxt, 0), t_best, best
 
     _, _, t_best, best = jax.lax.while_loop(
@@ -131,6 +154,9 @@ fn = pl.pallas_call(
 jfn = jax.jit(fn)
 seed = jnp.zeros((SUB, 128), jnp.float32)
 out = jax.block_until_ready(jfn(node_f, link_i, featT, seed))
+# MANDATORY timing hygiene (docs/TPU_TRAVERSAL.md): one device->host
+# fetch before timing, or bur-only numbers are deferred-mode fantasy
+_ = np.asarray(out).ravel()[:1]
 stage(f"compiled+warm mode={MODE}")
 REPS = 8
 t0 = time.perf_counter()

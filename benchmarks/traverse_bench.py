@@ -27,8 +27,8 @@ def _watchdog(sig, frame):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="jnp",
-                    choices=["jnp", "pallas", "mxu", "inst", "bvh8",
-                             "bvh8mxu"])
+                    choices=["jnp", "pallas", "mxu", "inst", "instflat",
+                             "bvh8", "bvh8mxu"])
     ap.add_argument("--inst-n", type=int, default=16,
                     help="inst backend: instance count for instanced_field")
     ap.add_argument("--n", type=int, default=262144)
@@ -60,6 +60,12 @@ def main():
         # shared-BLAS instanced Pallas kernels on the instancing stress
         # scene (hardware-validation phase 5)
         scene = instanced_field(n=args.inst_n, subdiv=args.subdiv)
+    elif args.backend == "instflat":
+        # the bake-off arm: same scene FLATTENED (K x prim memory), which
+        # makes it eligible for the MXU cluster path — decides the auto
+        # backend policy for instanced scenes (VERDICT r03 missing #4)
+        scene = instanced_field(n=args.inst_n, subdiv=args.subdiv,
+                                flatten=True)
     else:
         scene = mesh_gallery(subdiv=args.subdiv)
     print(f"# scene: {scene.n_prims} prims, "
@@ -67,7 +73,7 @@ def main():
           f"{jax.devices()[0].platform}", flush=True)
 
     mod = traverse_jnp if args.backend == "jnp" else traverse_pallas
-    if args.backend == "mxu":
+    if args.backend in ("mxu", "instflat"):
         traverse_pallas.MXU_LEAVES = True
     N = args.n
     rng = np.random.default_rng(0)

@@ -625,9 +625,12 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
         node, fuel = state[0], state[1]
         return (node >= 0) & (fuel < fuel_cap)
 
-    def body(state):
-        node, fuel, t_best, best = state
-        nf = node_f[pl.ds(node, 1), :]
+    def step(node, t_best, best):
+        # one masked walk step (active bit needed for unrolled steps
+        # 2..U, whose node may have exited mid-iteration)
+        active = node >= 0
+        nw = jnp.maximum(node, 0)
+        nf = node_f[pl.ds(nw, 1), :]
         slot_base = nf[0, 6].astype(jnp.int32)
         # DMA unconditionally (clamped base) and START FIRST — a DMA
         # buried inside lax.cond is a novel lowering, the unconditional
@@ -636,7 +639,7 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
         sb = jnp.maximum(slot_base, 0)
         dmas = start_dma(sb)
 
-        hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
+        hit_link, miss_link = _pick_links(link_i[pl.ds(nw, 1), :])
         is_cl = slot_base >= 0
 
         hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
@@ -644,14 +647,20 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
             d.wait()
 
         t_best, best = jax.lax.cond(
-            is_cl & hit_any,
+            active & is_cl & hit_any,
             lambda a: cluster_test(*a),
             lambda a: tuple(a[4:]),
             (sb, nf[0, 8], nf[0, 9], nf[0, 10], t_best, best))
 
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
                         miss_link, hit_link)
-        return nxt, fuel + 1, t_best, best
+        return jnp.where(active, nxt, jnp.int32(-1)), t_best, best
+
+    def body(state):
+        node, fuel, t_best, best = state
+        for _ in range(MXU_UNROLL):
+            node, t_best, best = step(node, t_best, best)
+        return node, fuel + MXU_UNROLL, t_best, best
 
     init = (jnp.int32(0), jnp.int32(0), tmax[:],
             jnp.full((msub, _LANE), -1, jnp.int32))
@@ -700,13 +709,14 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         node, fuel, occ_f = state
         return (node >= 0) & (fuel < fuel_cap) & (jnp.min(occ_f) < 1.0)
 
-    def body(state):
-        node, fuel, occ_f = state
-        nf = node_f[pl.ds(node, 1), :]
+    def step(node, occ_f):
+        active = node >= 0
+        nw = jnp.maximum(node, 0)
+        nf = node_f[pl.ds(nw, 1), :]
         slot_base = nf[0, 6].astype(jnp.int32)
         dmas = start_dma(jnp.maximum(slot_base, 0))  # see closest-hit note
 
-        hit_link, miss_link = _pick_links(link_i[pl.ds(node, 1), :])
+        hit_link, miss_link = _pick_links(link_i[pl.ds(nw, 1), :])
         is_cl = slot_base >= 0
 
         alive = occ_f < 1.0
@@ -715,13 +725,19 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         for d in dmas:
             d.wait()
 
-        occ_f = jax.lax.cond(is_cl & hit_any,
+        occ_f = jax.lax.cond(active & is_cl & hit_any,
                              lambda a: cluster_test(*a),
                              lambda a: a[3],
                              (nf[0, 8], nf[0, 9], nf[0, 10], occ_f))
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
                         miss_link, hit_link)
-        return nxt, fuel + 1, occ_f
+        return jnp.where(active, nxt, jnp.int32(-1)), occ_f
+
+    def body(state):
+        node, fuel, occ_f = state
+        for _ in range(MXU_UNROLL):
+            node, occ_f = step(node, occ_f)
+        return node, fuel + MXU_UNROLL, occ_f
 
     init = (jnp.int32(0), jnp.int32(0),
             jnp.zeros((msub, _LANE), jnp.float32))
@@ -746,6 +762,19 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
 
 MXU_WALKS = int(os.environ.get("MI_MXU_WALKS", "2"))
 assert MXU_WALKS in (1, 2), f"MI_MXU_WALKS={MXU_WALKS}: 1 or 2"
+
+# Walk steps UNROLLED inside each while-loop iteration. The ~2 us
+# iteration floor is loop-control overhead, not body work (probe: an
+# empty body costs the same as loads + slab + matmul), so stepping U
+# nodes per iteration amortizes it the same way the dual walk does —
+# multiplicatively with it (walks x unroll node-steps per iteration).
+# Steps within an iteration are SEQUENTIAL (step j+1's node is step j's
+# link), so each unrolled step's DMA waits before its matmul; the
+# iteration cost grows only once the summed vector work exceeds the
+# floor. Lanes whose walk already exited keep streaming cluster 0 with
+# updates masked by the active bit (same convention as the dual walk).
+MXU_UNROLL = int(os.environ.get("MI_MXU_UNROLL", "1"))
+assert 1 <= MXU_UNROLL <= 8, f"MI_MXU_UNROLL={MXU_UNROLL}: 1..8"
 
 
 def _mxu_walk_prep(node_f, feat, scratch, sem, refs, w, msub):
@@ -787,9 +816,7 @@ def _closest_hit_mxu2_kernel(node_f, link_i, feat,
         n0, n1, fuel = state[0], state[1], state[2]
         return ((n0 >= 0) | (n1 >= 0)) & (fuel < fuel_cap)
 
-    def body(state):
-        n0, n1, fuel, t0, b0, t1, b1 = state
-        nodes, tb, bb = [n0, n1], [t0, t1], [b0, b1]
+    def step2(nodes, tb, bb):
         nf, sb, is_cl, dmas, links = [], [], [], [], []
         for w in range(2):
             nw = jnp.maximum(nodes[w], 0)
@@ -824,7 +851,14 @@ def _closest_hit_mxu2_kernel(node_f, link_i, feat,
             nxt = jnp.where(is_cl[w] | jnp.logical_not(hits[w]),
                             miss_link, hit_link)
             new_nodes.append(jnp.where(active, nxt, jnp.int32(-1)))
-        return (new_nodes[0], new_nodes[1], fuel + 1,
+        return new_nodes, tb, bb
+
+    def body(state):
+        n0, n1, fuel, t0, b0, t1, b1 = state
+        nodes, tb, bb = [n0, n1], [t0, t1], [b0, b1]
+        for _ in range(MXU_UNROLL):
+            nodes, tb, bb = step2(nodes, tb, bb)
+        return (nodes[0], nodes[1], fuel + MXU_UNROLL,
                 tb[0], bb[0], tb[1], bb[1])
 
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
@@ -859,9 +893,7 @@ def _any_hit_mxu2_kernel(node_f, link_i, feat,
         n0, n1, fuel, o0, o1 = state
         return (live(n0, o0) | live(n1, o1)) & (fuel < fuel_cap)
 
-    def body(state):
-        n0, n1, fuel, o0, o1 = state
-        nodes, occ = [n0, n1], [o0, o1]
+    def step2(nodes, occ):
         nf, sb, is_cl, dmas, links = [], [], [], [], []
         for w in range(2):
             nw = jnp.maximum(nodes[w], 0)
@@ -896,7 +928,14 @@ def _any_hit_mxu2_kernel(node_f, link_i, feat,
             nxt = jnp.where(is_cl[w] | jnp.logical_not(hits[w]),
                             miss_link, hit_link)
             new_nodes.append(jnp.where(active, nxt, jnp.int32(-1)))
-        return new_nodes[0], new_nodes[1], fuel + 1, occ[0], occ[1]
+        return new_nodes, occ
+
+    def body(state):
+        n0, n1, fuel, o0, o1 = state
+        nodes, occ = [n0, n1], [o0, o1]
+        for _ in range(MXU_UNROLL):
+            nodes, occ = step2(nodes, occ)
+        return nodes[0], nodes[1], fuel + MXU_UNROLL, occ[0], occ[1]
 
     z = jnp.zeros((msub, _LANE), jnp.float32)
     out = jax.lax.while_loop(

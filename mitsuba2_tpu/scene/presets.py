@@ -320,13 +320,17 @@ def kitchen_sink() -> SceneData:
                        emitters=[envmap])
 
 
-def instanced_field(n: int = 64, subdiv: int = 3) -> SceneData:
+def instanced_field(n: int = 64, subdiv: int = 3,
+                    flatten: bool = False) -> SceneData:
     """Shared-BLAS instancing stress scene: an n-instance field of ONE
     displaced-icosphere blob (20*4^subdiv tris stored once) over a ground
     plane, under a constant sky. With subdiv=3 and n=64 the scene
     resolves 64 * 5120 = 327k EFFECTIVE triangles from 5.1k stored prims
     — the regime the reference handles with OptiX instance acceleration
-    structures (IAS) and the flattened build cannot scale to in HBM."""
+    structures (IAS) and the flattened build cannot scale to in HBM.
+    flatten=True duplicates the transformed prims instead (the
+    flatten-vs-shared bake-off arm: flat scenes reach the MXU cluster
+    backend at K x the prim memory)."""
     rng = np.random.default_rng(7)
     base_v, faces = _icosphere(subdiv)
     v = _displace(base_v.copy(), seed=3)
@@ -345,7 +349,9 @@ def instanced_field(n: int = 64, subdiv: int = 3) -> SceneData:
                                    2.0 * j - side + 1.0])
              @ Transform4.rotate([0, 1, 0], float(rng.uniform(0, 360)))
              @ Transform4.scale([0.35 + 0.15 * float(rng.uniform())] * 3))
-        s.append(shapes.instance(grp, np.asarray(t.matrix), id=f"b{k}"))
+        inst = shapes.instance(grp, np.asarray(t.matrix), id=f"b{k}",
+                               flatten=flatten)
+        s.extend(inst) if flatten else s.append(inst)
 
     cam = Transform4.look_at(origin=[0.0, side * 0.8, -side * 1.6],
                              target=[0.0, 0.3, 0.0], up=[0, 1, 0])
