@@ -51,6 +51,7 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
          dx.reshape(1, LANES), dy.reshape(1, LANES), dz.reshape(1, LANES),
          jnp.ones((10, LANES), jnp.float32)], axis=0)     # (16, LANES)
     rt_pair = tp._rt_split(rt)  # production dot precision (MI_MXU_PRECISION)
+    rtA, rtB, rtC = rt * 0.5, rt * 0.25, rt * 0.125  # fake recentring coeffs
 
     def body(st):
         i, node, t_best, best = st
@@ -72,7 +73,7 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
         nxt = jnp.where(hit_any, li[0, 0], li[0, 8])
         base = (i * (4 * CK)) % S4
 
-        if BASE_MODE in ("dma", "dot", "full", "opt"):
+        if BASE_MODE != "step":
             d = pltpu.make_async_copy(
                 featT.at[:, pl.ds(pl.multiple_of(base, 4 * CK), 4 * CK)],
                 feat_s, sem)
@@ -81,7 +82,16 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
 
         def visit(args):
             t_b, b = args
-            res = tp._mxu_dot(feat_s[:], rt_pair)     # (4CK, LANES)
+            if BASE_MODE in ("fullrt", "optrt"):
+                # production shape: the ray matrix is recentred at the
+                # visited cluster's centroid (3 broadcast FMAs over
+                # (16,B)) and bf16-split PER VISIT — neither hoistable
+                ccx, ccy, ccz = nf[0, 1], nf[0, 2], nf[0, 3]
+                rtv = rt + ccx * rtA + ccy * rtB + ccz * rtC
+                pair = tp._rt_split(rtv)
+            else:
+                pair = rt_pair
+            res = tp._mxu_dot(feat_s[:], pair)        # (4CK, LANES)
             if BASE_MODE == "dot":
                 return jnp.minimum(t_b, res[0:SUB, 0:128] * 1e-9), b
             det = res[0 * CK:1 * CK]
@@ -89,7 +99,7 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
             vnum = res[2 * CK:3 * CK]
             tnum = res[3 * CK:4 * CK]
             tb = t_b.reshape(1, LANES)
-            if BASE_MODE == "opt":
+            if BASE_MODE in ("opt", "optrt"):
                 # sign-scaled validity: all tests against |det| — no
                 # (CK,B) divide; the t ratio uses a 2-op NR reciprocal
                 sgn = jnp.where(det >= 0.0, 1.0, -1.0)
@@ -123,10 +133,15 @@ def kern(node_f, link_i, featT, seed_ref, out_ref, feat_s, sem):
                            ).reshape(SUB, 128)
             return nt, nb
 
-        if BASE_MODE in ("dot", "full", "opt"):
-            t_best, best = jax.lax.cond(
-                (i % EVERY == 0) & hit_any, visit, lambda a: a,
-                (t_best, best))
+        if BASE_MODE not in ("step", "dma"):
+            # *1 modes: fire the visit UNCONDITIONALLY (random node data
+            # makes hit_any mostly false, silently skipping the branch
+            # being measured); hit_any still feeds the link select so the
+            # slab test isn't dead-code-eliminated
+            fire = (i % EVERY == 0) if EVERY == 1 else \
+                ((i % EVERY == 0) & hit_any)
+            t_best, best = jax.lax.cond(fire, visit, lambda a: a,
+                                        (t_best, best))
         return i + 1, jnp.maximum(nxt, 0), t_best, best
 
     _, _, t_best, best = jax.lax.while_loop(

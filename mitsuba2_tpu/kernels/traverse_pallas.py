@@ -423,6 +423,19 @@ assert MXU_BLOCK <= 4096, \
 MXU_PRECISION = os.environ.get("MI_MXU_PRECISION", "cat3")
 assert MXU_PRECISION in ("highest", "x4", "x3", "cat3", "cat4",
                          "default"), MXU_PRECISION
+# Per-visit lane-group culling. probe_mxu_cost (2026-08-20, N_ITERS=16k):
+# a full visit costs ~6.0 us/iter of which the (CK, B) Möller–Trumbore
+# epilogue is ~4.5 us (full1 5.96 vs dot1 1.45) — VPU elementwise work
+# that scales with B and is mostly WASTED: a cluster demanded by a few
+# percent of the block's lanes still pays all B. MXU_SPLIT divides the
+# block's sublane rows into Q groups; each group runs its dot + epilogue
+# under its own lax.cond gated on "any of MY lanes hit the cluster
+# slab". The presort puts cluster demand in contiguous lane runs, so
+# whole groups skip. Q > 1 adds Q scalar branches per visit (cheap next
+# to 4.5 us) and changes nothing numerically — each lane sees the same
+# tests, just conditionally skipped when it could not hit.
+MXU_SPLIT = int(os.environ.get("MI_MXU_SPLIT", "1"))
+assert MXU_SPLIT in (1, 2, 4, 8), f"MI_MXU_SPLIT={MXU_SPLIT}: 1|2|4|8"
 
 
 def _bf16_split(a):
@@ -564,6 +577,68 @@ def _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz, rt_parts, tmv, occ_f):
     return jnp.maximum(occ_f, hit.reshape(msub, lanes))
 
 
+def _split_cluster_closest(feat_s, base, ccx, ccy, ccz, rt_parts,
+                           hmask, pred, t_best, best):
+    """Cluster visit with MXU_SPLIT-way lane-group culling (closest hit).
+
+    hmask: (msub, 128) per-lane cluster-slab hits; pred: scalar gate
+    (walk active & node is a cluster). Each of the Q sublane-row groups
+    runs _mxu_cluster_closest on ITS column slice of the ray matrices
+    under pred & any(hmask[group]) — groups none of whose lanes can hit
+    skip the dot + the (CK, B/Q) epilogue entirely."""
+    msub = t_best.shape[0]
+    Q = MXU_SPLIT
+    if Q == 1 or msub % Q != 0 or msub < Q:
+        return jax.lax.cond(
+            pred & jnp.any(hmask),
+            lambda a: _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
+                                           rt_parts, a[0], a[1]),
+            lambda a: a, (t_best, best))
+    m = msub // Q
+    bq = m * _LANE
+    outs_t, outs_b = [], []
+    for q in range(Q):
+        rp = tuple(a[:, q * bq:(q + 1) * bq] for a in rt_parts)
+        hq = jnp.any(hmask[q * m:(q + 1) * m])
+        tq, bb = jax.lax.cond(
+            pred & hq,
+            lambda a, rp=rp: _mxu_cluster_closest(
+                feat_s, base, ccx, ccy, ccz, rp, a[0], a[1]),
+            lambda a: a,
+            (t_best[q * m:(q + 1) * m], best[q * m:(q + 1) * m]))
+        outs_t.append(tq)
+        outs_b.append(bb)
+    return jnp.concatenate(outs_t, 0), jnp.concatenate(outs_b, 0)
+
+
+def _split_cluster_anyhit(feat_s, ccx, ccy, ccz, rt_parts,
+                          hmask, pred, tmv, occ_f):
+    """Cluster visit with MXU_SPLIT-way lane-group culling (any hit).
+    hmask must already include the per-lane alive (not-yet-occluded)
+    bit so fully-occluded groups skip too."""
+    msub = occ_f.shape[0]
+    Q = MXU_SPLIT
+    if Q == 1 or msub % Q != 0 or msub < Q:
+        return jax.lax.cond(
+            pred & jnp.any(hmask),
+            lambda a: _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
+                                          rt_parts, tmv, a),
+            lambda a: a, occ_f)
+    m = msub // Q
+    bq = m * _LANE
+    outs = []
+    for q in range(Q):
+        rp = tuple(a[:, q * bq:(q + 1) * bq] for a in rt_parts)
+        hq = jnp.any(hmask[q * m:(q + 1) * m])
+        tm_q = tmv[q * m:(q + 1) * m]
+        outs.append(jax.lax.cond(
+            pred & hq,
+            lambda a, rp=rp, tm_q=tm_q: _mxu_cluster_anyhit(
+                feat_s, ccx, ccy, ccz, rp, tm_q, a),
+            lambda a: a, occ_f[q * m:(q + 1) * m]))
+    return jnp.concatenate(outs, 0)
+
+
 def _pack_mxu_tables(scene):
     """(node_f (R,8), link_i (R,16), featT (16, 4*S) f32).
 
@@ -617,10 +692,6 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
 
     rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
 
-    def cluster_test(base, ccx, ccy, ccz, t_best, best):
-        return _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
-                                    rt_parts, t_best, best)
-
     def cond(state):
         node, fuel = state[0], state[1]
         return (node >= 0) & (fuel < fuel_cap)
@@ -642,15 +713,14 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
         hit_link, miss_link = _pick_links(link_i[pl.ds(nw, 1), :])
         is_cl = slot_base >= 0
 
-        hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best))
+        hmask = _slab(nf, oxv, oyv, ozv, ixv, iyv, izv, t_best)
+        hit_any = jnp.any(hmask)
         for d in dmas:
             d.wait()
 
-        t_best, best = jax.lax.cond(
-            active & is_cl & hit_any,
-            lambda a: cluster_test(*a),
-            lambda a: tuple(a[4:]),
-            (sb, nf[0, 8], nf[0, 9], nf[0, 10], t_best, best))
+        t_best, best = _split_cluster_closest(
+            feat_s, sb, nf[0, 8], nf[0, 9], nf[0, 10], rt_parts,
+            hmask, active & is_cl, t_best, best)
 
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
                         miss_link, hit_link)
@@ -701,10 +771,6 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
 
     rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
 
-    def cluster_test(ccx, ccy, ccz, occ_f):
-        return _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
-                                   rt_parts, tmv, occ_f)
-
     def cond(state):
         node, fuel, occ_f = state
         return (node >= 0) & (fuel < fuel_cap) & (jnp.min(occ_f) < 1.0)
@@ -720,15 +786,14 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
         is_cl = slot_base >= 0
 
         alive = occ_f < 1.0
-        hit_any = jnp.any(_slab(nf, oxv, oyv, ozv, ixv, iyv, izv, tmv)
-                          & alive)
+        hmask = _slab(nf, oxv, oyv, ozv, ixv, iyv, izv, tmv) & alive
+        hit_any = jnp.any(hmask)
         for d in dmas:
             d.wait()
 
-        occ_f = jax.lax.cond(active & is_cl & hit_any,
-                             lambda a: cluster_test(*a),
-                             lambda a: a[3],
-                             (nf[0, 8], nf[0, 9], nf[0, 10], occ_f))
+        occ_f = _split_cluster_anyhit(
+            feat_s, nf[0, 8], nf[0, 9], nf[0, 10], rt_parts,
+            hmask, active & is_cl, tmv, occ_f)
         nxt = jnp.where(is_cl | jnp.logical_not(hit_any),
                         miss_link, hit_link)
         return jnp.where(active, nxt, jnp.int32(-1)), occ_f
@@ -828,25 +893,18 @@ def _closest_hit_mxu2_kernel(node_f, link_i, feat,
             is_cl.append(slot >= 0)
             dmas.append(wk[w]["start_dma"](sbw))
             links.append(wk[w]["pick"](link_i[pl.ds(nw, 1), :]))
-        hits = []
+        hmasks, hits = [], []
         for w in range(2):
-            hits.append(jnp.any(_slab(nf[w], *wk[w]["o"], *wk[w]["inv"],
-                                      tb[w])))
+            hmasks.append(_slab(nf[w], *wk[w]["o"], *wk[w]["inv"], tb[w]))
+            hits.append(jnp.any(hmasks[w]))
         new_nodes = []
         for w in range(2):
             dmas[w].wait()
             active = nodes[w] >= 0
-            scratch = wk[w]["scratch"]
-            rt_parts = wk[w]["rt"]
-
-            def test(a, scratch=scratch, rt_parts=rt_parts):
-                return _mxu_cluster_closest(scratch, a[0], a[1], a[2],
-                                            a[3], rt_parts, a[4], a[5])
-
-            tb[w], bb[w] = jax.lax.cond(
-                active & is_cl[w] & hits[w], test, lambda a: tuple(a[4:]),
-                (sb[w], nf[w][0, 8], nf[w][0, 9], nf[w][0, 10],
-                 tb[w], bb[w]))
+            tb[w], bb[w] = _split_cluster_closest(
+                wk[w]["scratch"], sb[w], nf[w][0, 8], nf[w][0, 9],
+                nf[w][0, 10], wk[w]["rt"], hmasks[w],
+                active & is_cl[w], tb[w], bb[w])
             hit_link, miss_link = links[w]
             nxt = jnp.where(is_cl[w] | jnp.logical_not(hits[w]),
                             miss_link, hit_link)
@@ -904,26 +962,20 @@ def _any_hit_mxu2_kernel(node_f, link_i, feat,
             is_cl.append(slot >= 0)
             dmas.append(wk[w]["start_dma"](sb[w]))
             links.append(wk[w]["pick"](link_i[pl.ds(nw, 1), :]))
-        hits = []
+        hmasks, hits = [], []
         for w in range(2):
             alive = occ[w] < 1.0
-            hits.append(jnp.any(_slab(nf[w], *wk[w]["o"], *wk[w]["inv"],
-                                      wk[w]["tm"]) & alive))
+            hmasks.append(_slab(nf[w], *wk[w]["o"], *wk[w]["inv"],
+                                wk[w]["tm"]) & alive)
+            hits.append(jnp.any(hmasks[w]))
         new_nodes = []
         for w in range(2):
             dmas[w].wait()
             active = nodes[w] >= 0
-            scratch = wk[w]["scratch"]
-            rt_parts = wk[w]["rt"]
-            tm = wk[w]["tm"]
-
-            def test(a, scratch=scratch, rt_parts=rt_parts, tm=tm):
-                return _mxu_cluster_anyhit(scratch, a[0], a[1], a[2],
-                                           rt_parts, tm, a[3])
-
-            occ[w] = jax.lax.cond(
-                active & is_cl[w] & hits[w], test, lambda a: a[3],
-                (nf[w][0, 8], nf[w][0, 9], nf[w][0, 10], occ[w]))
+            occ[w] = _split_cluster_anyhit(
+                wk[w]["scratch"], nf[w][0, 8], nf[w][0, 9], nf[w][0, 10],
+                wk[w]["rt"], hmasks[w], active & is_cl[w],
+                wk[w]["tm"], occ[w])
             hit_link, miss_link = links[w]
             nxt = jnp.where(is_cl[w] | jnp.logical_not(hits[w]),
                             miss_link, hit_link)

@@ -266,6 +266,33 @@ def test_mxu_unroll_matches_single_step(monkeypatch):
             np.testing.assert_array_equal(a, b)
 
 
+def test_mxu_split_lane_culling_matches_unsplit(monkeypatch):
+    """MI_MXU_SPLIT>1 (per-visit lane-group culling: sublane groups whose
+    lanes all missed the cluster slab skip their dot + epilogue) must be
+    bit-exact vs the unsplit kernels in both walk modes — a skipped group
+    is exactly a group whose lanes cannot beat t_best inside the cluster
+    AABB (closest) / cannot be occluded by it (any-hit)."""
+    from mitsuba2_tpu.scene.presets import mesh_gallery
+    scene = mesh_gallery(subdiv=1)
+    n = traverse_pallas.MXU_BLOCK + 2048
+    o, d = random_rays(n, seed=17, spread=2.5)
+    t_max = jnp.full(n, jnp.inf)
+    monkeypatch.setattr(traverse_pallas, "MXU_LEAVES", True)
+
+    for walks in (1, 2):
+        monkeypatch.setattr(traverse_pallas, "MXU_WALKS", walks)
+        got = {}
+        for q in (1, 4):
+            monkeypatch.setattr(traverse_pallas, "MXU_SPLIT", q)
+            t, p, _, _ = traverse_pallas.ray_intersect_preliminary(
+                scene, o, d, t_max, interpret=True)
+            occ = traverse_pallas.ray_test(scene, o, d, jnp.full(n, 0.7),
+                                           interpret=True)
+            got[q] = (np.asarray(t), np.asarray(p), np.asarray(occ))
+        for a, b in zip(got[1], got[4]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_mxu_dense_sweep_matches_walk(monkeypatch):
     """The dense cluster-sweep kernels (counter-driven DMA + matmul over
     ALL clusters, no walk — the pipelined-floor design) must agree with
