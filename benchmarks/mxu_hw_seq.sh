@@ -41,6 +41,10 @@ echo "=== $(date) done" | tee -a "$LOG"
 echo "=== $(date) phase 5: instanced kernels (shared-BLAS TLAS/BLAS walk)" | tee -a "$LOG"
 timeout 600 python benchmarks/traverse_bench.py --backend inst --n 4096 --inst-n 4 --subdiv 2 --rounds 2 --watchdog 540 2>&1 | filter | tee -a "$LOG"
 timeout 600 python benchmarks/traverse_bench.py --backend inst --n 262144 --inst-n 64 --subdiv 3 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+# production arrangement (presort) + the flatten-to-MXU bake-off arm —
+# decides the auto-backend policy for instanced scenes (VERDICT r03 #4)
+timeout 600 python benchmarks/traverse_bench.py --backend inst --sort --n 262144 --inst-n 64 --subdiv 3 --rounds 3 --watchdog 540 2>&1 | filter | tee -a "$LOG"
+timeout 900 python benchmarks/traverse_bench.py --backend instflat --sort --n 262144 --inst-n 64 --subdiv 3 --rounds 3 --watchdog 840 2>&1 | filter | tee -a "$LOG"
 echo "=== $(date) all phases done" | tee -a "$LOG"
 
 echo "=== $(date) phase 6: BVH8 child-testing walk (walk-model 6-7.4x fewer steps)" | tee -a "$LOG"

@@ -588,7 +588,9 @@ def _split_cluster_closest(feat_s, base, ccx, ccy, ccz, rt_parts,
     skip the dot + the (CK, B/Q) epilogue entirely."""
     msub = t_best.shape[0]
     Q = MXU_SPLIT
-    if Q == 1 or msub % Q != 0 or msub < Q:
+    # groups below 8 sublanes hit a Mosaic relayout hole ((m*128,) ->
+    # (m,128) shape cast fails to infer for m < 8, measured 2026-08-20)
+    if Q == 1 or msub % Q != 0 or msub // Q < 8:
         return jax.lax.cond(
             pred & jnp.any(hmask),
             lambda a: _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz,
@@ -618,7 +620,7 @@ def _split_cluster_anyhit(feat_s, ccx, ccy, ccz, rt_parts,
     bit so fully-occluded groups skip too."""
     msub = occ_f.shape[0]
     Q = MXU_SPLIT
-    if Q == 1 or msub % Q != 0 or msub < Q:
+    if Q == 1 or msub % Q != 0 or msub // Q < 8:  # see closest-hit note
         return jax.lax.cond(
             pred & jnp.any(hmask),
             lambda a: _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz,
