@@ -58,7 +58,10 @@ def main():
 
     if args.backend == "inst":
         # shared-BLAS instanced Pallas kernels on the instancing stress
-        # scene (hardware-validation phase 5)
+        # scene (hardware-validation phase 5); force shared — the auto
+        # policy would flatten a scene this small (scene.py
+        # _should_flatten_instances)
+        os.environ["MI_FLATTEN_INSTANCES"] = "0"
         scene = instanced_field(n=args.inst_n, subdiv=args.subdiv)
     elif args.backend == "instflat":
         # the bake-off arm: same scene FLATTENED (K x prim memory), which

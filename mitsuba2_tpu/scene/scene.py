@@ -17,6 +17,7 @@ the derived arrays.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, List, Tuple
 
 import jax
@@ -197,6 +198,25 @@ def build_scene(shapes: List[MeshData], sensor: dict,
         measured_mod.end_staging()
 
 
+def _prim_count(m) -> int:
+    return 1 if m.sphere_center is not None else len(m.faces)
+
+
+def _should_flatten_instances(inst_records, plain) -> bool:
+    """Auto-flatten policy for instanced scenes (see the call site for
+    the phase-5 measurements that set it)."""
+    mode = os.environ.get("MI_FLATTEN_INSTANCES", "auto").lower()
+    if mode in ("0", "false"):
+        return False
+    if mode in ("1", "true"):
+        return True
+    cap = int(os.environ.get("MI_FLATTEN_MAX", "2000000"))
+    eff = sum(_prim_count(m) for m in plain)
+    for rec in inst_records:
+        eff += sum(_prim_count(m) for m in rec.group)
+    return eff <= cap
+
+
 def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
                       measured_staging):
     # --- shared-BLAS instancing: split Instance records from plain shapes ---
@@ -207,6 +227,39 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     from .shapes import Instance
     inst_records = [s for s in shapes if isinstance(s, Instance)]
     plain = [s for s in shapes if not isinstance(s, Instance)]
+    if inst_records and _should_flatten_instances(inst_records, plain):
+        # MEASURED POLICY (hardware phase 5, 2026-08-20, instanced_field
+        # n=64 subdiv=3 = 82k effective tris, sorted 262k rays): the
+        # flattened scene rides the MXU cluster path at 10.0 Mrays/s
+        # coherent closest vs the shared-BLAS instanced scalar walk's
+        # 1.14 (sorted) / 0.16 (unsorted) — ~9-60x. Auto mode therefore
+        # FLATTENS instances (K x prim memory, ~0.5 KB/effective prim)
+        # up to MI_FLATTEN_MAX effective prims (default 2M ~= 1 GB HBM);
+        # beyond that, shared-BLAS keeps the memory scaling that is
+        # instancing's point. MI_FLATTEN_INSTANCES=0|1 forces either.
+        for rec in inst_records:
+            for i, m in enumerate(rec.group):
+                # same restrictions as the shared-BLAS path — semantics
+                # must not depend on which side of the size cap a scene
+                # lands (instance.cpp rejects these regardless)
+                if isinstance(m, Instance):
+                    raise ValueError("nested instancing is unsupported "
+                                     "(shapegroup inside shapegroup)")
+                if m.emitter is not None:
+                    raise ValueError(
+                        "emitters inside instanced shapegroups are "
+                        "unsupported (matches the reference: "
+                        "instance.cpp rejects nested emitters)")
+                if m.interior is not None:
+                    raise ValueError(
+                        "interior media inside instanced shapegroups "
+                        "are unsupported")
+                mi_ = m.transformed(rec.to_world) \
+                    if rec.to_world is not None else m.copy()
+                mi_.id = f"{rec.id}_g{i}" if rec.id else f"{m.id}_flat{i}"
+                plain.append(mi_)
+        inst_records = []
+        shapes = plain
     groups, group_of = [], {}
     for rec in inst_records:
         k = id(rec.group)

@@ -49,6 +49,45 @@ def _sensor():
 _EM = [{"type": "constant", "radiance": [1.0, 1.0, 1.0]}]
 
 
+@pytest.fixture(autouse=True)
+def _force_shared_blas(monkeypatch):
+    """The auto policy FLATTENS small instanced scenes (hardware phase 5:
+    flatten+MXU ~9-60x the shared-BLAS scalar walk — scene.py
+    _should_flatten_instances). These tests exercise the shared-BLAS
+    machinery itself, so force it on."""
+    monkeypatch.setenv("MI_FLATTEN_INSTANCES", "0")
+
+
+def test_auto_policy_flattens_small_scenes(monkeypatch):
+    """auto mode flattens instanced scenes under MI_FLATTEN_MAX effective
+    prims (the measured-faster arrangement) and preserves the image; the
+    cap forces shared-BLAS for scenes too big to duplicate."""
+    from mitsuba2_tpu.render.integrators import render
+    grp = _group()
+    mk = lambda: [shapes.rectangle(bsdf={"type": "diffuse"}).transformed(
+        _T(Transform4.translate([0, 0, -2]) @ Transform4.scale([20, 20, 1])))
+    ] + [shapes.instance(grp, m) for m in _mats()]
+
+    monkeypatch.setenv("MI_FLATTEN_INSTANCES", "auto")
+    s_auto = build_scene(mk(), _sensor(), _EM)
+    assert not s_auto.has_instances          # policy flattened it
+
+    monkeypatch.setenv("MI_FLATTEN_MAX", "4")  # below the scene's prims
+    s_big = build_scene(mk(), _sensor(), _EM)
+    assert s_big.has_instances               # cap keeps shared-BLAS
+    monkeypatch.delenv("MI_FLATTEN_MAX")
+
+    monkeypatch.setenv("MI_FLATTEN_INSTANCES", "0")
+    s_shared = build_scene(mk(), _sensor(), _EM)
+    assert s_shared.has_instances
+
+    cfg = mi.RenderConfig(width=24, height=24, spp=8, spp_per_pass=8,
+                          max_depth=2)
+    a = np.asarray(render(s_auto, cfg, seed=3))
+    b = np.asarray(render(s_shared, cfg, seed=3))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def _scenes():
     grp = _group()
     floor = shapes.rectangle(bsdf={"type": "diffuse"}).transformed(

@@ -157,7 +157,7 @@ def test_pallas_kernel_under_shard_map():
                 interpret=True)[0]
 
         f = shard_map(local, mesh=mesh, in_specs=(P(),) + (P("rays"),) * 7,
-                      out_specs=P("rays"), check_rep=False)
+                      out_specs=P("rays"), check_vma=False)
         t_sh = jax.jit(f)(scene, ov.x, ov.y, ov.z, dv.x, dv.y, dv.z, tm)
         t_un = tp.ray_intersect_preliminary(scene, ov, dv, tm,
                                             interpret=True)[0]
