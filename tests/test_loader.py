@@ -123,7 +123,10 @@ def test_load_file_with_include(tmp_path):
     assert scene.n_shapes == 1
 
 
-def test_shapegroup_instance_xml():
+def test_shapegroup_instance_xml(monkeypatch):
+    # this test exercises the shared-BLAS XML plumbing; the auto policy
+    # would flatten a scene this small (scene._should_flatten_instances)
+    monkeypatch.setenv("MI_FLATTEN_INSTANCES", "0")
     """shapegroup + instance share one BLAS (src/shapes/
     {shapegroup,instance}.cpp; OptiX-IAS analog): the group's geometry
     appears ONCE in the scene tables regardless of instance count."""
