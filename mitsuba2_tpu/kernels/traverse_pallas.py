@@ -434,7 +434,13 @@ assert MXU_PRECISION in ("highest", "x4", "x3", "cat3", "cat4",
 # whole groups skip. Q > 1 adds Q scalar branches per visit (cheap next
 # to 4.5 us) and changes nothing numerically — each lane sees the same
 # tests, just conditionally skipped when it could not hit.
-MXU_SPLIT = int(os.environ.get("MI_MXU_SPLIT", "1"))
+# DEFAULT 4 from the 2026-08-20 end-to-end A/B (gallery fwd render
+# 5.70 -> 5.97 Mrays/s, 491k-tri 1.15 -> 1.35): production wavefronts
+# (bounce/shadow mixtures) gain +5-17%; the only measured loss is on
+# purely-coherent synthetic primary wavefronts at the kernel level
+# (10.85 -> 9.78 coh closest), which end-to-end renders never see in
+# isolation. Kernel-level tables: docs/TPU_TRAVERSAL.md round-4 section.
+MXU_SPLIT = int(os.environ.get("MI_MXU_SPLIT", "4"))
 assert MXU_SPLIT in (1, 2, 4, 8), f"MI_MXU_SPLIT={MXU_SPLIT}: 1|2|4|8"
 
 
@@ -813,19 +819,20 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
 
 
 # --- dual-walk MXU kernels ---------------------------------------------------
-# probe_walk_latency.py (2026-08-19): a Pallas while_loop iteration has a
-# ~2 us SCALAR floor (an empty body costs the same as one with loads +
-# slab + any + the cluster matmul — the vector work hides under it). So
-# the cheapest throughput lever is to make each iteration serve MORE
-# rays: these kernels interleave TWO independent MXU_BLOCK-ray block
-# walks (own cursor, links, octant, DMA scratch) in ONE loop. The second
-# walk's vector work rides the same floor (probe mode `dualdot`:
-# 0.82 us/node-visit vs 1.7 single = ~2x). Block 8192 with ONE cursor
-# would be equivalent-but-better; it silently miscompiles (see
-# MXU_BLOCK guard above), and dual 4096 sidesteps the bad relayout.
-# Walks run in lockstep until BOTH finish; a finished walk keeps
-# streaming (clamped) cluster 0 with all updates masked by its active
-# bit — wasted vector work, but below the floor.
+# Two independent MXU_BLOCK-ray block walks (own cursor, links, octant,
+# DMA scratch) interleaved in ONE while loop. Round-3 rationale was the
+# "~2 us iteration floor"; the round-4 probe decomposition
+# (probe_mxu_cost, N_ITERS=16k, fetch-first) CORRECTS that narrative:
+# the floor is 0.85 us and a full cluster visit costs ~6 us, ~4.5 us of
+# which is the (CK, B) epilogue on the VPU — so interleaving mainly wins
+# on the non-visit steps, and MI_MXU_UNROLL (same idea, sequential)
+# measured FLAT end to end. Dual-walk keeps its measured edge on
+# coherent workloads (which have high non-visit step fractions) and is
+# free elsewhere, so W=2 stays the default. Block 8192 with ONE cursor
+# would subsume it; it silently miscompiles (see MXU_BLOCK guard), and
+# dual 4096 sidesteps the bad relayout. Walks run in lockstep until BOTH
+# finish; a finished walk keeps streaming (clamped) cluster 0 with all
+# updates masked by its active bit.
 
 MXU_WALKS = int(os.environ.get("MI_MXU_WALKS", "2"))
 assert MXU_WALKS in (1, 2), f"MI_MXU_WALKS={MXU_WALKS}: 1 or 2"
