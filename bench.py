@@ -201,6 +201,10 @@ def main():
     # must emit before anything else can wedge the process).
 
     # ---- 1) Mesh gallery (~31k tris), forward: the BVH-bound path ---------
+    # forward runs ONE 16-spp pass (1.05M-lane wavefront): bigger sorted
+    # wavefronts are more block-coherent, measured +5% over 4x4-spp
+    # chunking (2026-08-20 A/B; same spp, same counted rays). The adjoint
+    # metric keeps 4-spp passes (pass-level adjoint memory).
     gallery = None
     gcfg = mi.RenderConfig(width=R, height=R, spp=4 if smoke else SPP // 4,
                            spp_per_pass=4,
@@ -208,10 +212,11 @@ def main():
     g_passes = gcfg.spp // gcfg.spp_per_pass
     try:
         gallery = mesh_gallery(subdiv=4)
+        fcfg = gcfg.replace(spp_per_pass=gcfg.spp)
         dt = _median_time(jax, lambda r: _render_all_passes_jit(
-            gallery, gcfg, r, g_passes))
+            gallery, fcfg, r, 1))
         _emit("mesh_gallery_fwd_mrays_per_s",
-              _rays_per_pass(gcfg) * g_passes / dt / 1e6)
+              _rays_per_pass(fcfg) / dt / 1e6)
     except _Wedged:
         signal.alarm(0)
         _emit_remaining_skipped("chip_wedged")

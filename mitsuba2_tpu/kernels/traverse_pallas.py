@@ -1557,7 +1557,9 @@ def _pack_inst_tables(scene):
 
 def ray_intersect_instanced(scene, ray_o, ray_d, t_max, interpret=None):
     """Closest hit on a shared-BLAS instanced scene. Returns
-    (t, prim, u, v, inst)."""
+    (t, prim, u, v, inst). Triangle-only scenes take the instanced MXU
+    cluster walk (TLAS + per-group cut trees, _use_instmxu); scenes with
+    analytic spheres keep the scalar instanced kernels."""
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
     ox, oy, oz = _components(ray_o)
@@ -1567,8 +1569,10 @@ def ray_intersect_instanced(scene, ray_o, ray_d, t_max, interpret=None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     N = jnp.shape(oz)[0]
-    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
-    n_blocks = n_pad // BLOCK
+    use_mxu = _use_instmxu(scene)
+    blk = MXU_BLOCK if use_mxu else BLOCK
+    n_pad = max(-(-N // blk) * blk, blk)
+    n_blocks = n_pad // blk
     args = [_blockify(a, n_pad) for a in (ox, oy, oz, dx, dy, dz, t_max)]
     sh = (n_pad // _LANE, _LANE)
     out_shapes = [jax.ShapeDtypeStruct(sh, jnp.float32),
@@ -1576,6 +1580,28 @@ def ray_intersect_instanced(scene, ray_o, ray_d, t_max, interpret=None):
                   jax.ShapeDtypeStruct(sh, jnp.float32),
                   jax.ShapeDtypeStruct(sh, jnp.float32),
                   jax.ShapeDtypeStruct(sh, jnp.int32)]
+    if use_mxu:
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+        rs = _mxu_ray_spec(blk // _LANE)
+        kern = functools.partial(_closest_hit_instmxu_kernel,
+                                 fuel_cap=scene.inst_mxu_fuel + 64)
+        outs = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=[_tab_spec, _tab_spec, any_spec, _tab_spec] + [rs] * 7,
+            out_specs=tuple(rs for _ in out_shapes),
+            out_shape=tuple(out_shapes),
+            scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(scene.mxu_node_f, scene.mxu_link, scene.mxu_feat,
+          scene.inst_inv, *args)
+        t, slot, u, v, inst = (o.reshape(n_pad)[:N] for o in outs)
+        prim = jnp.where(slot >= 0,
+                         scene.cluster_slot_prim[jnp.maximum(slot, 0)], -1)
+        return t, prim, u, v, inst
     tables = _pack_inst_tables(scene)
     kern = functools.partial(_closest_hit_inst_kernel,
                              fuel_cap=scene.inst_fuel + 64)
@@ -1594,7 +1620,8 @@ def ray_intersect_instanced(scene, ray_o, ray_d, t_max, interpret=None):
 
 
 def ray_test_instanced(scene, ray_o, ray_d, t_max, interpret=None):
-    """Any-hit occlusion on a shared-BLAS instanced scene."""
+    """Any-hit occlusion on a shared-BLAS instanced scene (instanced MXU
+    walk when the scene qualifies — see ray_intersect_instanced)."""
     sg = jax.lax.stop_gradient
     scene, ray_o, ray_d = sg(scene), sg(ray_o), sg(ray_d)
     ox, oy, oz = _components(ray_o)
@@ -1604,26 +1631,278 @@ def ray_test_instanced(scene, ray_o, ray_d, t_max, interpret=None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     N = jnp.shape(oz)[0]
-    n_pad = max(-(-N // BLOCK) * BLOCK, BLOCK)
-    n_blocks = n_pad // BLOCK
+    use_mxu = _use_instmxu(scene)
+    blk = MXU_BLOCK if use_mxu else BLOCK
+    n_pad = max(-(-N // blk) * blk, blk)
+    n_blocks = n_pad // blk
     args = [_blockify(a, n_pad) for a in (ox, oy, oz, dx, dy, dz, t_max)]
     sh = (n_pad // _LANE, _LANE)
-    tables = _pack_inst_tables(scene)
-    kern = functools.partial(_any_hit_inst_kernel,
-                             fuel_cap=scene.inst_fuel + 64)
-    occ = pl.pallas_call(
-        kern,
-        grid=(n_blocks,),
-        in_specs=[_tab_spec] * 5 + [_ray_spec] * 7,
-        out_specs=(_ray_spec,),
-        out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(*tables, *args)
+    if use_mxu:
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+        rs = _mxu_ray_spec(blk // _LANE)
+        kern = functools.partial(_any_hit_instmxu_kernel,
+                                 fuel_cap=scene.inst_mxu_fuel + 64)
+        occ = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=[_tab_spec, _tab_spec, any_spec, _tab_spec] + [rs] * 7,
+            out_specs=(rs,),
+            out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
+            scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(scene.mxu_node_f, scene.mxu_link, scene.mxu_feat,
+          scene.inst_inv, *args)
+    else:
+        tables = _pack_inst_tables(scene)
+        kern = functools.partial(_any_hit_inst_kernel,
+                                 fuel_cap=scene.inst_fuel + 64)
+        occ = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=[_tab_spec] * 5 + [_ray_spec] * 7,
+            out_specs=(_ray_spec,),
+            out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(*tables, *args)
     if isinstance(occ, (tuple, list)):
         occ = occ[0]
     return (occ.reshape(n_pad)[:N]) != 0
+
+
+# ===========================================================================
+# Instanced MXU cluster walk (round 4): the TLAS + per-group CUT-tree
+# stitch (bvh.py::build_two_level_mxu) walked with the same one-deep
+# continuation as the scalar instanced kernels, but leaves are CLUSTER
+# visits — the (4K, 48)x(48, B) plane matmul over LOCAL-space features.
+# Ray features are exactly linear under affines, but rather than a
+# per-instance 16x16 feature-space matrix the kernel simply re-derives
+# (o_l, d_l) on instance entry (the proven _inst_rays shape) and rebuilds
+# its rt_parts under lax.cond — ~15 us per ENTRY, amortized over that
+# instance's cluster visits. The winning instance id is tracked by
+# "t_best strictly improved at this visit" (prim-id equality is not a
+# safe improvement test: two instances of one group can win the same
+# local slot). Spheres have no plane form, so scenes with spheres keep
+# the scalar instanced kernels (same guard as the flat MXU path).
+# ===========================================================================
+
+
+def _instmxu_prep(node_f, link_i, feat, inst_t, feat_s, sem_feat):
+    """Shared closures for the instanced MXU walk kernels."""
+    CK = CLUSTER_K
+
+    def start_dma(sb):
+        d = pltpu.make_async_copy(
+            feat.at[:, pl.ds(pl.multiple_of(4 * sb, 4 * CK), 4 * CK)],
+            feat_s, sem_feat)
+        d.start()
+        return d
+
+    return start_dma
+
+
+def _closest_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
+                                ox, oy, oz, dx, dy, dz, tmax,
+                                t_out, prim_out, u_out, v_out, inst_out,
+                                feat_s, sem_feat, fuel_cap: int):
+    wox, woy, woz = ox[:], oy[:], oz[:]
+    wdx, wdy, wdz = dx[:], dy[:], dz[:]
+    msub = wox.shape[0]
+    start_dma = _instmxu_prep(node_f, link_i, feat, inst_t,
+                              feat_s, sem_feat)
+    world_rt = _mxu_rt_parts(wox, woy, woz, wdx, wdy, wdz)
+
+    def cond(state):
+        node, fuel = state[0], state[1]
+        return (node >= 0) & (fuel < fuel_cap)
+
+    def body(state):
+        (node, fuel, ret, cinst, octv,
+         oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
+         rt0, rax, ray_, raz, t_best, best, binst) = state
+        nf = node_f[pl.ds(node, 1), :]
+        slot = nf[0, 6].astype(jnp.int32)
+        iid_t = nf[0, 7].astype(jnp.int32)
+        sb = jnp.maximum(slot, 0)
+        dma = start_dma(sb)
+        hit_link, miss_link = _pick_links_dyn(link_i[pl.ds(node, 1), :],
+                                              octv)
+        is_cl = slot >= 0
+        is_inst = iid_t >= 0
+
+        hmask = _slab(nf, oxl, oyl, ozl, ixl, iyl, izl, t_best)
+        hit_any = jnp.any(hmask)
+        dma.wait()
+
+        t_prev = t_best
+        t_best, best = _split_cluster_closest(
+            feat_s, sb, nf[0, 8], nf[0, 9], nf[0, 10],
+            (rt0, rax, ray_, raz), hmask, is_cl, t_best, best)
+        binst = jnp.where(t_best < t_prev, cinst, binst)
+
+        # --- instance entry: block rays + ray matrices -> instance space
+        enter = is_inst & hit_any
+        iid = jnp.maximum(iid_t, 0)
+        it = inst_t[pl.ds(iid, 1), :]
+        lox, loy, loz, ldx, ldy, ldz = _inst_rays(
+            it, wox, woy, woz, wdx, wdy, wdz)
+        cut_root = it[0, 13].astype(jnp.int32)
+
+        def sel(a, b):
+            return jnp.where(enter, a, b)
+
+        oxl, oyl, ozl = sel(lox, oxl), sel(loy, oyl), sel(loz, ozl)
+        dxl, dyl, dzl = sel(ldx, dxl), sel(ldy, dyl), sel(ldz, dzl)
+        ret = jnp.where(enter, miss_link, ret)
+        cinst = jnp.where(enter, iid, cinst)
+
+        nxt = jnp.where(enter, cut_root,
+                        jnp.where(is_cl | jnp.logical_not(hit_any),
+                                  miss_link, hit_link))
+
+        # --- BLAS exit: pop the TLAS continuation, restore world rays ---
+        pop = nxt == BLAS_EXIT
+        nxt = jnp.where(pop, ret, nxt)
+        ret = jnp.where(pop, -1, ret)
+        cinst = jnp.where(pop, -1, cinst)
+        back = pop & jnp.logical_not(enter)
+
+        def selp(w, c):
+            return jnp.where(back, w, c)
+
+        oxl, oyl, ozl = selp(wox, oxl), selp(woy, oyl), selp(woz, ozl)
+        dxl, dyl, dzl = selp(wdx, dxl), selp(wdy, dyl), selp(wdz, dzl)
+        changed = enter | back
+        ixl = jnp.where(changed, _safe_inv(dxl), ixl)
+        iyl = jnp.where(changed, _safe_inv(dyl), iyl)
+        izl = jnp.where(changed, _safe_inv(dzl), izl)
+        octv = jnp.where(changed, _octant_vote(dxl, dyl, dzl), octv)
+        # rt_parts rebuild ONLY when the ray space changed (the full
+        # 16-row concat costs ~15 us — per entry, not per step)
+        rt0, rax, ray_, raz = jax.lax.cond(
+            changed,
+            lambda a: _mxu_rt_parts(*a[:6]),
+            lambda a: a[6:],
+            (oxl, oyl, ozl, dxl, dyl, dzl, rt0, rax, ray_, raz))
+
+        return (nxt, fuel + 1, ret, cinst, octv,
+                oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
+                rt0, rax, ray_, raz, t_best, best, binst)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(-1),
+            _octant_vote(wdx, wdy, wdz),
+            wox, woy, woz, wdx, wdy, wdz,
+            _safe_inv(wdx), _safe_inv(wdy), _safe_inv(wdz),
+            *world_rt,
+            tmax[:],
+            jnp.full((msub, _LANE), -1, jnp.int32),
+            jnp.full((msub, _LANE), -1, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    t_best, best, binst = out[18], out[19], out[20]
+    t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
+    prim_out[:] = best          # cluster SLOT ids; caller remaps
+    u_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
+    v_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
+    inst_out[:] = jnp.where(best >= 0, binst, -1)
+
+
+def _any_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
+                            ox, oy, oz, dx, dy, dz, tmax, occ_out,
+                            feat_s, sem_feat, fuel_cap: int):
+    wox, woy, woz = ox[:], oy[:], oz[:]
+    wdx, wdy, wdz = dx[:], dy[:], dz[:]
+    tmv = tmax[:]
+    msub = wox.shape[0]
+    start_dma = _instmxu_prep(node_f, link_i, feat, inst_t,
+                              feat_s, sem_feat)
+    world_rt = _mxu_rt_parts(wox, woy, woz, wdx, wdy, wdz)
+
+    def cond(state):
+        node, fuel, occ_f = state[0], state[1], state[-1]
+        return (node >= 0) & (fuel < fuel_cap) & (jnp.min(occ_f) < 1.0)
+
+    def body(state):
+        (node, fuel, ret, octv,
+         oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
+         rt0, rax, ray_, raz, occ_f) = state
+        nf = node_f[pl.ds(node, 1), :]
+        slot = nf[0, 6].astype(jnp.int32)
+        iid_t = nf[0, 7].astype(jnp.int32)
+        sb = jnp.maximum(slot, 0)
+        dma = start_dma(sb)
+        hit_link, miss_link = _pick_links_dyn(link_i[pl.ds(node, 1), :],
+                                              octv)
+        is_cl = slot >= 0
+        is_inst = iid_t >= 0
+
+        alive = occ_f < 1.0
+        hmask = _slab(nf, oxl, oyl, ozl, ixl, iyl, izl, tmv) & alive
+        hit_any = jnp.any(hmask)
+        dma.wait()
+
+        occ_f = _split_cluster_anyhit(
+            feat_s, nf[0, 8], nf[0, 9], nf[0, 10],
+            (rt0, rax, ray_, raz), hmask, is_cl, tmv, occ_f)
+
+        enter = is_inst & hit_any
+        iid = jnp.maximum(iid_t, 0)
+        it = inst_t[pl.ds(iid, 1), :]
+        lox, loy, loz, ldx, ldy, ldz = _inst_rays(
+            it, wox, woy, woz, wdx, wdy, wdz)
+        cut_root = it[0, 13].astype(jnp.int32)
+
+        def sel(a, b):
+            return jnp.where(enter, a, b)
+
+        oxl, oyl, ozl = sel(lox, oxl), sel(loy, oyl), sel(loz, ozl)
+        dxl, dyl, dzl = sel(ldx, dxl), sel(ldy, dyl), sel(ldz, dzl)
+        ret = jnp.where(enter, miss_link, ret)
+        nxt = jnp.where(enter, cut_root,
+                        jnp.where(is_cl | jnp.logical_not(hit_any),
+                                  miss_link, hit_link))
+        pop = nxt == BLAS_EXIT
+        nxt = jnp.where(pop, ret, nxt)
+        ret = jnp.where(pop, -1, ret)
+        back = pop & jnp.logical_not(enter)
+
+        def selp(w, c):
+            return jnp.where(back, w, c)
+
+        oxl, oyl, ozl = selp(wox, oxl), selp(woy, oyl), selp(woz, ozl)
+        dxl, dyl, dzl = selp(wdx, dxl), selp(wdy, dyl), selp(wdz, dzl)
+        changed = enter | back
+        ixl = jnp.where(changed, _safe_inv(dxl), ixl)
+        iyl = jnp.where(changed, _safe_inv(dyl), iyl)
+        izl = jnp.where(changed, _safe_inv(dzl), izl)
+        octv = jnp.where(changed, _octant_vote(dxl, dyl, dzl), octv)
+        rt0, rax, ray_, raz = jax.lax.cond(
+            changed,
+            lambda a: _mxu_rt_parts(*a[:6]),
+            lambda a: a[6:],
+            (oxl, oyl, ozl, dxl, dyl, dzl, rt0, rax, ray_, raz))
+
+        return (nxt, fuel + 1, ret, octv,
+                oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
+                rt0, rax, ray_, raz, occ_f)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1),
+            _octant_vote(wdx, wdy, wdz),
+            wox, woy, woz, wdx, wdy, wdz,
+            _safe_inv(wdx), _safe_inv(wdy), _safe_inv(wdz),
+            *world_rt,
+            jnp.zeros((msub, _LANE), jnp.float32))
+    out = jax.lax.while_loop(cond, body, init)
+    occ_out[:] = (out[-1] >= 1.0).astype(jnp.int32)
+
+
+def _use_instmxu(scene):
+    return (MXU_LEAVES and not scene.has_spheres and
+            getattr(scene, "mxu_feat", None) is not None and
+            getattr(scene, "inst_mxu_fuel", 0) > 0)
 
 
 # ===========================================================================

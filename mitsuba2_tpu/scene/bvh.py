@@ -484,6 +484,104 @@ def build_two_level(blas_list, inst_group, inst_bb_min, inst_bb_max):
                 blas_root=blas_root, fuel=fuel, n_tlas=T)
 
 
+def build_two_level_mxu(blas_list, inst_group, inst_bb_min, inst_bb_max,
+                        max_prims: int):
+    """Stitched TLAS + per-group CUT trees for the INSTANCED MXU cluster
+    walk (the OptiX-IAS analog at matrix-unit speed; round 4).
+
+    Same one-deep continuation scheme as build_two_level, but each
+    group's BLAS is replaced by its PRUNED cluster-cut tree
+    (cluster_cut + cut_tree_tables) so instance interiors are walked at
+    O(C_g) rows and leaves are CLUSTER visits (the (4K,48)x(48,B) plane
+    matmul). Cluster slots are GLOBAL across groups (group g's clusters
+    follow group g-1's in the concatenated feature table); feature rows
+    are built by the caller from the LOCAL prim tables about LOCAL
+    cluster centroids — ray features enter instance space per entry, so
+    the recentring bound is unchanged.
+
+    Returns dict(
+      node_f   (R, 16) f32: [bbox min 3 | max 3 | slot | inst_id |
+                             centroid 3 (caller fills) | pad 5] — slot
+               >= 0 marks a cluster row, inst_id >= 0 a TLAS instance
+               leaf (both f32-exact ints)
+      link     (R, 16) i32: [hit8 | miss8]; BLAS-internal exits are
+               BLAS_EXIT
+      slot_prim (S,) i64: concatenated-prim-table index per padded slot
+      row_cluster (R,) i32: GLOBAL cluster id at cluster rows, -1 else
+      blas_root (G,) i32: each group's cut-tree root row
+      fuel: walk bound (TLAS once + each instance's cut tree once))
+    """
+    K = len(inst_group)
+    assert K > 0
+    tlas = build_bvh(np.asarray(inst_bb_min, np.float32),
+                     np.asarray(inst_bb_max, np.float32), leaf_k=1)
+    t_hit8, t_miss8 = build_octant_links(tlas)
+    T = tlas.miss.shape[0]
+
+    mins, maxs = [tlas.bounds_min], [tlas.bounds_max]
+    t_leaf = tlas.leaf_start >= 0
+    inst_ids = np.where(t_leaf, tlas.prim_order[
+        np.minimum(np.maximum(tlas.leaf_start, 0),
+                   len(tlas.prim_order) - 1)], -1).astype(np.int32)
+    slots = [np.full(T, -1, np.int32)]
+    insts = [inst_ids]
+    row_cl = [np.full(T, -1, np.int32)]
+    hits = [t_hit8.reshape(T, 8)]
+    misses = [t_miss8.reshape(T, 8)]
+    slot_parts = []
+    blas_root, cut_rows = [], []
+    off, ccount = T, 0
+    for (tree_g, h8, m8, prim_base) in blas_list:
+        cl_id, starts, counts = cluster_cut(tree_g, max_prims=max_prims)
+        cmin, cmax, ch8, cm8, cl_id_c = cut_tree_tables(tree_g, cl_id,
+                                                        h8, m8)
+        R = cmin.shape[0]
+        blas_root.append(off)
+        cut_rows.append(R)
+
+        def _shift(links):
+            return np.where(links >= 0, links + off,
+                            BLAS_EXIT).astype(np.int32)
+
+        mins.append(cmin)
+        maxs.append(cmax)
+        hits.append(_shift(ch8).reshape(R, 8))
+        misses.append(_shift(cm8).reshape(R, 8))
+        slots.append(np.where(cl_id_c >= 0,
+                              (cl_id_c + ccount) * max_prims,
+                              -1).astype(np.int32))
+        insts.append(np.full(R, -1, np.int32))
+        row_cl.append(np.where(cl_id_c >= 0, cl_id_c + ccount,
+                               -1).astype(np.int32))
+        sp = np.full(len(starts) * max_prims, -1, np.int32)
+        for c, (s0, cnt) in enumerate(zip(starts, counts)):
+            sp[c * max_prims: c * max_prims + cnt] = \
+                prim_base + np.arange(s0, s0 + cnt)
+        slot_parts.append(sp)
+        ccount += len(starts)
+        off += R
+    assert ccount * max_prims < (1 << 24), \
+        "instanced cluster slot ids exceed f32 exact-integer range"
+
+    node_min = np.concatenate(mins, 0).astype(np.float32)
+    node_max = np.concatenate(maxs, 0).astype(np.float32)
+    slot = np.concatenate(slots)
+    inst_col = np.concatenate(insts)
+    Rt = node_min.shape[0]
+    node_f = np.concatenate(
+        [node_min, node_max, slot[:, None].astype(np.float32),
+         inst_col[:, None].astype(np.float32),
+         np.zeros((Rt, 8), np.float32)], -1)
+    link = np.concatenate([np.concatenate(hits, 0),
+                           np.concatenate(misses, 0)], -1).astype(np.int32)
+    fuel = T + int(sum(cut_rows[g] for g in inst_group)) + 64
+    return dict(node_f=node_f, link=link,
+                slot_prim=np.concatenate(slot_parts)
+                if slot_parts else np.full(max_prims, -1, np.int32),
+                row_cluster=np.concatenate(row_cl),
+                blas_root=np.asarray(blas_root, np.int32), fuel=fuel)
+
+
 # ---------------------------------------------------------------------------
 # BVH8 collapse for the child-testing packet walk (round-3 candidate,
 # walk-model validated: 6-7.4x fewer block-synchronous steps than the

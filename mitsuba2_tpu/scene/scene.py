@@ -87,9 +87,13 @@ class SceneData:
     # --- MXU leaf clusters (bvh.py::cluster_cut + cut_tree_tables;
     # traverse_pallas MXU path). The walk runs on the PRUNED cut-tree
     # (cut nodes + ancestors, R ~ 2*C rows — O(C) VMEM, not O(P)):
-    # mxu_node_f: (R, 16) f32 [min.xyz, max.xyz, slot, 0, c.xyz, 0*5]
+    # mxu_node_f: (R, 16) f32 [min.xyz, max.xyz, slot, inst, c.xyz, 0*5]
     # where slot (col 6, f32-exact) = cluster_index * CLUSTER_K at cut
-    # nodes, -1 else, and c (cols 8:11) is the cluster centroid the
+    # nodes, -1 else; col 7 is -1 except on INSTANCED scenes' TLAS
+    # instance leaves where it holds the instance id (the two-level MXU
+    # walk, bvh.py::build_two_level_mxu — instanced scenes stitch
+    # [TLAS | per-group cut trees] here with LOCAL-space clusters);
+    # c (cols 8:11) is the cluster centroid the
     # kernels recenter ray features at (precision — see the RECENTRING
     # note at the feature build);
     # mxu_link: (R, 16) i32 [hit8 | miss8] compact-remapped octant links;
@@ -141,7 +145,8 @@ class SceneData:
     # group's prims ONCE, in instance-local coordinates (the world group
     # is instance 0 with the identity transform).
     # inst_inv: (K, 16) f32 [world->local 3x4 row-major | blas_root
-    # (f32-exact) | pad]; inst_fwd: (K, 16) f32 [local->world 3x4 |
+    # (f32-exact, col 12) | CUT-tree blas root (col 13, the instanced
+    # MXU walk's entry) | pad]; inst_fwd: (K, 16) f32 [local->world 3x4 |
     # uniform det-scale | pad].
     inst_inv: jnp.ndarray = None
     inst_fwd: jnp.ndarray = None
@@ -162,6 +167,9 @@ class SceneData:
     has_spheres: bool = struct.field(pytree_node=False, default=True)
     has_instances: bool = struct.field(pytree_node=False, default=False)
     inst_fuel: int = struct.field(pytree_node=False, default=0)
+    # walk bound for the instanced MXU cluster kernels (TLAS + each
+    # instance's cut tree once; 0 = tables absent)
+    inst_mxu_fuel: int = struct.field(pytree_node=False, default=0)
     bvh8_depth: int = struct.field(pytree_node=False, default=0)
     bvh8c_depth: int = struct.field(pytree_node=False, default=0)
     emitter_kinds: Tuple[int, ...] = struct.field(pytree_node=False, default=())
@@ -210,7 +218,10 @@ def _should_flatten_instances(inst_records, plain) -> bool:
         return False
     if mode in ("1", "true"):
         return True
-    cap = int(os.environ.get("MI_FLATTEN_MAX", "2000000"))
+    # 4M effective prims x ~0.5 KB/prim (prim tables + 4x16 f32 feature
+    # rows) ~= 2 GB of the chip's 16 GB HBM — comfortably clear of render
+    # wavefront arrays. Above it, shared-BLAS keeps memory O(stored).
+    cap = int(os.environ.get("MI_FLATTEN_MAX", "4000000"))
     eff = sum(_prim_count(m) for m in plain)
     for rec in inst_records:
         eff += sum(_prim_count(m) for m in rec.group)
@@ -377,7 +388,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     bb_max = np.where(is_sph[:, None], p0 + r, tri_max)
 
     inst_inv16 = inst_fwd16 = None
-    inst_fuel = 0
+    inst_fuel = inst_mxu_fuel = 0
     if inst_records:
         # --- two-level accel: one BLAS per group + a TLAS over instances ---
         # group prim ranges (prims were appended in shape order, so each
@@ -453,10 +464,25 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         n_miss = stitched["miss"]
         oct_hit8, oct_miss8 = stitched["hit8"], stitched["miss8"]
         inst_fuel = int(stitched["fuel"])
-        # MXU cluster path does not support instanced scenes yet — the
-        # dispatch guard (traverse_pallas) routes them to the scalar
-        # instanced kernels
-        mxu_node_f = mxu_link = slot_prim = feat = mxu_ccs = None
+        # Instanced MXU cluster path (round 4): TLAS + per-group CUT
+        # trees; cluster features are built below from the LOCAL prim
+        # tables (local centroids) and the kernel rebuilds its ray
+        # matrices per instance entry, so one feature table serves every
+        # instance of a group.
+        CK = bvh_mod.CLUSTER_K
+        two = bvh_mod.build_two_level_mxu(blas_list, inst_group,
+                                          ib_min, ib_max, CK)
+        mxu_node_f = two["node_f"]
+        mxu_link = two["link"]
+        slot_prim = two["slot_prim"]
+        mxu_row_cluster = two["row_cluster"]
+        for k in range(K):
+            # col 13: the group's CUT-tree root (the MXU walk's BLAS
+            # entry point; col 12 stays the full-table root for the
+            # scalar instanced kernels)
+            inst_inv16[k, 13] = float(two["blas_root"][inst_group[k]])
+        inst_mxu_fuel = int(two["fuel"])
+        feat = mxu_ccs = None  # built below from slot_prim
         bvh8_child = bvh8_order = None
         bvh8_depth = 0
         bvh8c_child = bvh8c_order = None
@@ -474,6 +500,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
             bvh_mod.cut_tree_tables(tree, cl_id, oct_hit8, oct_miss8)
         R = cut_min.shape[0]
         mxu_slot = np.where(cl_id_c >= 0, cl_id_c * CK, -1).astype(np.int32)
+        mxu_row_cluster = cl_id_c
         assert len(cl_starts) * CK < (1 << 24), \
             "cluster slot ids exceed f32 exact-integer range"
         # slot rides node_f col 6 (exact in f32 up to 2^24) — one scalar row
@@ -507,7 +534,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
     # Built here rather than at trace time — the per-slot prim gathers are
     # pathological as XLA device ops (~0.15 G elem/s on TPU).
     if slot_prim is None:
-        feat = mxu_ccs = None  # instanced scenes skip the MXU tables
+        feat = mxu_ccs = None  # brute-force-sized scenes skip MXU tables
     else:
         sidx = np.maximum(slot_prim, 0)
         valid = (slot_prim >= 0)[:, None].astype(np.float32)
@@ -543,8 +570,8 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         fv[:, 3, :, 9] = -np.sum(cp0 * cn, -1).reshape(C, CK)
         feat = np.ascontiguousarray(fv.reshape(4 * Sn, 16).T)
         # kernel-visible copy of each cut node's cluster centroid
-        is_cl_node = cl_id_c >= 0
-        mxu_node_f[is_cl_node, 8:11] = cl_c[cl_id_c[is_cl_node]]
+        is_cl_node = mxu_row_cluster >= 0
+        mxu_node_f[is_cl_node, 8:11] = cl_c[mxu_row_cluster[is_cl_node]]
         mxu_ccs = np.zeros((C, 8), np.float32)
         mxu_ccs[:, 0:3] = cl_c
         # composed BVH8-walk x MXU-leaf tables: collapse the cut tree
@@ -552,7 +579,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         # root means the whole scene is one cluster — MXU alone covers it)
         bvh8c_child = bvh8c_order = None
         bvh8c_depth = 0
-        if tree.miss.shape[0] > 96 and cl_id[0] < 0:
+        if not inst_records and tree.miss.shape[0] > 96 and cl_id[0] < 0:
             bvh8c_child, bvh8c_order, bvh8c_depth = bvh_mod.collapse_bvh8(
                 tree, cluster_id=cl_id, cluster_c=cl_c, cluster_k=CK)
 
@@ -744,6 +771,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         inst_fwd=None if inst_fwd16 is None else dev(inst_fwd16),
         has_instances=bool(inst_records),
         inst_fuel=inst_fuel,
+        inst_mxu_fuel=inst_mxu_fuel,
         shape_mat=dev(np.asarray(shape_mat, np.int32)),
         shape_emitter=dev(np.asarray(shape_emitter, np.int32)),
         mat_type=dev(np.asarray([mt[0] for mt in mats], np.int32)),
