@@ -1592,7 +1592,8 @@ def ray_intersect_instanced(scene, ray_o, ray_d, t_max, interpret=None):
             out_specs=tuple(rs for _ in out_shapes),
             out_shape=tuple(out_shapes),
             scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
-                            pltpu.SemaphoreType.DMA],
+                            pltpu.SemaphoreType.DMA,
+                            pltpu.VMEM((64, blk), jnp.float32)],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -1649,7 +1650,8 @@ def ray_test_instanced(scene, ray_o, ray_d, t_max, interpret=None):
             out_specs=(rs,),
             out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
             scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
-                            pltpu.SemaphoreType.DMA],
+                            pltpu.SemaphoreType.DMA,
+                            pltpu.VMEM((64, blk), jnp.float32)],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -1705,16 +1707,34 @@ def _instmxu_prep(node_f, link_i, feat, inst_t, feat_s, sem_feat):
     return start_dma
 
 
+def _rt_scratch_write(rt_s, parts):
+    rt0, rax, ray_, raz = parts
+    rt_s[0:16, :] = rt0
+    rt_s[16:32, :] = rax
+    rt_s[32:48, :] = ray_
+    rt_s[48:64, :] = raz
+
+
+def _rt_scratch_read(rt_s):
+    return (rt_s[0:16, :], rt_s[16:32, :], rt_s[32:48, :], rt_s[48:64, :])
+
+
 def _closest_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
                                 ox, oy, oz, dx, dy, dz, tmax,
                                 t_out, prim_out, u_out, v_out, inst_out,
-                                feat_s, sem_feat, fuel_cap: int):
+                                feat_s, sem_feat, rt_s, fuel_cap: int):
+    """rt_s: (64, B) VMEM scratch holding the CURRENT-space ray-feature
+    parts [rt0 | ax | ay | az] (16 rows each). It is rewritten under
+    @pl.when(space changed) — a lax.cond-carried rebuild lowers to an
+    arith.select over (8,128) vectors that Mosaic fails to legalize
+    (measured 2026-08-20); predicated scratch stores are the proven
+    conditional-state shape."""
     wox, woy, woz = ox[:], oy[:], oz[:]
     wdx, wdy, wdz = dx[:], dy[:], dz[:]
     msub = wox.shape[0]
     start_dma = _instmxu_prep(node_f, link_i, feat, inst_t,
                               feat_s, sem_feat)
-    world_rt = _mxu_rt_parts(wox, woy, woz, wdx, wdy, wdz)
+    _rt_scratch_write(rt_s, _mxu_rt_parts(wox, woy, woz, wdx, wdy, wdz))
 
     def cond(state):
         node, fuel = state[0], state[1]
@@ -1723,7 +1743,7 @@ def _closest_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
     def body(state):
         (node, fuel, ret, cinst, octv,
          oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
-         rt0, rax, ray_, raz, t_best, best, binst) = state
+         t_best, best, binst) = state
         nf = node_f[pl.ds(node, 1), :]
         slot = nf[0, 6].astype(jnp.int32)
         iid_t = nf[0, 7].astype(jnp.int32)
@@ -1741,7 +1761,7 @@ def _closest_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
         t_prev = t_best
         t_best, best = _split_cluster_closest(
             feat_s, sb, nf[0, 8], nf[0, 9], nf[0, 10],
-            (rt0, rax, ray_, raz), hmask, is_cl, t_best, best)
+            _rt_scratch_read(rt_s), hmask, is_cl, t_best, best)
         binst = jnp.where(t_best < t_prev, cinst, binst)
 
         # --- instance entry: block rays + ray matrices -> instance space
@@ -1781,28 +1801,27 @@ def _closest_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
         iyl = jnp.where(changed, _safe_inv(dyl), iyl)
         izl = jnp.where(changed, _safe_inv(dzl), izl)
         octv = jnp.where(changed, _octant_vote(dxl, dyl, dzl), octv)
-        # rt_parts rebuild ONLY when the ray space changed (the full
-        # 16-row concat costs ~15 us — per entry, not per step)
-        rt0, rax, ray_, raz = jax.lax.cond(
-            changed,
-            lambda a: _mxu_rt_parts(*a[:6]),
-            lambda a: a[6:],
-            (oxl, oyl, ozl, dxl, dyl, dzl, rt0, rax, ray_, raz))
+
+        # rt_parts rebuild ONLY when the ray space changed (per entry,
+        # not per step) — predicated scratch store, see docstring
+        @pl.when(changed)
+        def _():
+            _rt_scratch_write(rt_s, _mxu_rt_parts(oxl, oyl, ozl,
+                                                  dxl, dyl, dzl))
 
         return (nxt, fuel + 1, ret, cinst, octv,
                 oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
-                rt0, rax, ray_, raz, t_best, best, binst)
+                t_best, best, binst)
 
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(-1),
             _octant_vote(wdx, wdy, wdz),
             wox, woy, woz, wdx, wdy, wdz,
             _safe_inv(wdx), _safe_inv(wdy), _safe_inv(wdz),
-            *world_rt,
             tmax[:],
             jnp.full((msub, _LANE), -1, jnp.int32),
             jnp.full((msub, _LANE), -1, jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
-    t_best, best, binst = out[18], out[19], out[20]
+    t_best, best, binst = out[14], out[15], out[16]
     t_out[:] = jnp.where(best >= 0, t_best, jnp.inf)
     prim_out[:] = best          # cluster SLOT ids; caller remaps
     u_out[:] = jnp.zeros((msub, _LANE), jnp.float32)
@@ -1812,14 +1831,15 @@ def _closest_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
 
 def _any_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
                             ox, oy, oz, dx, dy, dz, tmax, occ_out,
-                            feat_s, sem_feat, fuel_cap: int):
+                            feat_s, sem_feat, rt_s, fuel_cap: int):
+    """Occlusion variant; rt_s scratch convention as the closest kernel."""
     wox, woy, woz = ox[:], oy[:], oz[:]
     wdx, wdy, wdz = dx[:], dy[:], dz[:]
     tmv = tmax[:]
     msub = wox.shape[0]
     start_dma = _instmxu_prep(node_f, link_i, feat, inst_t,
                               feat_s, sem_feat)
-    world_rt = _mxu_rt_parts(wox, woy, woz, wdx, wdy, wdz)
+    _rt_scratch_write(rt_s, _mxu_rt_parts(wox, woy, woz, wdx, wdy, wdz))
 
     def cond(state):
         node, fuel, occ_f = state[0], state[1], state[-1]
@@ -1827,8 +1847,7 @@ def _any_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
 
     def body(state):
         (node, fuel, ret, octv,
-         oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
-         rt0, rax, ray_, raz, occ_f) = state
+         oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl, occ_f) = state
         nf = node_f[pl.ds(node, 1), :]
         slot = nf[0, 6].astype(jnp.int32)
         iid_t = nf[0, 7].astype(jnp.int32)
@@ -1846,7 +1865,7 @@ def _any_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
 
         occ_f = _split_cluster_anyhit(
             feat_s, nf[0, 8], nf[0, 9], nf[0, 10],
-            (rt0, rax, ray_, raz), hmask, is_cl, tmv, occ_f)
+            _rt_scratch_read(rt_s), hmask, is_cl, tmv, occ_f)
 
         enter = is_inst & hit_any
         iid = jnp.maximum(iid_t, 0)
@@ -1879,21 +1898,19 @@ def _any_hit_instmxu_kernel(node_f, link_i, feat, inst_t,
         iyl = jnp.where(changed, _safe_inv(dyl), iyl)
         izl = jnp.where(changed, _safe_inv(dzl), izl)
         octv = jnp.where(changed, _octant_vote(dxl, dyl, dzl), octv)
-        rt0, rax, ray_, raz = jax.lax.cond(
-            changed,
-            lambda a: _mxu_rt_parts(*a[:6]),
-            lambda a: a[6:],
-            (oxl, oyl, ozl, dxl, dyl, dzl, rt0, rax, ray_, raz))
+
+        @pl.when(changed)
+        def _():
+            _rt_scratch_write(rt_s, _mxu_rt_parts(oxl, oyl, ozl,
+                                                  dxl, dyl, dzl))
 
         return (nxt, fuel + 1, ret, octv,
-                oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl,
-                rt0, rax, ray_, raz, occ_f)
+                oxl, oyl, ozl, dxl, dyl, dzl, ixl, iyl, izl, occ_f)
 
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(-1),
             _octant_vote(wdx, wdy, wdz),
             wox, woy, woz, wdx, wdy, wdz,
             _safe_inv(wdx), _safe_inv(wdy), _safe_inv(wdz),
-            *world_rt,
             jnp.zeros((msub, _LANE), jnp.float32))
     out = jax.lax.while_loop(cond, body, init)
     occ_out[:] = (out[-1] >= 1.0).astype(jnp.int32)
