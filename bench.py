@@ -32,13 +32,17 @@ r03 weak #2: the JSON must record protocol breaks):
      spectral metric. Values are protocol-comparable with v2, and with
      v1 ONLY for the gallery metrics (measured post-fetch in v1 too).
 
-Resilience: a subprocess chip-health probe (with backoff retries) runs
-BEFORE the main process touches the device; if the chip never answers,
-every metric emits a `chip_wedged` skip marker and the process exits 0 so
-the driver still gets a parseable artifact. During the run, a per-metric
-SIGALRM watchdog raises; one watchdog hit is treated as a wedged chip
-(1200 s is far beyond any legitimate compile) and all remaining metrics
-emit markers instead of hanging the driver.
+Resilience: an IN-PROCESS first-touch check (tiny jit + fetch under the
+watchdog) verifies the chip before any metric; if it wedges, every metric
+emits a `chip_wedged` skip marker and the process exits 0 so the driver
+still gets a parseable artifact. Each metric runs under a SIGALRM
+watchdog with ONE blind retry (the tunnel's erratic first-build /
+slow-remote-compile stalls clear on retry with the jit cache warm); a
+second hit on the same metric emits markers for everything left and
+exits. Subprocess chip probes are deliberately NOT used: a probe run
+before the main process poisons its tunnel session (20+ min stalls,
+measured 2026-08-20), and one run mid-flight hangs against the
+single-tenant chip.
 
 MI_BENCH_BACKEND=<auto|pallas|bvh8|bvh8mxu|...> forces the intersection
 backend (hardware sweeps); MI_MXU_LEAVES/MI_MXU_BLOCK/MI_CLUSTER_K knobs
@@ -47,7 +51,6 @@ pass through to the kernels.
 import json
 import os
 import signal
-import subprocess
 import sys
 import time
 
@@ -120,31 +123,23 @@ def _arm(seconds=1200):
     signal.alarm(seconds)
 
 
-def _chip_preflight():
-    """Probe the chip in a SUBPROCESS (so a wedge can't kill this process's
-    device state) with backoff retries. Returns True if healthy."""
-    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "benchmarks", "chip_health.py")
-    if not os.path.exists(probe):
-        return True  # nothing to probe with; proceed optimistically
-    for attempt, backoff in enumerate((0, 90, 240)):
-        if backoff:
-            print(f"bench.py preflight: retrying in {backoff}s "
-                  f"(attempt {attempt + 1}/3)", file=sys.stderr, flush=True)
-            time.sleep(backoff)
-        try:
-            r = subprocess.run([sys.executable, probe], timeout=300,
-                               capture_output=True, text=True)
-            if r.returncode == 0 and "CHIP-OK" in r.stdout:
-                print(f"bench.py preflight: {r.stdout.strip().splitlines()[-1]}",
-                      file=sys.stderr, flush=True)
-                return True
-            print(f"bench.py preflight attempt {attempt + 1}: rc={r.returncode} "
-                  f"{(r.stderr or '')[-200:]}", file=sys.stderr, flush=True)
-        except subprocess.TimeoutExpired:
-            print(f"bench.py preflight attempt {attempt + 1}: probe hung 300s",
-                  file=sys.stderr, flush=True)
-    return False
+def _first_touch(jax):
+    """IN-PROCESS chip health check: one tiny jit + host fetch under the
+    caller's alarm. Subprocess probes are NOT used anywhere in bench.py:
+    measured 2026-08-20, a chip_health subprocess run immediately before
+    the main process leaves the tunnel session in a state where the main
+    process's device init/first compile stalls for 20+ minutes (and a
+    probe launched MID-run can never succeed at all — the main process
+    already holds the single-tenant TPU, so the probe itself hangs).
+    A wedged chip shows up here as a watchdog hit -> structured markers."""
+    import numpy as _np
+    import jax.numpy as _jnp
+    t0 = time.time()
+    x = _jnp.arange(1024.0)
+    y = jax.jit(lambda v: (v * 2.0 + 1.0).sum())(x)
+    _ = _np.asarray(y)
+    print(f"bench.py first-touch: CHIP-OK {time.time() - t0:.1f}s "
+          f"dev={jax.devices()[0].platform}", file=sys.stderr, flush=True)
 
 
 def _median_time(jax, run, warmups=2, reps=5):
@@ -170,14 +165,43 @@ def _rays_per_pass(cfg):
     return lanes * (1 + 2 * (cfg.max_depth - 1))
 
 
-def main():
-    if not _chip_preflight():
-        print("bench.py: chip never answered preflight — emitting skip "
-              "markers for every metric", file=sys.stderr, flush=True)
-        _emit_remaining_skipped("chip_wedged")
-        return
+class _Abort(Exception):
+    """Two consecutive watchdog hits on one metric — presumed dead chip."""
 
-    _arm(1200)
+
+def _run_metric(name, fn, first_budget=1500):
+    """Run one metric with the watchdog armed; ONE blind retry after a
+    watchdog hit (today's tunnel stalls — erratic first-builds, remote
+    compiles finishing in the background — clear on retry with the jit
+    cache warm; no subprocess probe, see _first_touch). A second hit on
+    the same metric aborts with structured markers for everything left.
+    Non-wedge exceptions emit a reasoned skip marker and move on."""
+    for attempt in (0, 1):
+        _arm(first_budget if attempt == 0 else 1200)
+        try:
+            v = fn()
+            signal.alarm(0)
+            if v is not None:
+                _emit(name, v)
+            return
+        except _Wedged:
+            signal.signal(signal.SIGALRM, _watchdog)  # cancel hard-exit
+            signal.alarm(0)
+            print(f"bench.py: watchdog hit in {name} "
+                  f"(attempt {attempt + 1})", file=sys.stderr, flush=True)
+            if attempt == 0:
+                continue
+            _emit(name, None, skipped="chip_wedged")
+            _emit_remaining_skipped("chip_wedged")
+            raise _Abort()
+        except Exception as e:  # pragma: no cover - defensive
+            signal.alarm(0)
+            _emit(name, None, skipped=repr(e)[:120])
+            return
+
+
+def main():
+    _arm(900)
     import jax
     import jax.numpy as jnp
 
@@ -196,141 +220,105 @@ def main():
     # MI_BENCH_SMOKE=1: tiny shapes, logic-only CI pass (numbers meaningless)
     smoke = os.environ.get("MI_BENCH_SMOKE", "") == "1"
     R, SPP = (32, 4) if smoke else (256, 64)
+    try:
+        _first_touch(jax)
+    except _Wedged:
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(0)
+        print("bench.py: first-touch wedged — chip/tunnel dead",
+              file=sys.stderr, flush=True)
+        _emit_remaining_skipped("chip_wedged")
+        return
+    signal.alarm(0)
 
     # Accel-bound metrics FIRST (VERDICT r03 weak #1: the contested numbers
-    # must emit before anything else can wedge the process).
-
-    # ---- 1) Mesh gallery (~31k tris), forward: the BVH-bound path ---------
-    # forward runs ONE 16-spp pass (1.05M-lane wavefront): bigger sorted
-    # wavefronts are more block-coherent, measured +5% over 4x4-spp
-    # chunking (2026-08-20 A/B; same spp, same counted rays). The adjoint
-    # metric keeps 4-spp passes (pass-level adjoint memory).
-    gallery = None
+    # must emit before anything else can wedge the process). Scene builds
+    # live INSIDE their metric fn so the retry also covers the erratic
+    # first-build stalls (docs/TPU_TRAVERSAL.md "Timing hygiene" family).
+    ctx = {}
     gcfg = mi.RenderConfig(width=R, height=R, spp=4 if smoke else SPP // 4,
                            spp_per_pass=4,
                            max_depth=3, rr_depth=8)
     g_passes = gcfg.spp // gcfg.spp_per_pass
-    try:
-        gallery = mesh_gallery(subdiv=4)
+
+    def m_gallery_fwd():
+        # ONE 16-spp pass (1.05M-lane wavefront): bigger sorted wavefronts
+        # are more block-coherent, measured +5% over 4x4-spp chunking
+        # (2026-08-20 A/B; same spp, same counted rays). The adjoint
+        # metric keeps 4-spp passes (pass-level adjoint memory).
+        if "gallery" not in ctx:
+            ctx["gallery"] = mesh_gallery(subdiv=4)
         fcfg = gcfg.replace(spp_per_pass=gcfg.spp)
         dt = _median_time(jax, lambda r: _render_all_passes_jit(
-            gallery, fcfg, r, 1))
-        _emit("mesh_gallery_fwd_mrays_per_s",
-              _rays_per_pass(fcfg) / dt / 1e6)
-    except _Wedged:
-        signal.alarm(0)
-        _emit_remaining_skipped("chip_wedged")
-        return
-    except Exception as e:  # pragma: no cover - defensive for the driver
-        _emit("mesh_gallery_fwd_mrays_per_s", None, skipped=repr(e)[:120])
+            ctx["gallery"], fcfg, r, 1))
+        return _rays_per_pass(fcfg) / dt / 1e6
 
-    # ---- 2) Mesh gallery, forward + adjoint (BVH-bound adjoint) -----------
-    _arm(1200)
-    try:
+    def m_gallery_adj():
         gtarget = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
         dt = _median_time(jax, lambda r: render_l2_grad(
-            gallery, gcfg, gtarget, seed=r))
+            ctx["gallery"], gcfg, gtarget, seed=r))
         # forward pass + adjoint re-trace both traverse the full wavefront
-        _emit("mesh_gallery_fwd_adjoint_mrays_per_s",
-              2 * _rays_per_pass(gcfg) * g_passes / dt / 1e6)
-    except _Wedged:
-        signal.alarm(0)
-        _emit_remaining_skipped("chip_wedged")
-        return
-    except Exception as e:  # pragma: no cover
-        _emit("mesh_gallery_fwd_adjoint_mrays_per_s", None,
-              skipped=repr(e)[:120])
+        return 2 * _rays_per_pass(gcfg) * g_passes / dt / 1e6
 
-    # ---- 3) ~491k-tri gallery (subdiv=6): the scale proof -----------------
-    _arm(1200)
-    try:
+    def m_491k():
         big = mesh_gallery(subdiv=3 if smoke else 6)
         bcfg = mi.RenderConfig(width=R, height=R, spp=4, spp_per_pass=4,
                                max_depth=3, rr_depth=8)
         dt = _median_time(jax, lambda r: _render_all_passes_jit(
             big, bcfg, r, 1))
-        _emit("mesh_gallery_491k_fwd_mrays_per_s",
-              _rays_per_pass(bcfg) / dt / 1e6)
-        del big
-    except _Wedged:
-        signal.alarm(0)
-        _emit_remaining_skipped("chip_wedged")
-        return
-    except Exception as e:  # pragma: no cover
-        _emit("mesh_gallery_491k_fwd_mrays_per_s", None,
-              skipped=repr(e)[:120])
+        return _rays_per_pass(bcfg) / dt / 1e6
 
-    # ---- 4) Veach-MIS spectral (config 3): hero wavelengths + envmap ------
-    _arm(1200)
-    try:
-        veach = veach_mis(envmap=True)
+    def m_veach():
+        if "veach" not in ctx:
+            ctx["veach"] = veach_mis(envmap=True)
         vcfg = mi.RenderConfig(width=R, height=R, spp=4 if smoke else 16,
                                spp_per_pass=4, max_depth=3, rr_depth=8,
                                color_mode="spectral")
         v_passes = vcfg.spp // vcfg.spp_per_pass
         dt = _median_time(jax, lambda r: _render_all_passes_jit(
-            veach, vcfg, r, v_passes))
-        _emit("veach_spectral_fwd_mrays_per_s",
-              _rays_per_pass(vcfg) * v_passes / dt / 1e6)
-    except _Wedged:
-        signal.alarm(0)
-        _emit_remaining_skipped("chip_wedged")
-        return
-    except Exception as e:  # pragma: no cover
-        _emit("veach_spectral_fwd_mrays_per_s", None, skipped=repr(e)[:120])
+            ctx["veach"], vcfg, r, v_passes))
+        return _rays_per_pass(vcfg) * v_passes / dt / 1e6
 
-    # ---- 5) Cornell box, forward ------------------------------------------
-    _arm(1200)
-    scene = cornell_box()
     config = mi.RenderConfig(width=R, height=R, spp=SPP,
                              spp_per_pass=SPP // 4,
                              max_depth=4, rr_depth=8)
     n_passes = config.spp // config.spp_per_pass
-    try:
-        dt = _median_time(jax, lambda r: _render_all_passes_jit(
-            scene, config, r, n_passes))
-        _emit("cornell_box_fwd_mrays_per_s",
-              _rays_per_pass(config) * n_passes / dt / 1e6)
-    except _Wedged:
-        signal.alarm(0)
-        _emit_remaining_skipped("chip_wedged")
-        return
-    except Exception as e:  # pragma: no cover
-        _emit("cornell_box_fwd_mrays_per_s", None, skipped=repr(e)[:120])
 
-    # ---- 6) Cornell box, forward + adjoint --------------------------------
-    _arm(1200)
-    try:
+    def m_cornell_fwd():
+        if "cornell" not in ctx:
+            ctx["cornell"] = cornell_box()
+        dt = _median_time(jax, lambda r: _render_all_passes_jit(
+            ctx["cornell"], config, r, n_passes))
+        return _rays_per_pass(config) * n_passes / dt / 1e6
+
+    def m_cornell_adj():
         target = jnp.zeros((config.height, config.width, 3), jnp.float32)
         dt = _median_time(jax, lambda r: render_l2_grad(
-            scene, config, target, seed=r))
-        _emit("cornell_box_fwd_adjoint_mrays_per_s",
-              2 * _rays_per_pass(config) * n_passes / dt / 1e6)
-    except _Wedged:
-        signal.alarm(0)
-        _emit_remaining_skipped("chip_wedged")
-        return
-    except Exception as e:  # pragma: no cover
-        _emit("cornell_box_fwd_adjoint_mrays_per_s", None,
-              skipped=repr(e)[:120])
+            ctx["cornell"], config, target, seed=r))
+        return 2 * _rays_per_pass(config) * n_passes / dt / 1e6
 
-    # ---- 7) Cornell box, reparameterized forward (config 5's transport) ---
-    _arm(1200)
-    try:
+    def m_reparam():
         rcfg = config.replace(reparam=True, spp=4 if smoke else 16,
                               spp_per_pass=4)
         r_passes = rcfg.spp // rcfg.spp_per_pass
         dt = _median_time(jax, lambda r: _render_all_passes_jit(
-            scene, rcfg, r, r_passes))
-        _emit("cornell_reparam_mrays_per_s",
-              _rays_per_pass(rcfg) * r_passes / dt / 1e6)
-    except _Wedged:
-        signal.alarm(0)
-        _emit_remaining_skipped("chip_wedged")
-        return
-    except Exception as e:  # pragma: no cover
-        _emit("cornell_reparam_mrays_per_s", None, skipped=repr(e)[:120])
+            ctx["cornell"], rcfg, r, r_passes))
+        return _rays_per_pass(rcfg) * r_passes / dt / 1e6
 
+    metrics = [
+        ("mesh_gallery_fwd_mrays_per_s", m_gallery_fwd),
+        ("mesh_gallery_fwd_adjoint_mrays_per_s", m_gallery_adj),
+        ("mesh_gallery_491k_fwd_mrays_per_s", m_491k),
+        ("veach_spectral_fwd_mrays_per_s", m_veach),
+        ("cornell_box_fwd_mrays_per_s", m_cornell_fwd),
+        ("cornell_box_fwd_adjoint_mrays_per_s", m_cornell_adj),
+        ("cornell_reparam_mrays_per_s", m_reparam),
+    ]
+    try:
+        for name, fn in metrics:
+            _run_metric(name, fn)
+    except _Abort:
+        return
     signal.alarm(0)
 
 
