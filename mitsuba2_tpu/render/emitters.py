@@ -62,6 +62,14 @@ class EnvMapData:
     distr: Marginal2D     # importance over [0,1]^2 uv
     to_world: jnp.ndarray  # (3, 3) rotation
     scale: jnp.ndarray    # () overall multiplier
+    # (H, W, 4) [c2, c1, c0, hdr_scale]: per-texel sigmoid-polynomial
+    # coefficients DIRECT-FIT at build (host GN, core/spectrum.py) so the
+    # spectral eval path bilinearly interpolates COEFFICIENTS (4 row
+    # gathers, same count as the rgb fetch) instead of upsampling per
+    # lane through the lattice (24 extra gathers + a 63-step z-node
+    # select chain per env lookup — the measured spectral-envmap cost).
+    # Per-texel direct fits are also more accurate than lattice interp.
+    coeffs: jnp.ndarray = None
 
 
 def build_envmap(desc: dict) -> EnvMapData:
@@ -89,10 +97,19 @@ def build_envmap(desc: dict) -> EnvMapData:
     # same piecewise-constant distribution and pdf. MI_ENVMAP_ALIAS=0
     # restores CDF inversion (preserves low-discrepancy stratification).
     use_alias = os.environ.get("MI_ENVMAP_ALIAS", "1") == "1"
+    # per-texel spectral coefficients (see EnvMapData.coeffs): direct
+    # GN fit of the sigmoid-polynomial model, HDR texels normalized by
+    # their max channel like _tex_value does per lane
+    from ..core import spectrum as sp
+    cf, scales = sp.fit_srgb_model_batch(img.reshape(-1, 3))
+    coeffs = np.concatenate(
+        [np.asarray(cf, np.float32),
+         np.asarray(scales, np.float32)[:, None]], axis=1).reshape(H, W, 4)
     return EnvMapData(image=jnp.asarray(img),
                       distr=Marginal2D.build(weight, alias=use_alias),
                       to_world=jnp.asarray(rot, jnp.float32),
-                      scale=jnp.float32(desc.get("scale", 1.0)))
+                      scale=jnp.float32(desc.get("scale", 1.0)),
+                      coeffs=jnp.asarray(coeffs))
 
 
 def pack_emitter(desc: dict):
@@ -182,9 +199,11 @@ def _envmap_uv_to_dir(env: EnvMapData, uv: Vec2) -> Vec3:
                 tw[2, 0] * lx + tw[2, 1] * ly + tw[2, 2] * lz)
 
 
-def _envmap_bilinear(env: EnvMapData, uv: Vec2) -> Spec:
-    img = env.image
-    H, W = img.shape[:2]
+def _envmap_bilinear_rows(img, uv: Vec2, gain=1.0):
+    """Bilinear fetch of an (H, W, C) lat-long image at per-lane uv.
+    Returns a C-tuple of (N,) channels. ROW gathers + slices (per-column
+    gathers hit the scalar core — kernels/gather.py)."""
+    H, W, C = img.shape
     x = uv.x * W - 0.5
     y = jnp.clip(uv.y * H - 0.5, 0.0, H - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -195,23 +214,34 @@ def _envmap_bilinear(env: EnvMapData, uv: Vec2) -> Spec:
     y0 = jnp.clip(y0, 0, H - 1)
     x0w = jnp.remainder(x0, W)  # azimuth wraps
     x1w = jnp.remainder(x0 + 1, W)
-    flat = img.reshape(H * W, 3)
-    # ROW gathers + slices (per-column gathers hit the scalar core —
-    # kernels/gather.py)
+    flat = img.reshape(H * W, C)
     r00 = flat[y0 * W + x0w]
     r01 = flat[y0 * W + x1w]
     r10 = flat[y1 * W + x0w]
     r11 = flat[y1 * W + x1w]
     out = []
-    for c in range(3):
+    for c in range(C):
         v = ((r00[..., c] * (1 - fx) + r01[..., c] * fx) * (1 - fy) +
              (r10[..., c] * (1 - fx) + r11[..., c] * fx) * fy)
-        out.append(v * env.scale)
-    return Spec(tuple(out))
+        out.append(v * gain)
+    return tuple(out)
+
+
+def _envmap_bilinear(env: EnvMapData, uv: Vec2) -> Spec:
+    return Spec(_envmap_bilinear_rows(env.image, uv, env.scale))
 
 
 def envmap_eval(env: EnvMapData, d_world, wavelengths, color_mode) -> Spec:
     uv = _envmap_dir_to_uv(env, d_world)
+    if color_mode == "spectral" and getattr(env, "coeffs", None) is not None:
+        # baked per-texel sigmoid coefficients: bilinear over
+        # [c2, c1, c0, hdr_scale] (same 4 row gathers as the rgb fetch —
+        # no per-lane lattice traffic; see EnvMapData.coeffs)
+        from ..core import spectrum as sp
+        c2, c1, c0, hs = _envmap_bilinear_rows(env.coeffs, uv)
+        gain = hs * env.scale
+        return Spec(tuple(sp.srgb_model_eval_t(c2, c1, c0, w) * gain
+                          for w in wavelengths.ch))
     rgb = _envmap_bilinear(env, uv)
     return _tex_value(rgb, wavelengths, color_mode)
 

@@ -190,3 +190,48 @@ def test_flipped_sphere_emitter_nee_consistent():
     dark = np.asarray(render(plate_lit_by_sphere(True), cfg))
     assert lit.mean() > 0.01
     assert dark.mean() < 1e-5
+
+
+def test_envmap_spectral_coeff_bake_matches_lattice_path():
+    """The baked per-texel coefficient path (EnvMapData.coeffs — 4 row
+    gathers, no per-lane lattice traffic) must reproduce the lattice
+    upsampling path: same spectra within the combined fit/interp
+    tolerance, including HDR texels (radiance > 1)."""
+    import dataclasses
+    from mitsuba2_tpu.core import spectrum as sp
+    from mitsuba2_tpu.core.spec import Spec
+    from mitsuba2_tpu.core.vec import Vec3
+    img = _env_image().copy()
+    img[2:4, 5:8] = [9.0, 7.5, 4.0]          # HDR sun block
+    env = em.build_envmap({"type": "envmap", "data": img, "scale": 1.3})
+    assert env.coeffs is not None and env.coeffs.shape[-1] == 4
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dv = Vec3(*map(jnp.asarray, d.T))
+    wl, _ = sp.sample_hero_wavelengths(
+        jnp.asarray(rng.uniform(size=n), jnp.float32))
+    wla = jnp.asarray(wl)
+    wls = wl if hasattr(wl, "ch") else Spec(
+        tuple(wla[:, i] for i in range(wla.shape[1])) if wla.ndim == 2
+        else (wla,))
+    a = em.envmap_eval(env, dv, wls, "spectral")
+    env_nolut = dataclasses.replace(env, coeffs=None)
+    b = em.envmap_eval(env_nolut, dv, wls, "spectral")
+    a0 = np.asarray(a.ch[0])
+    b0 = np.asarray(b.ch[0])
+    assert np.isfinite(a0).all()
+    # both paths approximate the same texel spectra; agreement is
+    # limited by lattice-interp error on path b (~1e-3) x HDR scale
+    denom = np.maximum(np.abs(b0), 0.05 * np.abs(b0).mean())
+    rel = np.abs(a0 - b0) / denom
+    assert np.median(rel) < 0.02, np.median(rel)
+    assert np.percentile(rel, 95) < 0.08, np.percentile(rel, 95)
+
+    # and the rgb path is untouched by the bake
+    rgb_a = em.envmap_eval(env, dv, None, "rgb")
+    rgb_b = em.envmap_eval(env_nolut, dv, None, "rgb")
+    np.testing.assert_array_equal(np.asarray(rgb_a.ch[0]),
+                                  np.asarray(rgb_b.ch[0]))
