@@ -27,10 +27,11 @@ r03 weak #2: the JSON must record protocol breaks):
   1  (r01/r02) mean-of-2 resp. median-of-5, NO fetch-first — Cornell
      numbers partially deferred-mode-inflated (488 reported, ~366 honest).
   2  (r03)     fetch-first median-of-5 — never captured (chip wedge).
-  3  (r04+)    fetch-first median-of-5 + chip-health preflight/retry +
-     structured skip markers + accel-metrics-first ordering + Veach
-     spectral metric. Values are protocol-comparable with v2, and with
-     v1 ONLY for the gallery metrics (measured post-fetch in v1 too).
+  3  (r04+)    fetch-first median-of-5 + in-process first-touch check,
+     blind per-metric retry, structured skip markers,
+     accel-metrics-first ordering + Veach spectral metric. Values are
+     protocol-comparable with v2, and with v1 ONLY for the gallery
+     metrics (measured post-fetch in v1 too).
 
 Resilience: an IN-PROCESS first-touch check (tiny jit + fetch under the
 watchdog) verifies the chip before any metric; if it wedges, every metric

@@ -182,7 +182,17 @@ def _const_value(col, wavelengths, color_mode) -> Spec:
 def _tex_value(rgb: Spec, wavelengths, color_mode) -> Spec:
     """Per-lane RGB Spec3 -> slot value in the active color mode. Spectral
     mode upsamples through the coefficient lattice; RGB > 1 (emissive
-    textures) is folded into a scale factor like rgb2spec does."""
+    textures) is folded into a scale factor like rgb2spec does.
+
+    DESIGN NOTE (round 4): the lattice path costs ~24 per-lane gathers +
+    a z-node select chain per call. For the ENVMAP that traffic is
+    removed by baking per-texel coefficients at build
+    (render/emitters.py EnvMapData.coeffs, Veach spectral 2.69 -> 5.72
+    Mrays/s). Textured BSDF inputs intentionally STAY on this path:
+    texture data is an optimizable parameter (BASELINE config 4) and the
+    lattice interp is the differentiable route for
+    d(spectrum)/d(texel rgb) — a host-baked table would freeze texture
+    gradients in spectral mode."""
     if color_mode == "rgb":
         return rgb
     if color_mode == "mono":
