@@ -245,8 +245,7 @@ def main():
     def m_gallery_fwd():
         # ONE 16-spp pass (1.05M-lane wavefront): bigger sorted wavefronts
         # are more block-coherent, measured +5% over 4x4-spp chunking
-        # (2026-08-20 A/B; same spp, same counted rays). The adjoint
-        # metric keeps 4-spp passes (pass-level adjoint memory).
+        # (2026-08-20 A/B; same spp, same counted rays).
         if "gallery" not in ctx:
             ctx["gallery"] = mesh_gallery(subdiv=4)
         fcfg = gcfg.replace(spp_per_pass=gcfg.spp)
@@ -255,11 +254,15 @@ def main():
         return _rays_per_pass(fcfg) / dt / 1e6
 
     def m_gallery_adj():
+        # single 16-spp pass here too: the bounce-remat adjoint holds
+        # one pass of tape regardless, and the A/B measured 4.37 -> 4.59
+        # Mrays/s (2026-08-20)
+        acfg = gcfg.replace(spp_per_pass=gcfg.spp)
         gtarget = jnp.zeros((gcfg.height, gcfg.width, 3), jnp.float32)
         dt = _median_time(jax, lambda r: render_l2_grad(
-            ctx["gallery"], gcfg, gtarget, seed=r))
+            ctx["gallery"], acfg, gtarget, seed=r))
         # forward pass + adjoint re-trace both traverse the full wavefront
-        return 2 * _rays_per_pass(gcfg) * g_passes / dt / 1e6
+        return 2 * _rays_per_pass(acfg) / dt / 1e6
 
     def m_491k():
         big = mesh_gallery(subdiv=3 if smoke else 6)
