@@ -57,11 +57,20 @@ import time
 
 BENCH_VERSION = 3
 
-# First honestly-attested value per metric (BENCH_r02 gallery row — the
-# only protocol-comparable prior capture; Cornell v1 numbers were
-# deferred-mode-inflated and are NOT baselines). vs_baseline = value/this.
+# Baseline per metric = the BENCH_r04 driver-attested capture (first
+# full 7/7 artifact under the hardened v3 protocol), so vs_baseline is a
+# real round-over-round ratio for every line (VERDICT r04 weak #3).
+# Historical note: the only earlier protocol-comparable number was the
+# r02 gallery row (2.249); Cornell v1 numbers were deferred-mode-inflated
+# and were never baselines. vs_baseline = value / this.
 ATTESTED_BASELINES = {
-    "mesh_gallery_fwd_mrays_per_s": 2.249,   # BENCH_r02.json
+    "mesh_gallery_fwd_mrays_per_s": 6.281,          # BENCH_r04.json
+    "mesh_gallery_fwd_adjoint_mrays_per_s": 4.595,  # BENCH_r04.json
+    "mesh_gallery_491k_fwd_mrays_per_s": 1.355,     # BENCH_r04.json
+    "veach_spectral_fwd_mrays_per_s": 5.656,        # BENCH_r04.json
+    "cornell_box_fwd_mrays_per_s": 372.046,         # BENCH_r04.json
+    "cornell_box_fwd_adjoint_mrays_per_s": 245.716,  # BENCH_r04.json
+    "cornell_reparam_mrays_per_s": 17.184,          # BENCH_r04.json
 }
 
 METRICS = [
@@ -176,7 +185,18 @@ def _run_metric(name, fn, first_budget=1500):
     compiles finishing in the background — clear on retry with the jit
     cache warm; no subprocess probe, see _first_touch). A second hit on
     the same metric aborts with structured markers for everything left.
-    Non-wedge exceptions emit a reasoned skip marker and move on."""
+    Non-wedge exceptions emit a reasoned skip marker and move on.
+
+    Deadline margin math (VERDICT r04 weak #7): every alarm here is
+    PER-METRIC, so a slow-but-alive chip cannot soft-fail later metrics
+    by exhausting a shared window — the startup alarm (900 s) covers only
+    import + first-touch (measured first-touch spread 1 s-400 s), and each
+    metric then gets its own 1500 s (+1200 s retry). Worst case total is
+    ~7 x 2700 s; the driver's outer budget must exceed the SUM of
+    per-metric budgets only if every metric stalls twice, which the
+    abort-after-second-hit rule prevents: two consecutive hits on one
+    metric end the run with structured markers instead of burning the
+    remaining metrics' budgets."""
     for attempt in (0, 1):
         _arm(first_budget if attempt == 0 else 1200)
         try:

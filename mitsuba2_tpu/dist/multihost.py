@@ -26,26 +26,49 @@ from __future__ import annotations
 import jax
 
 
+def _already_initialized() -> bool:
+    """Has jax.distributed.initialize already run in this process?
+
+    Deliberately does NOT call jax.process_count(): that initializes the
+    local backend as a side effect, after which jax.distributed.initialize
+    raises ("must be called before any JAX computations") — the original
+    guard here silently downgraded every pod launch to standalone that
+    way (caught by tests/test_multihost.py's 2-process smoke)."""
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client is not None
+    except (ImportError, AttributeError):  # pragma: no cover - future jax
+        # fallback: a >1 process count proves initialization happened
+        # (and by then the backend side effect no longer matters)
+        return jax.process_count() > 1
+
+
 def initialize(coordinator_address: str = None, num_processes: int = None,
                process_id: int = None) -> None:
     """jax.distributed.initialize with environment auto-detection.
 
     On Cloud TPU pods the three arguments are discovered from the metadata
     server/environment, so a bare `initialize()` works; explicit values
-    cover manual (e.g. DCN cluster) launches. Idempotent."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    cover manual (e.g. DCN cluster) launches. Idempotent. A bare call in a
+    single-process environment (no coordinator anywhere) falls back to
+    standalone; with EXPLICIT arguments a failed handshake raises — a
+    misconfigured pod launch must surface, not silently render one
+    host's share of the film."""
+    if _already_initialized():
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
     try:
-        kwargs = {}
-        if coordinator_address is not None:
-            kwargs["coordinator_address"] = coordinator_address
-        if num_processes is not None:
-            kwargs["num_processes"] = num_processes
-        if process_id is not None:
-            kwargs["process_id"] = process_id
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
-        # single-process environment (no coordinator): run standalone
+        if kwargs:
+            raise
+        # bare call, no coordinator discovered: run standalone
         pass
 
 

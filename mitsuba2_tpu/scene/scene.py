@@ -245,7 +245,8 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         # coherent closest vs the shared-BLAS instanced scalar walk's
         # 1.14 (sorted) / 0.16 (unsorted) — ~9-60x. Auto mode therefore
         # FLATTENS instances (K x prim memory, ~0.5 KB/effective prim)
-        # up to MI_FLATTEN_MAX effective prims (default 2M ~= 1 GB HBM);
+        # up to MI_FLATTEN_MAX effective prims (default 4M ~= 2 GB HBM,
+        # the arithmetic at _should_flatten_instances);
         # beyond that, shared-BLAS keeps the memory scaling that is
         # instancing's point. MI_FLATTEN_INSTANCES=0|1 forces either.
         for rec in inst_records:
