@@ -18,20 +18,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true")
-    args = ap.parse_args()
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    import jax
+def build_occluder_scene():
+    """The config-5 validation scene: floor + occluder + small area light
+    (also used by benchmarks/reparam_kaux_sweep.py). Returns (scene,
+    occ_rows) where occ_rows indexes the occluder's prim rows."""
     import jax.numpy as jnp
     import numpy as np
 
-    import mitsuba2_tpu as mi
     from mitsuba2_tpu.core.geometry import Transform4
-    from mitsuba2_tpu.render.integrators import render
     from mitsuba2_tpu.scene import shapes
     from mitsuba2_tpu.scene.scene import build_scene
 
@@ -61,6 +55,23 @@ def main():
         "fov": 50.0})
     occ_rows = jnp.asarray(
         np.nonzero(np.asarray(scene.prim_shape) == 0)[0])
+    return scene, occ_rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.render.integrators import render
+
+    scene, occ_rows = build_occluder_scene()
 
     cfg = mi.RenderConfig(width=24, height=24, spp=16, spp_per_pass=16,
                           max_depth=2)

@@ -52,6 +52,11 @@ class RenderConfig:
     # (K_AUX auxiliary traces per reparameterized direction); off for
     # forward rendering.
     reparam: bool = False
+    # Auxiliary rays per reparameterized direction (Loubet's K). The
+    # K-vs-FD-accuracy tradeoff is measured in docs/TPU_TRAVERSAL.md
+    # ("Reparam cost decomposition"); all K aux rays of a pass batch into
+    # ONE traversal, so cost is ~linear in K.
+    reparam_kaux: int = 16
     # The reference's `_double` variant family: "float64" renders with the
     # scene upcast to f64; JAX type promotion then carries f64 through the
     # shading/emission arithmetic (requires jax_enable_x64 — use

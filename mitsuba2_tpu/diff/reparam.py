@@ -42,7 +42,9 @@ from ..core.vec import Vec3, vdot, vnormalize, vcross, vwhere
 from ..render import emitters, sensors
 from ..render.sampler import Sampler
 
-K_AUX = 16         # auxiliary rays per primary ray
+K_AUX = 16         # default auxiliary rays per primary ray
+                   # (RenderConfig.reparam_kaux overrides; the measured
+                   # K-vs-FD-error tradeoff lives in docs/TPU_TRAVERSAL.md)
 KAPPA = 5e3        # vMF concentration of the warp kernel (aux samples
                    # spread over 3/sqrt(KAPPA); see warp_and_divergence)
 _FAR = 1e4
@@ -57,16 +59,40 @@ def _aux_offsets(k: int = K_AUX):
                        jnp.float32)
 
 
-def _follow_point(scene, o, d):
-    """Differentiable 'followed' hit point of a ray: the traversal picks
-    the prim (detached), the position re-derives from the vertex tables.
-    Returns (point, hit distance) — the distance feeds the boundary-aware
-    weights."""
+def _follow_points_batched(scene, os_, ds_):
+    """Differentiable 'followed' hit points of MANY rays in ONE traversal.
+
+    os_/ds_ are equal-length lists of (N,)-planar Vec3; all rays are
+    concatenated into a single (len*N,) wavefront and traced through ONE
+    backend call (`scene.ray_intersect_positions` — minimal gather
+    traffic, no shading record). One big sorted wavefront replaces
+    K (x sites) sequential traversals: each of those paid its own
+    presort + kernel launch, and the combined wavefront is MORE coherent
+    (a primary ray's aux set sorts into the same blocks). Measured on
+    the config-5 bench this is the difference between the reparam
+    integrator costing ~21x a plain render and ~<10x (BENCH_r05).
+
+    The traversal picks prims detached; positions re-derive from the
+    vertex tables, so each point FOLLOWS the geometry under
+    differentiation. Returns lists (points, dists) per input ray."""
     from ..scene import scene as scene_mod
-    si = scene_mod.ray_intersect(scene, Ray.make(o, d))
-    x = vwhere(si.valid, si.p, o + d * _FAR)
-    t = jnp.where(si.valid, si.t, jnp.float32(_FAR))
-    return x, t
+    n_rays = len(ds_)
+    O = Vec3(jnp.concatenate([o.x for o in os_]),
+             jnp.concatenate([o.y for o in os_]),
+             jnp.concatenate([o.z for o in os_]))
+    D = Vec3(jnp.concatenate([d.x for d in ds_]),
+             jnp.concatenate([d.y for d in ds_]),
+             jnp.concatenate([d.z for d in ds_]))
+    p, t, valid = scene_mod.ray_intersect_positions(scene, Ray.make(O, D))
+    x = vwhere(valid, p, O + D * _FAR)
+    t = jnp.where(valid, t, jnp.float32(_FAR))
+    n = jnp.shape(ds_[0].x)[0]
+    xs, ts = [], []
+    for i in range(n_rays):
+        sl = slice(i * n, (i + 1) * n)
+        xs.append(Vec3(x.x[sl], x.y[sl], x.z[sl]))
+        ts.append(t[sl])
+    return xs, ts
 
 
 def _tangent_frame(d0: Vec3):
@@ -78,77 +104,95 @@ def _tangent_frame(d0: Vec3):
     return t1, t2
 
 
-def warp_and_divergence(scene, o, d):
-    """Loubet-style warp field and its directional divergence.
+def warp_and_divergence_multi(scene, sites, k_aux: int = None):
+    """Loubet-style warp fields for SEVERAL reparameterization sites in
+    one batched traversal.
 
-    A FIXED auxiliary sample set {d_k} (detached) is traced once; each
-    yields a geometry-following direction omega_k(theta) and a detached
-    importance h_k. The warp evaluated at a query direction w is the
-    kernel-weighted mean
+    `sites` is a list of (o: Vec3, d: Vec3) pairs of equal wavefront
+    size — e.g. a bounce's NEE direction and its BSDF-sampled
+    continuation. Per site, a FIXED auxiliary sample set {d_k} (detached)
+    is built around d; ALL sites' aux rays are traced in ONE
+    `_follow_points_batched` call (one presort + one kernel sweep over
+    len(sites) * K * N lanes instead of len(sites) * K sequential
+    launches). Each aux ray yields a geometry-following direction
+    omega_k(theta) and a detached importance h_k; the warp at a query
+    direction w is the kernel-weighted mean
 
         V(w) = normalize( sum_k K(w . d_k) h_k omega_k / sum_k ... )
 
-    — smooth in w through the kernel, and theta-dependent through
-    omega_k. Its tangent-plane Jacobian at w = d gives the change-of-
-    variables factor. Returns (V(d) (N,3), det (N,)) where det has primal
-    1 and carries the boundary derivative.
+    — smooth in w through the kernel, theta-dependent through omega_k.
+    Its tangent-plane Jacobian at w = d gives the change-of-variables
+    factor. Returns a list of (V(d) Vec3, det (N,)) per site; det has
+    primal exactly 1 and carries the boundary derivative.
     """
     sg = jax.lax.stop_gradient
-    offs = _aux_offsets()                      # (K, 2), static
-    d0 = sg(d)
-    t1, t2 = _tangent_frame(d0)
+    k = int(k_aux) if k_aux else K_AUX
+    offs = _aux_offsets(k)                     # (K, 2), static
     # aux samples must cover the kernel's support well past its std dev
     # (1/sqrt(kappa)), else the importance-reweighted warp derivative is
     # truncated and the boundary gradient systematically shrinks
     radius = jnp.float32(3.0 / np.sqrt(KAPPA))
 
-    # trace the fixed aux set once
-    dirs_k = []
-    omega_k = []
-    t_k = []
-    for k in range(K_AUX):
-        d_k = vnormalize(d0 + t1 * (radius * offs[k, 0]) +
-                         t2 * (radius * offs[k, 1]))
-        x_k, tk = _follow_point(scene, o, d_k)
-        dirs_k.append(d_k)                      # detached sample direction
-        omega_k.append(vnormalize(x_k - o))     # theta-following direction
-        t_k.append(sg(tk))
+    frames = []
+    aux_o, aux_d = [], []
+    for (o, d) in sites:
+        d0 = sg(d)
+        t1, t2 = _tangent_frame(d0)
+        dirs_k = [vnormalize(d0 + t1 * (radius * offs[j, 0]) +
+                             t2 * (radius * offs[j, 1])) for j in range(k)]
+        frames.append((o, d0, t1, t2, dirs_k))
+        aux_o.extend([o] * k)
+        aux_d.extend(dirs_k)
 
-    # Boundary-aware importance (Loubet's B(omega) test in spirit): the
-    # NEAREST surface among the aux hits owns the silhouette, so the warp
-    # must follow it fully AT the edge — a symmetric average would move at
-    # only half the occluder's velocity there, halving every boundary
-    # gradient. Weights are harmonic in the distance above the minimum.
-    t_stack = jnp.stack(t_k, 0)                 # (K, N)
-    t_min = jnp.min(t_stack, 0)
-    h_k = [1.0 / (0.05 * t_min + (tk - t_min) + 1e-4) for tk in t_k]
+    # ONE traversal for every aux ray of every site
+    xs, ts = _follow_points_batched(scene, aux_o, aux_d)
 
     kappa_kernel = jnp.float32(KAPPA)
+    out = []
+    for s, (o, d0, t1, t2, dirs_k) in enumerate(frames):
+        omega_k = [vnormalize(xs[s * k + j] - o) for j in range(k)]
+        t_k = [sg(ts[s * k + j]) for j in range(k)]
 
-    def V(w: Vec3) -> Vec3:
-        num = Vec3.zeros(jnp.shape(d0.z))
-        den = jnp.zeros(jnp.shape(d0.z), jnp.float32)
-        for k in range(K_AUX):
-            # vMF-style smooth kernel in the query direction
-            lw = kappa_kernel * (vdot(w, dirs_k[k]) - 1.0)
-            wk = jnp.exp(jnp.maximum(lw, -30.0)) * h_k[k]
-            num = num + omega_k[k] * wk
-            den = den + wk
-        return vnormalize(num * (1.0 / jnp.maximum(den, 1e-20)))
+        # Boundary-aware importance (Loubet's B(omega) test in spirit):
+        # the NEAREST surface among the aux hits owns the silhouette, so
+        # the warp must follow it fully AT the edge — a symmetric average
+        # would move at only half the occluder's velocity there, halving
+        # every boundary gradient. Weights are harmonic in the distance
+        # above the minimum.
+        t_stack = jnp.stack(t_k, 0)             # (K, N)
+        t_min = jnp.min(t_stack, 0)
+        h_k = [1.0 / (0.05 * t_min + (tk - t_min) + 1e-4) for tk in t_k]
 
-    V0 = V(d0)
-    # tangent-plane Jacobian via two jvp probes; primal part removed so
-    # det has primal exactly 1 (T is identity at the primal point)
-    _, dV1 = jax.jvp(V, (d0,), (t1,))
-    _, dV2 = jax.jvp(V, (d0,), (t2,))
-    dV1 = dV1 - sg(dV1)
-    dV2 = dV2 - sg(dV2)
-    j11 = vdot(dV1, t1)
-    j12 = vdot(dV1, t2)
-    j21 = vdot(dV2, t1)
-    j22 = vdot(dV2, t2)
-    det = (1.0 + j11) * (1.0 + j22) - j12 * j21
-    return V0, det
+        def V(w: Vec3, omega_k=omega_k, h_k=h_k, dirs_k=dirs_k) -> Vec3:
+            num = Vec3.zeros(jnp.shape(w.z))
+            den = jnp.zeros(jnp.shape(w.z), jnp.float32)
+            for j in range(k):
+                # vMF-style smooth kernel in the query direction
+                lw = kappa_kernel * (vdot(w, dirs_k[j]) - 1.0)
+                wk = jnp.exp(jnp.maximum(lw, -30.0)) * h_k[j]
+                num = num + omega_k[j] * wk
+                den = den + wk
+            return vnormalize(num * (1.0 / jnp.maximum(den, 1e-20)))
+
+        V0 = V(d0)
+        # tangent-plane Jacobian via two jvp probes; primal part removed
+        # so det has primal exactly 1 (T is identity at the primal point)
+        _, dV1 = jax.jvp(V, (d0,), (t1,))
+        _, dV2 = jax.jvp(V, (d0,), (t2,))
+        dV1 = dV1 - sg(dV1)
+        dV2 = dV2 - sg(dV2)
+        j11 = vdot(dV1, t1)
+        j12 = vdot(dV1, t2)
+        j21 = vdot(dV2, t1)
+        j22 = vdot(dV2, t2)
+        det = (1.0 + j11) * (1.0 + j22) - j12 * j21
+        out.append((V0, det))
+    return out
+
+
+def warp_and_divergence(scene, o, d, k_aux: int = None):
+    """Single-site convenience wrapper over warp_and_divergence_multi."""
+    return warp_and_divergence_multi(scene, [(o, d)], k_aux)[0]
 
 
 def warp_field(scene, o, d):
@@ -181,7 +225,7 @@ def _reparam_pass(scene, config: RenderConfig, sppc: int, seed_p):
     ray = sensors.sample_ray(scene, uv, None, None)
     o, d = ray.o, ray.d
 
-    V, det = warp_and_divergence(scene, o, d)
+    V, det = warp_and_divergence(scene, o, d, config.reparam_kaux)
     # reparameterized direction: primal d, tangent follows the warp
     d_rep = vnormalize(d + (V - sg(V)))
 

@@ -76,21 +76,52 @@ def _path_bounce(scene, config: RenderConfig, depth, carry):
     ds, e_val = emitters.sample_direction(scene, si.p, si.wavelengths,
                                           u_nee, u2_nee, config)
     nee_active = active & is_smooth & (ds.pdf > 0)
-    shadow_ray = si.spawn_ray_d(ds.d, maxt=ds.dist * (1.0 - 1e-3))
+    # maxt = 0 on NEE-inactive lanes (dead paths, delta BSDFs, zero-pdf
+    # draws): the presort's dead-lane key sends them to the back of the
+    # wavefront and their blocks exit traversal at the root — measured
+    # lever on bounce wavefronts where the active fraction has decayed
+    # (the bounce ray below already had this; the shadow ray did not).
+    shadow_ray = si.spawn_ray_d(
+        ds.d, maxt=jnp.where(nee_active, ds.dist * (1.0 - 1e-3), 0.0))
     d_nee = ds.d
     det_nee = 1.0
+
+    # BSDF sample draws happen HERE (sampler stream order is part of the
+    # determinism contract — u_nee, u2_nee, u1_b, u2_b, [u_rr] per
+    # bounce); the sample itself is consumed further down.
+    u1_b, sampler = sampler.next_1d()
+    u2_b, sampler = sampler.next_2d()
+    bs, b_weight = bsdf_mod.sample(scene, si, u1_b, u2_b, config)
+    bounce_d = si.to_world(bs.wo)
+    next_ray = si.spawn_ray_d(bounce_d)
+
+    det_b = None
     if config.reparam:
-        # Reparameterize the NEE direction (Loubet 2019 / pathreparam):
-        # the warp follows moving occluder silhouettes so the shadow
-        # boundary is stationary in the sample domain; det carries the
-        # change-of-variables derivative (primal exactly 1).
+        # Reparameterize the NEE direction AND the BSDF-sampled
+        # continuation (Loubet 2019 / pathreparam): the warps follow
+        # moving occluder silhouettes so visibility boundaries are
+        # stationary in the sample domain; each det carries the
+        # change-of-variables derivative (primal exactly 1). BOTH sites'
+        # auxiliary rays trace in ONE batched traversal (2*K*N lanes) —
+        # one presort + kernel sweep instead of 2*K sequential launches
+        # (diff/reparam.py::warp_and_divergence_multi).
         from ..diff import reparam as reparam_mod
-        sgf = jax.lax.stop_gradient
-        Vn, det_nee = reparam_mod.warp_and_divergence(
-            scene, shadow_ray.o, ds.d)
         from ..core.vec import vnormalize as _vnorm
+        sgf = jax.lax.stop_gradient
+        (Vn, det_nee), (Vb, det_b) = reparam_mod.warp_and_divergence_multi(
+            scene, [(shadow_ray.o, ds.d), (next_ray.o, bounce_d)],
+            config.reparam_kaux)
         d_nee = _vnorm(ds.d + (Vn - sgf(Vn)))
+        bounce_d = _vnorm(bounce_d + (Vb - sgf(Vb)))
+        next_ray = next_ray.replace(d=bounce_d)
+
     occluded = scene_mod.ray_test(scene, shadow_ray)
+    if config.remat:
+        # Save the shadow-query result across the checkpoint boundary
+        # (see the si_next note below): the backward re-run of this
+        # bounce must not pay the sorted any-hit traversal again.
+        from jax.ad_checkpoint import checkpoint_name
+        occluded = checkpoint_name(occluded, "trace")
     wo_local = si.to_local(d_nee)
     f_val = bsdf_mod.eval_(scene, si, wo_local, config)
     f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
@@ -100,30 +131,34 @@ def _path_bounce(scene, config: RenderConfig, depth, carry):
     result = result + contrib.masked(nee_active & ~occluded)
 
     # ----------------------------------------------------------------------
-    # BSDF sampling
+    # BSDF sampling (drawn above; throughput/Jacobian applied here)
     # ----------------------------------------------------------------------
-    u1_b, sampler = sampler.next_1d()
-    u2_b, sampler = sampler.next_2d()
-    bs, b_weight = bsdf_mod.sample(scene, si, u1_b, u2_b, config)
     throughput = throughput * swhere(active, b_weight, 1.0)
     active = active & (bs.pdf > 0) & b_weight.any_positive()
-
-    bounce_d = si.to_world(bs.wo)
-    next_ray = si.spawn_ray_d(bounce_d)
-    if config.reparam:
-        # Reparameterize the BSDF-sampled continuation: det multiplies the
-        # throughput so the Jacobian chains into every later contribution.
-        from ..diff import reparam as reparam_mod
-        from ..core.vec import vnormalize as _vnorm
-        sgf = jax.lax.stop_gradient
-        Vb, det_b = reparam_mod.warp_and_divergence(
-            scene, next_ray.o, bounce_d)
-        bounce_d = _vnorm(bounce_d + (Vb - sgf(Vb)))
-        next_ray = next_ray.replace(d=bounce_d)
+    if det_b is not None:
+        # the Jacobian multiplies the throughput so it chains into every
+        # later contribution along the path
         throughput = throughput * jnp.where(active, det_b, 1.0)
     # Kill rays of inactive lanes cheaply (maxt = 0 -> instant miss)
     next_ray = next_ray.replace(maxt=jnp.where(active, jnp.inf, 0.0))
     si_next = scene_mod.ray_intersect(scene, next_ray)
+    if config.remat:
+        # SELECTIVE rematerialization (diff/adjoint.py): the bounce body
+        # is wrapped in jax.checkpoint with
+        # save_only_these_names("trace"), so the backward sweep re-runs
+        # the bounce's SHADING (cheap VPU math) but reads the traversal
+        # outputs — the expensive presort + Pallas kernel sweeps — from
+        # storage instead of re-tracing them. Traversal is detached
+        # anyway (gradients flow through shading/emission tables), so
+        # saving its outputs loses nothing and cuts the adjoint pass
+        # from 2x traversal to 1x (BENCH_r05 adjoint metrics). Memory:
+        # ~25 f32/lane/bounce — small next to the pass wavefront. The
+        # texture atlas is excluded (a closed-over constant; naming it
+        # would snapshot the whole atlas per bounce per scan step).
+        from jax.ad_checkpoint import checkpoint_name
+        named = jax.tree.map(lambda a: checkpoint_name(a, "trace"),
+                             si_next.replace(tex=None))
+        si_next = named.replace(tex=si_next.tex)
 
     # Emitter hit along the BSDF ray, MIS-weighted against NEE
     delta_sample = (bs.sampled_flags & bsdf_mod.F_DELTA) != 0
@@ -195,6 +230,11 @@ def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
     orig = jnp.arange(N, dtype=jnp.int32)
     carry = (si.replace(tex=None), active, throughput, result, sampler, orig)
     n_bounces = config.max_depth - 1
+    # Selective remat policy: rematerialize shading, SAVE the traversal
+    # outputs (tagged "trace" in _path_bounce) — the backward sweep then
+    # re-runs each bounce's arithmetic but never re-traces rays.
+    _remat_policy = (jax.checkpoint_policies.save_only_these_names("trace")
+                     if config.remat else None)
     if n_bounces >= 2:
         # lax.scan: one compiled bounce body for all depths (the reference
         # unrolls in C++; under XLA unrolling multiplies compile time)
@@ -202,12 +242,12 @@ def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
             return _path_bounce(scene, config, depth, c), None
 
         if config.remat:
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(body, policy=_remat_policy)
         carry, _ = jax.lax.scan(body, carry, jnp.arange(1, config.max_depth))
     elif n_bounces == 1:
         step = partial(_path_bounce, scene, config, 1)
         if config.remat:
-            step = jax.checkpoint(step)
+            step = jax.checkpoint(step, policy=_remat_policy)
         carry = step(carry)
     _, _, _, result, sampler, orig = carry
 
@@ -366,7 +406,8 @@ def render_pass(scene, config: RenderConfig, seed,
         from ..core.vec import vnormalize as _vnorm
         from ..diff import reparam as reparam_mod
         _sg = jax.lax.stop_gradient
-        Vc, det_cam = reparam_mod.warp_and_divergence(scene, ray.o, ray.d)
+        Vc, det_cam = reparam_mod.warp_and_divergence(
+            scene, ray.o, ray.d, config.reparam_kaux)
         ray = ray.replace(d=_vnorm(ray.d + (Vc - _sg(Vc))))
 
     if config.integrator in ("volpath", "volpathmis") or scene.has_media:

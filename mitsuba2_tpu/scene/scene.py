@@ -1223,8 +1223,12 @@ def _sorted_pallas_ray_test(scene, ray_o, ray_d, t_max, test_fn=None):
     return occ != 0
 
 
-def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
-    """Scene::ray_intersect — full wavefront closest hit + shading record."""
+def _preliminary_dispatch(scene: SceneData, ray: Ray):
+    """Backend-dispatched closest-hit query: (t, prim, u, v, inst|None).
+
+    The traversal half of Scene::ray_intersect — shared by the full
+    shading-record path (`ray_intersect`) and the minimal hit-position
+    path (`ray_intersect_positions`)."""
     from ..kernels import brute, traverse_jnp, traverse_pallas
     backend = _pick_backend(scene)
     inst = None
@@ -1261,9 +1265,100 @@ def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
     else:
         t, prim, u, v = traverse_jnp.ray_intersect_preliminary(
             scene, ray.o, ray.d, ray.maxt)
+    return t, prim, u, v, inst
+
+
+def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
+    """Scene::ray_intersect — full wavefront closest hit + shading record."""
+    t, prim, u, v, inst = _preliminary_dispatch(scene, ray)
     pi = PreliminaryIntersection(t=t, prim_index=prim, prim_uv=Vec2(u, v),
                                  inst=inst)
     return compute_surface_interaction(scene, ray, pi)
+
+
+def ray_intersect_positions(scene: SceneData, ray: Ray):
+    """Minimal differentiable closest-hit positions: (p: Vec3, t, valid).
+
+    The reparameterization warp (diff/reparam.py, Loubet 2019) traces
+    K auxiliary rays per reparameterized direction and consumes ONLY the
+    geometry-following hit position — the full SurfaceInteraction's
+    normals, frames, uv and screen-space partials (2/3 of
+    compute_surface_interaction's gather traffic and VPU math) are dead
+    weight there. This path re-derives the position from the vertex
+    tables at DETACHED barycentrics, so p follows the geometry under
+    differentiation exactly like si.p does:
+      triangle: p = p0 + u e1 + v e2 with (u, v) an exact detached f32
+                Möller–Trumbore re-solve of the winning prim;
+      sphere:   p = c + r * s with the unit offset s detached — p follows
+                center translations and radius scaling.
+    `t` is returned DETACHED (the warp's boundary weights stop-grad it
+    anyway)."""
+    from ..kernels import gather as gth
+    sg = jax.lax.stop_gradient
+    t, prim, u, v, inst = _preliminary_dispatch(scene, ray)
+    idx = jnp.maximum(prim, 0)
+    valid = jnp.isfinite(t) & (prim >= 0)
+    ptype = gth.scalar(scene.prim_type, idx)
+    p0x, p0y, p0z = gth.rows3(scene.prim_p0, idx)
+    e1x, e1y, e1z = gth.rows3(scene.prim_e1, idx)
+    e2x, e2y, e2z = gth.rows3(scene.prim_e2, idx)
+    if scene.has_instances and inst is not None:
+        iid = jnp.maximum(inst, 0)
+        fw = [gth.scalar(scene.inst_fwd[:, j], iid) for j in range(13)]
+        is_tri_l = ptype == PRIM_TRI
+        p0x, p0y, p0z = (fw[0] * p0x + fw[1] * p0y + fw[2] * p0z + fw[3],
+                         fw[4] * p0x + fw[5] * p0y + fw[6] * p0z + fw[7],
+                         fw[8] * p0x + fw[9] * p0y + fw[10] * p0z + fw[11])
+        v1 = (fw[0] * e1x + fw[1] * e1y + fw[2] * e1z,
+              fw[4] * e1x + fw[5] * e1y + fw[6] * e1z,
+              fw[8] * e1x + fw[9] * e1y + fw[10] * e1z)
+        e1x = jnp.where(is_tri_l, v1[0], e1x * fw[12])  # sphere: scale r
+        e1y = jnp.where(is_tri_l, v1[1], e1y)
+        e1z = jnp.where(is_tri_l, v1[2], 0.0)
+        v2 = (fw[0] * e2x + fw[1] * e2y + fw[2] * e2z,
+              fw[4] * e2x + fw[5] * e2y + fw[6] * e2z,
+              fw[8] * e2x + fw[9] * e2y + fw[10] * e2z)
+        e2x = jnp.where(is_tri_l, v2[0], 0.0)
+        e2y = jnp.where(is_tri_l, v2[1], 0.0)
+        e2z = jnp.where(is_tri_l, v2[2], 0.0)
+    # exact detached MT re-solve (same discipline as
+    # compute_surface_interaction: kernel u/v are the precision-limited
+    # MXU-path fallback)
+    mt_pvx = ray.d.y * e2z - ray.d.z * e2y
+    mt_pvy = ray.d.z * e2x - ray.d.x * e2z
+    mt_pvz = ray.d.x * e2y - ray.d.y * e2x
+    mt_det = e1x * mt_pvx + e1y * mt_pvy + e1z * mt_pvz
+    mt_inv = jnp.where(jnp.abs(mt_det) < 1e-18, 0.0, 1.0 / mt_det)
+    tvx, tvy, tvz = ray.o.x - p0x, ray.o.y - p0y, ray.o.z - p0z
+    u_x = (tvx * mt_pvx + tvy * mt_pvy + tvz * mt_pvz) * mt_inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v_x = (ray.d.x * qvx + ray.d.y * qvy + ray.d.z * qvz) * mt_inv
+    is_tri = ptype == PRIM_TRI
+    ok_x = valid & is_tri & (mt_inv != 0.0)
+    u = sg(jnp.where(ok_x, u_x, u))
+    v = sg(jnp.where(ok_x, v_x, v))
+    px = p0x + e1x * u + e2x * v
+    py = p0y + e1y * u + e2y * v
+    pz = p0z + e1z * u + e2z * v
+    if scene.has_spheres:
+        # mirrors compute_surface_interaction's sphere reprojection
+        # EXACTLY (same derivative structure — the reparam FD tests pin
+        # the geometry-following behavior of si.p)
+        t_safe = jnp.where(valid, t, 1.0)
+        r_sph = jnp.maximum(e1x, 1e-20)
+        slen = jnp.sqrt(jnp.maximum(
+            (ray.o.x + ray.d.x * t_safe - p0x) ** 2 +
+            (ray.o.y + ray.d.y * t_safe - p0y) ** 2 +
+            (ray.o.z + ray.d.z * t_safe - p0z) ** 2, 1e-30))
+        sx = (ray.o.x + ray.d.x * t_safe - p0x) / slen
+        sy = (ray.o.y + ray.d.y * t_safe - p0y) / slen
+        sz = (ray.o.z + ray.d.z * t_safe - p0z) / slen
+        px = jnp.where(is_tri, px, p0x + sx * r_sph)
+        py = jnp.where(is_tri, py, p0y + sy * r_sph)
+        pz = jnp.where(is_tri, pz, p0z + sz * r_sph)
+    return Vec3(px, py, pz), sg(t), valid
 
 
 def ray_test(scene: SceneData, ray: Ray) -> jnp.ndarray:
