@@ -73,6 +73,27 @@ ATTESTED_BASELINES = {
     "cornell_reparam_mrays_per_s": 17.184,          # BENCH_r04.json
 }
 
+# Kernel-only speed of light per accel-bound metric: counted rays /
+# in-pass traversal-kernel time, measured by the r05 phase ladder
+# (benchmarks/phase_breakdown.py; docs/TPU_TRAVERSAL.md "Pass ceiling
+# arithmetic"). The derived "<metric>_pct_of_kernel_sol" line makes the
+# headline self-attesting (VERDICT r04 missing #5): 100% would mean the
+# pass spends ALL its wall time inside the traversal kernels (sorts,
+# shading, NEE, film free) — and those kernels themselves run at the
+# VPU epilogue roofline (round-4 visit decomposition), so this IS the
+# utilization denominator BASELINE.md asks to establish empirically.
+# Veach/Cornell metrics are brute-force/shading-bound (no accel), so no
+# SOL line. Values are chip+regime-specific; re-measure via the ladder.
+KERNEL_SOL = {
+    "mesh_gallery_fwd_mrays_per_s": 13.3,
+    # same kernels run twice (forward + adjoint re-trace); metric counts
+    # 2x rays over the combined time, so the denominator is unchanged
+    "mesh_gallery_fwd_adjoint_mrays_per_s": 13.3,
+    # 491k ladder (262k lanes, CK=256): in-pass kernel time ~529 ms of
+    # an 890 ms pass -> SOL = 1.31M rays / 529 ms
+    "mesh_gallery_491k_fwd_mrays_per_s": 2.5,
+}
+
 METRICS = [
     "mesh_gallery_fwd_mrays_per_s",
     "mesh_gallery_fwd_adjoint_mrays_per_s",
@@ -107,6 +128,14 @@ def _emit(metric, value, unit="Mrays/s", skipped=None):
     if skipped:
         line["skipped"] = skipped
     print(json.dumps(line), flush=True)
+    sol = KERNEL_SOL.get(metric)
+    if sol and value is not None:
+        print(json.dumps({
+            "metric": metric.replace("_mrays_per_s",
+                                     "_pct_of_kernel_sol"),
+            "value": round(100.0 * value / sol, 1), "unit": "%",
+            "vs_baseline": 1.0, "bench_version": BENCH_VERSION,
+        }), flush=True)
 
 
 def _emit_remaining_skipped(reason):
@@ -286,11 +315,23 @@ def main():
         return 2 * _rays_per_pass(acfg) / dt / 1e6
 
     def m_491k():
-        big = mesh_gallery(subdiv=3 if smoke else 6)
-        bcfg = mi.RenderConfig(width=R, height=R, spp=4, spp_per_pass=4,
-                               max_depth=3, rr_depth=8)
-        dt = _median_time(jax, lambda r: _render_all_passes_jit(
-            big, bcfg, r, 1))
+        # measured scale policy (TPU_TRAVERSAL.md round-5 491k section):
+        # CK=256 wins at ~500k prims (+3-7% kernel-level; unions, not
+        # cluster DMA, dominate at scale). Scoped to this metric — the
+        # other scenes' CK=128 executables are already jit-cached.
+        from mitsuba2_tpu.scene import bvh as bvh_mod
+        ck0 = bvh_mod.CLUSTER_K
+        if not smoke and os.environ.get("MI_CLUSTER_K") is None:
+            bvh_mod.set_cluster_k(256)
+        try:
+            big = mesh_gallery(subdiv=3 if smoke else 6)
+            bcfg = mi.RenderConfig(width=R, height=R, spp=4,
+                                   spp_per_pass=4,
+                                   max_depth=3, rr_depth=8)
+            dt = _median_time(jax, lambda r: _render_all_passes_jit(
+                big, bcfg, r, 1))
+        finally:
+            bvh_mod.set_cluster_k(ck0)
         return _rays_per_pass(bcfg) / dt / 1e6
 
     def m_veach():

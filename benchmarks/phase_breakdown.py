@@ -73,6 +73,9 @@ def main():
     if smoke:  # logic-only CI pass on CPU; numbers meaningless
         jax.config.update("jax_platforms", "cpu")
     R, SPP = (32, 2) if smoke else (256, 16)
+    # MI_PB_SPP: match a bench metric's wavefront (e.g. 4 for the 491k
+    # row's 262k lanes)
+    SPP = int(os.environ.get("MI_PB_SPP", SPP))
     cfg = mi.RenderConfig(width=R, height=R, spp=SPP, spp_per_pass=SPP,
                           max_depth=3, rr_depth=8)
     scene = mesh_gallery(subdiv=subdiv)
@@ -224,6 +227,12 @@ def main():
     t["kernel_closest_sorted"] = median_time(
         lambda r: j_kernel(Vec3(so.x + 1e-6 * (r + 1), so.y, so.z), sd,
                            stm))
+    # primary rays in raw (spp, H, W) pixel order — is the presort
+    # bracket worth its ~37 ms on the PRIMARY wavefront, whose pixel
+    # order is already spatially coherent?
+    tmax_inf = jnp.broadcast_to(jnp.asarray(jnp.inf, jnp.float32), (n,))
+    t["kernel_closest_pixelorder"] = median_time(
+        lambda r: j_kernel(vary(ray0, r).o, vary(ray0, r).d, tmax_inf))
     t["intersect_full_primary"] = median_time(
         lambda r: j_intersect_full(vary(ray0, r)))
     t["csi_only"] = None  # derived below

@@ -18,8 +18,15 @@ behavior, in two nested pieces:
    Peak memory = ONE pass's tape, independent of total spp.
 2. BOUNCE-LEVEL rematerialization (config.remat -> jax.checkpoint around
    each bounce in integrators._path_bounce): the pass tape itself shrinks
-   from O(wavefront x depth) to O(wavefront); the backward sweep re-traces
-   each bounce — exactly radiative backprop's "replay the path" step.
+   from O(wavefront x depth) to O(wavefront); the backward sweep re-runs
+   each bounce — radiative backprop's "replay the path" step. The replay
+   is SELECTIVE (round 5): traversal outputs are tagged
+   checkpoint_name("trace") and the checkpoint policy is
+   save_only_these_names("trace"), so the replay recomputes shading
+   arithmetic but reads the sorted Pallas traversal results (detached
+   under AD anyway) from ~25 f32/lane/bounce of storage instead of
+   re-tracing. Measured: forward+adjoint = 2.03x a forward pass (was
+   2.73x), docs/TPU_TRAVERSAL.md "The adjoint, decomposed".
 
 Intersections are detached (stop_gradient on hit geometry happens
 naturally: prim gathers are integer-indexed), so gradients flow through

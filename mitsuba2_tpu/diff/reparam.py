@@ -75,23 +75,40 @@ def _follow_points_batched(scene, os_, ds_):
     The traversal picks prims detached; positions re-derive from the
     vertex tables, so each point FOLLOWS the geometry under
     differentiation. Returns lists (points, dists) per input ray."""
+    import os as _os
     from ..scene import scene as scene_mod
     n_rays = len(ds_)
-    O = Vec3(jnp.concatenate([o.x for o in os_]),
-             jnp.concatenate([o.y for o in os_]),
-             jnp.concatenate([o.z for o in os_]))
-    D = Vec3(jnp.concatenate([d.x for d in ds_]),
-             jnp.concatenate([d.y for d in ds_]),
-             jnp.concatenate([d.z for d in ds_]))
-    p, t, valid = scene_mod.ray_intersect_positions(scene, Ray.make(O, D))
-    x = vwhere(valid, p, O + D * _FAR)
-    t = jnp.where(valid, t, jnp.float32(_FAR))
     n = jnp.shape(ds_[0].x)[0]
+    # Chunk cap, MEASURED (config-5 Cornell bench, same-regime A/B,
+    # docs/TPU_TRAVERSAL.md "Reparam cost decomposition"): the brute
+    # backend materializes (lanes, prims) intermediates, so one
+    # monolithic 8.4M-lane batch spills HBM bandwidth (13.5 Mrays/s)
+    # while the fully sequential layout pays per-sweep floors (17.4);
+    # ~2M-lane chunks hit the knee at 30.5. Accel (sorted-Pallas)
+    # backends keep the single batch — each chunk would pay its own
+    # presort bracket. MI_REPARAM_CHUNK overrides (0 = one batch).
+    cap = int(_os.environ.get(
+        "MI_REPARAM_CHUNK",
+        "2097152" if scene_mod._pick_backend(scene) == "brute" else "0"))
+    per = max(1, cap // max(n, 1)) if cap else n_rays
     xs, ts = [], []
-    for i in range(n_rays):
-        sl = slice(i * n, (i + 1) * n)
-        xs.append(Vec3(x.x[sl], x.y[sl], x.z[sl]))
-        ts.append(t[sl])
+    for c0 in range(0, n_rays, per):
+        grp_o = os_[c0:c0 + per]
+        grp_d = ds_[c0:c0 + per]
+        O = Vec3(jnp.concatenate([o.x for o in grp_o]),
+                 jnp.concatenate([o.y for o in grp_o]),
+                 jnp.concatenate([o.z for o in grp_o]))
+        D = Vec3(jnp.concatenate([d.x for d in grp_d]),
+                 jnp.concatenate([d.y for d in grp_d]),
+                 jnp.concatenate([d.z for d in grp_d]))
+        p, t, valid = scene_mod.ray_intersect_positions(
+            scene, Ray.make(O, D))
+        x = vwhere(valid, p, O + D * _FAR)
+        t = jnp.where(valid, t, jnp.float32(_FAR))
+        for i in range(len(grp_d)):
+            sl = slice(i * n, (i + 1) * n)
+            xs.append(Vec3(x.x[sl], x.y[sl], x.z[sl]))
+            ts.append(t[sl])
     return xs, ts
 
 

@@ -1203,6 +1203,18 @@ def _grid_call(kernel, n_blocks, out_shapes, interpret, n_tables=3):
     )
 
 
+def emits_uv(scene) -> bool:
+    """Does ray_intersect_preliminary return REAL barycentrics?
+
+    The MXU cluster path skips per-visit winner u/v extraction (emits
+    zeros; the shading stage's exact Möller–Trumbore re-solve reproduces
+    them — scene.py::compute_surface_interaction). Callers that carry
+    (u, v) through an unsort can drop the two all-zero payload operands
+    when this is False (scene.py::_sorted_pallas_intersect)."""
+    return not (MXU_LEAVES and not scene.has_spheres and
+                getattr(scene, "mxu_feat", None) is not None)
+
+
 def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
                               ) -> Tuple[jnp.ndarray, ...]:
     """Closest hit via the packet kernel. Same contract as

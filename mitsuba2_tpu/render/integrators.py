@@ -216,7 +216,13 @@ def sample_path(scene, ray: Ray, sampler: Sampler, config: RenderConfig
     N = ray.o.shape[0]
     C = config.n_channels
 
-    si = scene_mod.ray_intersect(scene, ray)
+    # primary camera wavefront: (spp, H, W) pixel order is already
+    # block-coherent — skip the presort (measured win, scene.py note).
+    # Instanced scenes keep the auto policy: their unsorted penalty is
+    # much steeper (TPU_TRAVERSAL.md phase-5 table) and pixel-order
+    # coherence was only measured on the flattened MXU path.
+    si = scene_mod.ray_intersect(
+        scene, ray, sort=None if scene.has_instances else False)
     active = si.valid
     throughput = Spec.ones((N,), C)
     result = Spec.zeros((N,), C)

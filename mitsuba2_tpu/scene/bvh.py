@@ -39,6 +39,24 @@ assert CLUSTER_K >= LEAF_K
 N_BINS = 16       # SAH bins per axis
 
 
+def set_cluster_k(k: int) -> None:
+    """Rebind CLUSTER_K process-wide (this module + the Pallas kernels).
+
+    The measured scale policy (docs/TPU_TRAVERSAL.md round-5 491k
+    section): CK=128 wins up to ~100k prims (the rounds-3/4 sweeps);
+    at ~500k prims block unions grow faster than cluster count and
+    CK=256 measures +3-7% across all four workloads — fatter clusters
+    amortize the walk when visits dominate. Binds at SCENE BUILD time
+    (tables) and kernel TRACE time (VMEM scratch widths), so call it
+    BEFORE build_scene and expect a retrace; scenes built under a
+    different CK must not be intersected after the switch."""
+    global CLUSTER_K
+    assert k >= 32 and k % 8 == 0 and k >= LEAF_K, k
+    CLUSTER_K = k
+    from ..kernels import traverse_pallas
+    traverse_pallas.CLUSTER_K = k
+
+
 @dataclasses.dataclass
 class BVH:
     bounds_min: np.ndarray   # (N, 3) f32

@@ -877,11 +877,37 @@ def compute_surface_interaction(scene: SceneData, ray: Ray,
 
     from ..kernels import gather as gth
 
-    def g3(table):
-        return gth.rows3(table, idx)
+    if scene.prim_p0.shape[0] > gth.COLUMN_MAX:
+        # ONE (N, 24) row gather instead of nine (N, 2-3) table gathers:
+        # per-gather dispatch overhead dominates row gathers at this
+        # table size (measured in the r05 phase ladder — csi was ~2.3%
+        # of the gallery pass x3 call sites). The packed table is
+        # CONCATENATED AT TRACE TIME from the live prim tables (a ~3 MB
+        # (P, 24) copy, trivial next to the 1M-lane gathers), so
+        # functional geometry updates (scene.replace(prim_p0=...)) and
+        # vertex gradients (d p / d prim_p0, the reparam follow
+        # contract) flow through unchanged.
+        packed = jnp.concatenate(
+            [scene.prim_p0, scene.prim_e1, scene.prim_e2,
+             scene.prim_n0, scene.prim_n1, scene.prim_n2,
+             scene.prim_uv0, scene.prim_uv1, scene.prim_uv2], -1)[idx]
 
-    def g2(table):
-        return gth.rows2(table, idx)
+        def g3(table, _o={id(scene.prim_p0): 0, id(scene.prim_e1): 3,
+                          id(scene.prim_e2): 6, id(scene.prim_n0): 9,
+                          id(scene.prim_n1): 12, id(scene.prim_n2): 15}):
+            c = _o[id(table)]
+            return packed[:, c], packed[:, c + 1], packed[:, c + 2]
+
+        def g2(table, _o={id(scene.prim_uv0): 18, id(scene.prim_uv1): 20,
+                          id(scene.prim_uv2): 22}):
+            c = _o[id(table)]
+            return packed[:, c], packed[:, c + 1]
+    else:
+        def g3(table):
+            return gth.rows3(table, idx)
+
+        def g2(table):
+            return gth.rows2(table, idx)
 
     p0x, p0y, p0z = g3(scene.prim_p0)
     e1x, e1y, e1z = g3(scene.prim_e1)
@@ -1196,11 +1222,19 @@ def _sorted_pallas_intersect(scene, ray_o, ray_d, t_max, intersect_fn=None):
         _, t, prim, u, v, inst = jax.lax.sort(
             (lane, t, prim, u, v, inst), num_keys=1)
         return t, prim, u, v, inst
+    default_fn = intersect_fn is None
     if intersect_fn is None:
         intersect_fn = traverse_pallas.ray_intersect_preliminary
     t, prim, u, v = intersect_fn(
         scene, Vec3(ox, oy, oz), Vec3(dx, dy, dz), t_max)
-    # unsort: original lane index as the sort key carries results back
+    # unsort: original lane index as the sort key carries results back.
+    # The MXU cluster path emits u = v = 0 (the shading stage re-solves
+    # them exactly) — dropping the two all-zero payloads cuts the unsort
+    # from 5 operands to 3 on every sorted closest-hit call.
+    if default_fn and not traverse_pallas.emits_uv(scene):
+        _, t, prim = jax.lax.sort((lane, t, prim), num_keys=1)
+        z = jnp.zeros_like(t)
+        return t, prim, z, z
     _, t, prim, u, v = jax.lax.sort((lane, t, prim, u, v), num_keys=1)
     return t, prim, u, v
 
@@ -1223,21 +1257,31 @@ def _sorted_pallas_ray_test(scene, ray_o, ray_d, t_max, test_fn=None):
     return occ != 0
 
 
-def _preliminary_dispatch(scene: SceneData, ray: Ray):
+def _preliminary_dispatch(scene: SceneData, ray: Ray, sort=None):
     """Backend-dispatched closest-hit query: (t, prim, u, v, inst|None).
 
     The traversal half of Scene::ray_intersect — shared by the full
     shading-record path (`ray_intersect`) and the minimal hit-position
-    path (`ray_intersect_positions`)."""
+    path (`ray_intersect_positions`). `sort=None` -> the auto presort
+    policy; True/False force it (integrators pass False for PRIMARY
+    camera wavefronts, whose (spp, H, W) pixel order is already
+    block-coherent: measured r05 phase ladder, the pixel-order kernel
+    costs +23 ms on the 1M-lane gallery primary vs a ~40-50 ms presort
+    bracket — a net ~25 ms/pass win)."""
     from ..kernels import brute, traverse_jnp, traverse_pallas
     backend = _pick_backend(scene)
     inst = None
+
+    def want():
+        return (_want_sort(jnp.shape(ray.o.x)[0]) if sort is None
+                else bool(sort))
+
     if scene.has_instances:
         sg = jax.lax.stop_gradient
         if backend == "pallas":
             t, prim, u, v, inst = _sorted_pallas_intersect(
                 scene, ray.o, ray.d, ray.maxt) \
-                if _want_sort(jnp.shape(ray.o.x)[0]) else \
+                if want() else \
                 traverse_pallas.ray_intersect_instanced(
                     scene, ray.o, ray.d, ray.maxt)
         else:
@@ -1250,13 +1294,13 @@ def _preliminary_dispatch(scene: SceneData, ray: Ray):
         # presort exactly like the scalar packet kernel
         fn = (traverse_pallas.ray_intersect_bvh8 if backend == "bvh8"
               else traverse_pallas.ray_intersect_bvh8mxu)
-        if _want_sort(jnp.shape(ray.o.x)[0]):
+        if want():
             t, prim, u, v = _sorted_pallas_intersect(
                 scene, ray.o, ray.d, ray.maxt, intersect_fn=fn)
         else:
             t, prim, u, v = fn(scene, ray.o, ray.d, ray.maxt)
     elif backend == "pallas":
-        if _want_sort(jnp.shape(ray.o.x)[0]):
+        if want():
             t, prim, u, v = _sorted_pallas_intersect(
                 scene, ray.o, ray.d, ray.maxt)
         else:
@@ -1268,9 +1312,14 @@ def _preliminary_dispatch(scene: SceneData, ray: Ray):
     return t, prim, u, v, inst
 
 
-def ray_intersect(scene: SceneData, ray: Ray) -> SurfaceInteraction:
-    """Scene::ray_intersect — full wavefront closest hit + shading record."""
-    t, prim, u, v, inst = _preliminary_dispatch(scene, ray)
+def ray_intersect(scene: SceneData, ray: Ray,
+                  sort=None) -> SurfaceInteraction:
+    """Scene::ray_intersect — full wavefront closest hit + shading record.
+
+    `sort`: None = auto presort policy; False skips the coherence
+    presort (callers with an already-coherent wavefront, e.g. primary
+    camera rays in pixel order)."""
+    t, prim, u, v, inst = _preliminary_dispatch(scene, ray, sort=sort)
     pi = PreliminaryIntersection(t=t, prim_index=prim, prim_uv=Vec2(u, v),
                                  inst=inst)
     return compute_surface_interaction(scene, ray, pi)

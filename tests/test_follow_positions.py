@@ -31,9 +31,15 @@ def _rays(scene, n, seed=0):
                     Vec3(*jnp.asarray(d.T, jnp.float32)))
 
 
-@pytest.mark.parametrize("preset", [cornell_box, mesh_gallery])
+@pytest.mark.parametrize("preset", [cornell_box, mesh_gallery, "big"])
 def test_positions_match_surface_interaction(preset):
-    scene = preset() if preset is cornell_box else preset(subdiv=2)
+    if preset == "big":
+        # > gather.COLUMN_MAX prims: csi takes the packed-row-gather
+        # branch while ray_intersect_positions stays on per-table
+        # gathers — this parity check covers both layouts
+        scene = mesh_gallery(subdiv=3)
+    else:
+        scene = preset() if preset is cornell_box else preset(subdiv=2)
     ray = _rays(scene, 512)
     si = scene_mod.ray_intersect(scene, ray)
     p, t, valid = scene_mod.ray_intersect_positions(scene, ray)
