@@ -1186,21 +1186,32 @@ def _want_sort(n_lanes: int) -> bool:
     return bool(_SORT_RAYS)
 
 
+_SORT_DIRBITS = int(os.environ.get("MI_SORT_DIRBITS", "9"))
+assert _SORT_DIRBITS % 3 == 0 and 3 <= _SORT_DIRBITS <= 15, _SORT_DIRBITS
+
+
 def _coherence_key(scene, ray_o, ray_d, t_max=None):
-    """Wavefront sort key: origin Morton cell (major) + a 9-bit direction
-    bucket (3 bits/axis), so each 1024-lane packet covers a ~45-degree
-    cone from a compact region — much tighter traversal unions than the
-    octant-only key (direction spread, not origin spread, is what makes a
-    block sweep the whole tree). Dead lanes (maxt <= 0) sort to the back
-    so their packets exit at the root."""
+    """Wavefront sort key: origin Morton cell (major) + a direction
+    bucket (MI_SORT_DIRBITS total, 3 bits/axis -> default a 9-bit
+    ~45-degree cone), so each 1024-lane packet covers a compact cone
+    from a compact region — much tighter traversal unions than the
+    octant-only key (direction spread, not origin spread, is what makes
+    a block sweep the whole tree). The default was re-swept in round 5
+    against 6/12 dir bits on the bounce wavefront (docs/TPU_TRAVERSAL.md
+    round-5 section). Dead lanes (maxt <= 0) sort to the back so their
+    packets exit at the root."""
     from ..kernels import compact
     morton = compact.morton3(ray_o, scene.bvh_min[0], scene.bvh_max[0])
+    db = _SORT_DIRBITS
+    b = db // 3
+    half = float(1 << (b - 1))
+    top = float((1 << b) - 1)
 
-    def q3(c):  # direction component -> 3 bits
-        return jnp.clip(((c + 1.0) * 4.0), 0.0, 7.0).astype(jnp.uint32)
+    def qb(c):  # direction component -> b bits
+        return jnp.clip(((c + 1.0) * half), 0.0, top).astype(jnp.uint32)
 
-    dbucket = (q3(ray_d.x) << 6) | (q3(ray_d.y) << 3) | q3(ray_d.z)
-    key = (((morton >> 9) << 9) | dbucket)  # 21 Morton bits + 9 dir bits
+    dbucket = (qb(ray_d.x) << (2 * b)) | (qb(ray_d.y) << b) | qb(ray_d.z)
+    key = (((morton >> db) << db) | dbucket)
     if t_max is not None:
         key = jnp.where(t_max <= 0.0, jnp.uint32(0xFFFFFFFF), key)
     return key
