@@ -315,23 +315,15 @@ def main():
         return 2 * _rays_per_pass(acfg) / dt / 1e6
 
     def m_491k():
-        # measured scale policy (TPU_TRAVERSAL.md round-5 491k section):
-        # CK=256 wins at ~500k prims (+3-7% kernel-level; unions, not
-        # cluster DMA, dominate at scale). Scoped to this metric — the
-        # other scenes' CK=128 executables are already jit-cached.
-        from mitsuba2_tpu.scene import bvh as bvh_mod
-        ck0 = bvh_mod.CLUSTER_K
-        if not smoke and os.environ.get("MI_CLUSTER_K") is None:
-            bvh_mod.set_cluster_k(256)
-        try:
-            big = mesh_gallery(subdiv=3 if smoke else 6)
-            bcfg = mi.RenderConfig(width=R, height=R, spp=4,
-                                   spp_per_pass=4,
-                                   max_depth=3, rr_depth=8)
-            dt = _median_time(jax, lambda r: _render_all_passes_jit(
-                big, bcfg, r, 1))
-        finally:
-            bvh_mod.set_cluster_k(ck0)
+        # CK=256 is applied AUTOMATICALLY by the build-time scale policy
+        # (scene.py::_pick_cluster_k, >= 250k prims; measured +3-7% at
+        # 491k — TPU_TRAVERSAL.md "Big scenes"); each scene carries its
+        # own cluster_k, so the 31k scenes' CK=128 kernels coexist.
+        big = mesh_gallery(subdiv=3 if smoke else 6)
+        bcfg = mi.RenderConfig(width=R, height=R, spp=4, spp_per_pass=4,
+                               max_depth=3, rr_depth=8)
+        dt = _median_time(jax, lambda r: _render_all_passes_jit(
+            big, bcfg, r, 1))
         return _rays_per_pass(bcfg) / dt / 1e6
 
     def m_veach():

@@ -514,7 +514,7 @@ def _mxu_cluster_closest(feat_s, base, ccx, ccy, ccz, rt_parts,
     selects on (CK, B) tiles) — per-iteration vector work must hide
     under the ~2 us scalar while-loop floor (probe_walk_latency.py)."""
     msub, lanes = t_best.shape
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
     BIG = jnp.int32(1 << 30)
 
     def row(a):
@@ -560,7 +560,7 @@ def _mxu_cluster_anyhit(feat_s, ccx, ccy, ccz, rt_parts, tmv, occ_f):
     """One MXU cluster visit (any-hit). Padded slots have all-zero
     feature rows -> det == 0 -> never counted as hits."""
     msub, lanes = occ_f.shape
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
 
     def row(a):
         return a.reshape(1, msub * lanes)
@@ -684,7 +684,7 @@ def _closest_hit_mxu_kernel(node_f, link_i, feat,
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
     fuel_cap = node_f.shape[0] + 64
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
 
     def start_dma(base):
         """Stream one cluster's feature columns HBM -> scratch. featT is
@@ -766,7 +766,7 @@ def _any_hit_mxu_kernel(node_f, link_i, feat,
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     _pick_links = _link_picker(_octant_vote(dxv, dyv, dzv))
     fuel_cap = node_f.shape[0] + 64
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
 
     def start_dma(base):
         # cluster-major featT: one contiguous (16, 4*CK) lane slice per
@@ -859,7 +859,7 @@ def _mxu_walk_prep(node_f, feat, scratch, sem, refs, w, msub):
     dxv, dyv, dzv = dx[s, :], dy[s, :], dz[s, :]
     ixv, iyv, izv = _safe_inv(dxv), _safe_inv(dyv), _safe_inv(dzv)
     pick = _link_picker(_octant_vote(dxv, dyv, dzv))
-    CK = CLUSTER_K
+    CK = scratch.shape[1] // 4  # scratch is (16, 4*CK): scene-built CK
 
     def start_dma(sb):
         d = pltpu.make_async_copy(
@@ -1045,7 +1045,7 @@ def _closest_hit_mxu_dense_kernel(ccs, feat,
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     msub = oxv.shape[0]
     C = ccs.shape[0]
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
     rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
 
     def body(i, st):
@@ -1078,7 +1078,7 @@ def _any_hit_mxu_dense_kernel(ccs, feat,
     tmv = tmax[:]
     msub = oxv.shape[0]
     C = ccs.shape[0]
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
     rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
 
     def cond(st):
@@ -1102,7 +1102,7 @@ def _any_hit_mxu_dense_kernel(ccs, feat,
     occ_out[:] = (occ_f >= 1.0).astype(jnp.int32)
 
 
-def _mxu_dense_call(kern, n_blocks, msub, out_shapes, interpret):
+def _mxu_dense_call(kern, n_blocks, msub, out_shapes, interpret, ck):
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     rs = _mxu_ray_spec(msub)
     return pl.pallas_call(
@@ -1111,7 +1111,7 @@ def _mxu_dense_call(kern, n_blocks, msub, out_shapes, interpret):
         in_specs=[_tab_spec, any_spec] + [rs] * 7,
         out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, 4 * ck), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1140,7 +1140,7 @@ def _mxu_ray_spec(msub):
                         memory_space=pltpu.VMEM)
 
 
-def _mxu_call(n_blocks, msub, out_shapes, interpret, walks=1):
+def _mxu_call(n_blocks, msub, out_shapes, interpret, ck, walks=1):
     """pallas_call for the MXU cluster-leaf kernel: node/link tables in
     VMEM (scalar row loads), featT resident in HBM (ANY) and DMA-streamed
     per cluster into VMEM scratch — so VMEM use is O(1) in scene size and
@@ -1151,7 +1151,7 @@ def _mxu_call(n_blocks, msub, out_shapes, interpret, walks=1):
     rs = _mxu_ray_spec(msub)
     kern = _closest_hit_mxu2_kernel if walks == 2 else \
         _closest_hit_mxu_kernel
-    scratch = [pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32)] * walks + \
+    scratch = [pltpu.VMEM((16, 4 * ck), jnp.float32)] * walks + \
         [pltpu.SemaphoreType.DMA] * walks
     return pl.pallas_call(
         kern,
@@ -1166,13 +1166,13 @@ def _mxu_call(n_blocks, msub, out_shapes, interpret, walks=1):
     )
 
 
-def _mxu_anyhit_call(n_blocks, msub, out_shapes, interpret, walks=1):
+def _mxu_anyhit_call(n_blocks, msub, out_shapes, interpret, ck, walks=1):
     """Occlusion variant of _mxu_call: no prim-id stream (padded slots
     are self-masking via their all-zero feature rows)."""
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     rs = _mxu_ray_spec(msub)
     kern = _any_hit_mxu2_kernel if walks == 2 else _any_hit_mxu_kernel
-    scratch = [pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32)] * walks + \
+    scratch = [pltpu.VMEM((16, 4 * ck), jnp.float32)] * walks + \
         [pltpu.SemaphoreType.DMA] * walks
     return pl.pallas_call(
         kern,
@@ -1201,6 +1201,14 @@ def _grid_call(kernel, n_blocks, out_shapes, interpret, n_tables=3):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )
+
+
+def _scene_ck(scene) -> int:
+    """The MXU cluster size this scene's tables were built with
+    (SceneData.cluster_k; falls back to the module default for pytrees
+    predating the field). Kernels size their VMEM feature scratch from
+    it, so scenes built under different CK values coexist safely."""
+    return int(getattr(scene, "cluster_k", CLUSTER_K) or CLUSTER_K)
 
 
 def emits_uv(scene) -> bool:
@@ -1253,12 +1261,13 @@ def ray_intersect_preliminary(scene, ray_o, ray_d, t_max, interpret=None
         if dense:
             outs = _mxu_dense_call(
                 _closest_hit_mxu_dense_kernel, n_blocks, blk // _LANE,
-                out_shapes, interpret)(scene.mxu_ccs, scene.mxu_feat,
-                                       *args)
+                out_shapes, interpret,
+                _scene_ck(scene))(scene.mxu_ccs, scene.mxu_feat, *args)
         else:
             tables = _pack_mxu_tables(scene)
             outs = _mxu_call(n_blocks, blk // _LANE, out_shapes,
-                             interpret, walks=walks)(*tables, *args)
+                             interpret, _scene_ck(scene),
+                             walks=walks)(*tables, *args)
         t, slot, u, v = (o.reshape(n_pad)[:N] for o in outs)
         # kernel emits cluster SLOT ids (implicit base + row iota); one
         # XLA gather per wavefront remaps to global prim ids — shading
@@ -1307,13 +1316,14 @@ def ray_test(scene, ray_o, ray_d, t_max, interpret=None) -> jnp.ndarray:
             occ = _mxu_dense_call(
                 _any_hit_mxu_dense_kernel, n_blocks, blk // _LANE,
                 [jax.ShapeDtypeStruct(sh, jnp.int32)],
-                interpret)(scene.mxu_ccs, scene.mxu_feat, *args)
+                interpret, _scene_ck(scene))(scene.mxu_ccs,
+                                             scene.mxu_feat, *args)
         else:
             node_f, link_i, feat = _pack_mxu_tables(scene)
             occ = _mxu_anyhit_call(
                 n_blocks, blk // _LANE,
                 [jax.ShapeDtypeStruct(sh, jnp.int32)],
-                interpret,
+                interpret, _scene_ck(scene),
                 walks=walks)(node_f, link_i, feat, *args)
     else:
         node_f, node_i, _, prim_f = _pack_tables(scene)
@@ -1603,7 +1613,8 @@ def ray_intersect_instanced(scene, ray_o, ray_d, t_max, interpret=None):
             in_specs=[_tab_spec, _tab_spec, any_spec, _tab_spec] + [rs] * 7,
             out_specs=tuple(rs for _ in out_shapes),
             out_shape=tuple(out_shapes),
-            scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((16, 4 * _scene_ck(scene)),
+                                       jnp.float32),
                             pltpu.SemaphoreType.DMA,
                             pltpu.VMEM((64, blk), jnp.float32)],
             interpret=interpret,
@@ -1661,7 +1672,8 @@ def ray_test_instanced(scene, ray_o, ray_d, t_max, interpret=None):
             in_specs=[_tab_spec, _tab_spec, any_spec, _tab_spec] + [rs] * 7,
             out_specs=(rs,),
             out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
-            scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((16, 4 * _scene_ck(scene)),
+                                       jnp.float32),
                             pltpu.SemaphoreType.DMA,
                             pltpu.VMEM((64, blk), jnp.float32)],
             interpret=interpret,
@@ -1707,7 +1719,7 @@ def ray_test_instanced(scene, ray_o, ray_d, t_max, interpret=None):
 
 def _instmxu_prep(node_f, link_i, feat, inst_t, feat_s, sem_feat):
     """Shared closures for the instanced MXU walk kernels."""
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
 
     def start_dma(sb):
         d = pltpu.make_async_copy(
@@ -2312,7 +2324,7 @@ def _closest_hit_bvh8mxu_kernel(child_f, order8, feat,
     octv = _octant_vote(dxv, dyv, dzv)
     msub = oxv.shape[0]
     D = stack_d
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
     rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
 
     def cond(state):
@@ -2429,7 +2441,7 @@ def _any_hit_bvh8mxu_kernel(child_f, order8, feat,
     octv = _octant_vote(dxv, dyv, dzv)
     msub = oxv.shape[0]
     D = stack_d
-    CK = CLUSTER_K
+    CK = feat_s.shape[1] // 4   # scratch is (16, 4*CK): scene-built CK
     rt_parts = _mxu_rt_parts(oxv, oyv, ozv, dxv, dyv, dzv)
 
     def cond(state):
@@ -2522,7 +2534,7 @@ def _bvh8mxu_meta(scene):
     Mc = scene.bvh8c_child.shape[0] // 8
     stack_d = int(scene.bvh8c_depth) + BVH8_STACK_MARGIN
     n_slots = int(scene.cluster_slot_prim.shape[0])
-    fuel_cap = 10 * Mc + 2 * (n_slots // CLUSTER_K) + 64
+    fuel_cap = 10 * Mc + 2 * (n_slots // _scene_ck(scene)) + 64
     return stack_d, fuel_cap
 
 
@@ -2565,7 +2577,8 @@ def ray_intersect_bvh8mxu(scene, ray_o, ray_d, t_max, interpret=None):
         in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
         out_specs=tuple(rs for _ in out_shapes),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, 4 * _scene_ck(scene)),
+                                       jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -2606,7 +2619,8 @@ def ray_test_bvh8mxu(scene, ray_o, ray_d, t_max, interpret=None):
         in_specs=[_tab_spec, _tab_spec, any_spec] + [rs] * 7,
         out_specs=(rs,),
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.int32),),
-        scratch_shapes=[pltpu.VMEM((16, 4 * CLUSTER_K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, 4 * _scene_ck(scene)),
+                                       jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

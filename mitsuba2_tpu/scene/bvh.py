@@ -30,6 +30,9 @@ LEAF_K = 4        # max prims per leaf (traversal always tests LEAF_K slots)
 # build time; pick powers of two >= 8 sublanes).
 import os as _os
 CLUSTER_K = int(_os.environ.get("MI_CLUSTER_K", "128"))
+# True when CK was pinned explicitly (env var or set_cluster_k): the
+# build-time scale policy (scene.py::_pick_cluster_k) then defers to it.
+CK_FORCED = "MI_CLUSTER_K" in _os.environ
 assert CLUSTER_K >= 32 and CLUSTER_K % 8 == 0, \
     f"MI_CLUSTER_K={CLUSTER_K}: must be a multiple of 8, >= 32 (4*K is " \
     f"the MXU kernel's DMA lane-slice width/alignment — Mosaic requires " \
@@ -39,20 +42,21 @@ assert CLUSTER_K >= LEAF_K
 N_BINS = 16       # SAH bins per axis
 
 
-def set_cluster_k(k: int) -> None:
-    """Rebind CLUSTER_K process-wide (this module + the Pallas kernels).
+def set_cluster_k(k: int, force: bool = True) -> None:
+    """Pin the MXU cluster size for subsequently BUILT scenes.
 
-    The measured scale policy (docs/TPU_TRAVERSAL.md round-5 491k
-    section): CK=128 wins up to ~100k prims (the rounds-3/4 sweeps);
-    at ~500k prims block unions grow faster than cluster count and
-    CK=256 measures +3-7% across all four workloads — fatter clusters
-    amortize the walk when visits dominate. Binds at SCENE BUILD time
-    (tables) and kernel TRACE time (VMEM scratch widths), so call it
-    BEFORE build_scene and expect a retrace; scenes built under a
-    different CK must not be intersected after the switch."""
-    global CLUSTER_K
+    Normally unnecessary: build_scene applies the measured scale policy
+    automatically (CK=128 below ~250k prims, 256 above —
+    scene.py::_pick_cluster_k, numbers in docs/TPU_TRAVERSAL.md "Big
+    scenes"). This pins an explicit value instead (hardware sweeps).
+    Each scene carries its CK as a static field (SceneData.cluster_k),
+    and the kernels size their scratch from the scene's own tables, so
+    scenes built under different CK values coexist safely in one
+    process. force=False restores the automatic policy."""
+    global CLUSTER_K, CK_FORCED
     assert k >= 32 and k % 8 == 0 and k >= LEAF_K, k
     CLUSTER_K = k
+    CK_FORCED = bool(force)
     from ..kernels import traverse_pallas
     traverse_pallas.CLUSTER_K = k
 

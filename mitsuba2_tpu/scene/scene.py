@@ -173,6 +173,10 @@ class SceneData:
     bvh8_depth: int = struct.field(pytree_node=False, default=0)
     bvh8c_depth: int = struct.field(pytree_node=False, default=0)
     emitter_kinds: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    # MXU cluster size this scene's tables were built with (static; the
+    # kernels size their VMEM feature scratch from it). Chosen by the
+    # measured scale policy at build time — see _pick_cluster_k.
+    cluster_k: int = struct.field(pytree_node=False, default=128)
     cam_type: str = struct.field(pytree_node=False, default="perspective")
     has_media: bool = struct.field(pytree_node=False, default=False)
     # Differentiable-parameter index (diff/params.py traverse):
@@ -208,6 +212,17 @@ def build_scene(shapes: List[MeshData], sensor: dict,
 
 def _prim_count(m) -> int:
     return 1 if m.sphere_center is not None else len(m.faces)
+
+
+def _pick_cluster_k(n_prims: int) -> int:
+    """MEASURED scale policy (docs/TPU_TRAVERSAL.md "Big scenes",
+    round-5 hardware sweep): CK=128 is optimal up to ~100k prims; at
+    ~500k prims block unions dominate and CK=256 wins +3-7% on every
+    workload (CK=512 loses everywhere). Explicit overrides
+    (MI_CLUSTER_K env / bvh.set_cluster_k) win over the policy."""
+    if bvh_mod.CK_FORCED:
+        return bvh_mod.CLUSTER_K
+    return 256 if n_prims >= 250_000 else bvh_mod.CLUSTER_K
 
 
 def _should_flatten_instances(inst_records, plain) -> bool:
@@ -470,7 +485,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         # tables (local centroids) and the kernel rebuilds its ray
         # matrices per instance entry, so one feature table serves every
         # instance of a group.
-        CK = bvh_mod.CLUSTER_K
+        CK = _pick_cluster_k(p0.shape[0])
         two = bvh_mod.build_two_level_mxu(blas_list, inst_group,
                                           ib_min, ib_max, CK)
         mxu_node_f = two["node_f"]
@@ -494,8 +509,9 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         n_min, n_max = tree.bounds_min, tree.bounds_max
         n_leaf_start, n_leaf_count = tree.leaf_start, tree.leaf_count
         n_miss = tree.miss
-        # MXU leaf clusters (traverse_pallas CLUSTER_K-prim batched leaf tests)
-        CK = bvh_mod.CLUSTER_K
+        # MXU leaf clusters (traverse_pallas CK-prim batched leaf tests;
+        # CK from the measured scale policy)
+        CK = _pick_cluster_k(p0.shape[0])
         cl_id, cl_starts, cl_counts = bvh_mod.cluster_cut(tree, max_prims=CK)
         cut_min, cut_max, cut_hit8, cut_miss8, cl_id_c = \
             bvh_mod.cut_tree_tables(tree, cl_id, oct_hit8, oct_miss8)
@@ -797,6 +813,7 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         n_emitters=len(emitter_descs),
         env_emitter=env_emitter,
         n_shapes=len(shapes),
+        cluster_k=CK,
         has_spheres=bool((ptype == PRIM_SPHERE).any()),
         emitter_kinds=tuple(sorted(set(emitter_types[:len(emitter_descs)].tolist()))),
         param_paths=tuple(param_paths))
@@ -826,7 +843,7 @@ def refresh_mxu_feat(scene: SceneData) -> SceneData:
     e1 = sg(scene.prim_e1)[idx] * valid
     e2 = sg(scene.prim_e2)[idx] * valid
     S = sp.shape[0]
-    CK = bvh_mod.CLUSTER_K
+    CK = scene.cluster_k
     C = S // CK
     # recentring (must mirror the host build + kernel EXACTLY): planes
     # about the per-cluster centroid; the kernel reads the matching c

@@ -1,12 +1,11 @@
-"""set_cluster_k: CK=256-built scenes must intersect identically.
+"""Per-scene CLUSTER_K: policy, equivalence, and coexistence.
 
-The round-5 scale policy (docs/TPU_TRAVERSAL.md "Big scenes") rebinds
-CLUSTER_K before building big scenes. The MXU tables, feature layout,
-fuel bounds and kernel scratch widths all change with CK, so the knob
-needs an equivalence test: a CK=256 scene through the Pallas MXU path
-(interpret mode) must match the CK-independent jnp walker — and the
-sorted production wrapper (which also drops the u/v unsort payloads on
-the MXU path, scene.py::_sorted_pallas_intersect) must match too.
+Round-5 scale policy (docs/TPU_TRAVERSAL.md "Big scenes"): build_scene
+picks CK=256 for scenes >= ~250k prims (measured +3-7%), CK=128 below;
+each SceneData carries its cluster_k statically and the Pallas kernels
+size their VMEM feature scratch from the scene's own tables — so scenes
+built under different CK values are intersectable in ANY order within
+one process (no global rebinding hazard).
 """
 import numpy as np
 import jax
@@ -32,27 +31,45 @@ def _rays(scene, n, seed=0):
             jnp.full(n, jnp.inf, jnp.float32))
 
 
+def test_pick_cluster_k_policy():
+    assert scene_mod._pick_cluster_k(1000) == 128
+    assert scene_mod._pick_cluster_k(249_999) == 128
+    assert scene_mod._pick_cluster_k(250_000) == 256
+    assert scene_mod._pick_cluster_k(5_000_000) == 256
+    # explicit pin wins over the policy; force=False restores it
+    bvh_mod.set_cluster_k(128)
+    try:
+        assert scene_mod._pick_cluster_k(5_000_000) == 128
+    finally:
+        bvh_mod.set_cluster_k(128, force=False)
+    assert scene_mod._pick_cluster_k(5_000_000) == 256
+
+
 @pytest.fixture
 def ck256_scene():
     bvh_mod.set_cluster_k(256)
     try:
         yield mesh_gallery(subdiv=3)
     finally:
-        bvh_mod.set_cluster_k(128)
+        bvh_mod.set_cluster_k(128, force=False)
 
 
 def test_ck256_tables_shape(ck256_scene):
     scene = ck256_scene
+    assert scene.cluster_k == 256
     S = scene.cluster_slot_prim.shape[0]
     assert S % 256 == 0
     assert scene.mxu_feat.shape == (16, 4 * S)
 
 
 def test_ck256_matches_jnp_oracle(ck256_scene):
+    """The kernels must intersect a CK=256 scene correctly with NO
+    global state set (scene-driven scratch sizing) — the module default
+    is back to 128 by the time this runs (fixture teardown order is
+    irrelevant: we assert against the scene's own field)."""
     scene = ck256_scene
+    assert scene.cluster_k == 256
     ov, dv, tm = _rays(scene, 4096)
-    # CK=256 kernels must TRACE under CK=256 as well
-    bvh_mod.set_cluster_k(256)
     t_p, prim_p, _, _ = traverse_pallas.ray_intersect_preliminary(
         scene, ov, dv, tm, interpret=True)
     occ_p = traverse_pallas.ray_test(scene, ov, dv,
@@ -70,6 +87,24 @@ def test_ck256_matches_jnp_oracle(ck256_scene):
                                np.asarray(t_j)[hit_j],
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_j))
+
+
+def test_mixed_ck_scenes_coexist(ck256_scene):
+    """A CK=128 scene and a CK=256 scene intersected ALTERNATELY in one
+    process: both must match the oracle (the old global-CK design made
+    this sequence silently wrong)."""
+    s256 = ck256_scene
+    bvh_mod.set_cluster_k(128, force=False)
+    s128 = mesh_gallery(subdiv=2)
+    assert s128.cluster_k == 128 and s256.cluster_k == 256
+    for scene in (s128, s256, s128, s256):
+        ov, dv, tm = _rays(scene, 2048, seed=11)
+        _, prim_p, _, _ = traverse_pallas.ray_intersect_preliminary(
+            scene, ov, dv, tm, interpret=True)
+        _, prim_j, _, _ = traverse_jnp.ray_intersect_preliminary(
+            scene, ov, dv, tm)
+        np.testing.assert_array_equal(np.asarray(prim_p) >= 0,
+                                      np.asarray(prim_j) >= 0)
 
 
 def test_sorted_wrapper_uv_skip_matches_oracle():
