@@ -48,14 +48,21 @@ from ..render.integrators import render_pass
 
 
 def diff_tables(scene) -> Dict[str, jnp.ndarray]:
-    """The differentiable-leaf sub-pytree of a scene (the gradient targets:
-    material table, emitter table, texture atlas, envmap image/scale)."""
+    """The differentiable-leaf sub-pytree of a scene (the gradient
+    targets: material table, emitter table, texture atlas, envmap
+    image/scale, and — on scenes with participating media — the medium
+    coefficient table and heterogeneous density grid, the reference's
+    smoke-density-recovery workflow)."""
     t = {"mat_data": scene.mat_data, "emitter_data": scene.emitter_data}
     if scene.textures is not None:
         t["tex_data"] = scene.textures.data
     if scene.envmap is not None:
         t["env_image"] = scene.envmap.image
         t["env_scale"] = scene.envmap.scale
+    if scene.has_media:
+        t["med_data"] = scene.med_data
+        if scene.medium_grid is not None:
+            t["med_grid"] = scene.medium_grid.data
     return t
 
 
@@ -63,6 +70,12 @@ def with_tables(scene, tables: Dict[str, jnp.ndarray]):
     """Functionally install diff tables back into the scene pytree."""
     scene = scene.replace(mat_data=tables["mat_data"],
                           emitter_data=tables["emitter_data"])
+    if "med_data" in tables:
+        scene = scene.replace(med_data=tables["med_data"])
+    if "med_grid" in tables:
+        scene = scene.replace(
+            medium_grid=scene.medium_grid.replace(
+                data=tables["med_grid"]))
     if "tex_data" in tables:
         tex = scene.textures.replace(data=tables["tex_data"])
         if tex.mips is not None:

@@ -115,30 +115,57 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
             sig_k = sig_rgb.ch[0]
             for c in range(1, C):
                 sig_k = jnp.where(k == c, sig_rgb.ch[c], sig_k)
-            t_s = -jnp.log(jnp.maximum(1.0 - u, 1e-38)) / \
-                jnp.maximum(sig_k, 1e-20)
+            # DETACHED sampling (the gpu_autodiff discipline): the drawn
+            # distance is a decision, not a differentiable quantity —
+            # its 1/sigma^2 pathwise derivative is inf on vacuum lanes
+            # (0-cotangent x inf = NaN poisoning every medium gradient);
+            # the weight ratio below carries the sigma derivative.
+            t_s = jax.lax.stop_gradient(
+                -jnp.log(jnp.maximum(1.0 - u, 1e-38)) /
+                jnp.maximum(sig_k, 1e-20))
             med_event = in_med & (t_s < t_surf) & (sig_k > 0)
             t_col = jnp.where(med_event, t_s, t_surf)
             t_cl = jnp.minimum(t_col, 1e20)
             tr = (sig_rgb * (-t_cl)).map(jnp.exp)
-            # balance-heuristic denominators, averaged over channels
+            # Balance-heuristic denominators, averaged over channels.
+            # DETACHED (detached-sampling estimator, gpu_autodiff's
+            # discipline): the pdf is the sampler's choice probability —
+            # differentiating it would cancel the transmittance
+            # derivative exactly (gray medium: w = Tr/P = 1 identically
+            # -> zero gradient), and its 1/pdf^2 backward factor is the
+            # inf that NaN-poisoned masked lanes. Only the integrand
+            # (Tr, sigma) carries d/d(medium params). Neutralized (-> 1)
+            # on the branch a lane did not take. All caught by
+            # tests/test_medium_grad.py's FD oracle.
+            sgf = jax.lax.stop_gradient
             pdf_med = (sig_rgb * tr).hmean()
             pdf_surf = (sig_rgb * (-jnp.minimum(t_surf, 1e20))) \
                 .map(jnp.exp).hmean()
-            w_med = tr * sig_rgb / jnp.maximum(pdf_med, 1e-30)
-            w_surf = tr / jnp.maximum(pdf_surf, 1e-30)
+            w_med = tr * sig_rgb / sgf(jnp.where(
+                med_event, jnp.maximum(pdf_med, 1e-30), 1.0))
+            w_surf = tr / sgf(jnp.where(
+                med_event, 1.0, jnp.maximum(pdf_surf, 1e-30)))
         else:
             sig_bar = sig.hmean() * scale
-            t_s = -jnp.log(jnp.maximum(1.0 - u, 1e-38)) / \
-                jnp.maximum(sig_bar, 1e-20)
+            # detached sampling — see the volpathmis branch note
+            t_s = jax.lax.stop_gradient(
+                -jnp.log(jnp.maximum(1.0 - u, 1e-38)) /
+                jnp.maximum(sig_bar, 1e-20))
             med_event = in_med & (t_s < t_surf) & (sig_bar > 0)
             t_col = jnp.where(med_event, t_s, t_surf)
             t_cl = jnp.minimum(t_col, 1e20)
             tr = (sig_rgb * (-t_cl)).map(jnp.exp)
+            # DETACHED, neutralized off-branch denominators — see the
+            # volpathmis branch note (the differentiable pdf would
+            # cancel the Tr derivative; its backward 1/pdf^2 is the
+            # masked-lane NaN)
+            sgf = jax.lax.stop_gradient
             pdf_med = sig_bar * jnp.exp(-sig_bar * t_s)
             pdf_surf = jnp.exp(-sig_bar * jnp.minimum(t_surf, 1e20))
-            w_med = tr * sig_rgb / jnp.maximum(pdf_med, 1e-30)
-            w_surf = tr / jnp.maximum(pdf_surf, 1e-30)
+            w_med = tr * sig_rgb / sgf(jnp.where(
+                med_event, jnp.maximum(pdf_med, 1e-30), 1.0))
+            w_surf = tr / sgf(jnp.where(
+                med_event, 1.0, jnp.maximum(pdf_surf, 1e-30)))
         w = swhere(med_event, w_med, w_surf)
         w = swhere(in_med, w, Spec.ones((), C))
         return t_col, med_event, w, sampler
@@ -147,32 +174,56 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     # estimator; bias only if _DELTA_STEPS is exhausted, which the majorant
     # bound makes vanishingly rare for reasonable optical depths)
     sig_bar = sig.hmean() * scale
-    maj = sig_bar * jnp.maximum(jnp.max(scene.medium_grid.data), 1e-20)
+    # The majorant and the tracked distances are sampling DECISIONS
+    # (detached). The 1.05 margin keeps the real-collision ratio
+    # STRICTLY below the clip boundary: at a constant-density grid the
+    # ratio is otherwise exactly 1.0 and clip's tie-breaking zeroes the
+    # differential-tracking score below (measured: all grid gradients
+    # silently 0). Cost: ~5% more null steps.
+    maj = jax.lax.stop_gradient(
+        1.05 * sig_bar * jnp.maximum(jnp.max(scene.medium_grid.data),
+                                     1e-20))
     maj = jnp.maximum(maj, 1e-20)
 
+    sgf = jax.lax.stop_gradient
+
     def body(_, state):
-        t, done, collided, st = state
+        t, done, collided, w, st = state
         u1, st = _next1(st)
         u2, st = _next1(st)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-38)) / maj
         past = t_new >= t_surf
         p = ray.o + ray.d * t_new
         dens = _density(scene, med_idx, p)
-        real = u2 < (sig_bar * dens) / maj
+        ratio = jnp.clip((sig_bar * dens) / maj, 0.0, 1.0)
+        real = u2 < sgf(ratio)
+        # DIFFERENTIAL tracking (the smoke-recovery workflow's gradient
+        # path): each tracking decision multiplies a primal-1 factor
+        # p(theta)/sg(p(theta)) into the weight — the weight stays
+        # exactly 1 in the primal render while its derivative is the
+        # score of the stochastic transmittance chain w.r.t. the grid
+        # densities / sigma_t (delta tracking's unit weight otherwise
+        # carries NO derivative: a purely absorbing heterogeneous
+        # medium would have zero density gradients).
+        r_real = ratio / sgf(jnp.maximum(ratio, 1e-8))
+        r_null = (1.0 - ratio) / sgf(jnp.maximum(1.0 - ratio, 1e-8))
+        step_w = jnp.where(real, r_real, r_null)
+        w = jnp.where(~done & ~past, w * step_w, w)
         new_done = done | past | real
         collided = jnp.where(~done & ~past & real, True, collided)
         t = jnp.where(done, t, t_new)
-        return t, new_done, collided, st
+        return t, new_done, collided, w, st
 
     st0 = sampler
     zero = jnp.zeros_like(t_surf)
     done0 = ~in_med | (sig_bar <= 0)
-    t, done, collided, sampler = jax.lax.fori_loop(
+    t, done, collided, w_track, sampler = jax.lax.fori_loop(
         0, _DELTA_STEPS, body,
-        (zero, done0, jnp.zeros_like(done0), st0))
+        (zero, done0, jnp.zeros_like(done0),
+         jnp.ones_like(t_surf), st0))
     med_event = collided & in_med
     t_col = jnp.where(med_event, t, t_surf)
-    return t_col, med_event, Spec.ones(t_surf.shape, C), sampler
+    return t_col, med_event, Spec.splat(w_track, C), sampler
 
 
 def _next1(sampler):
@@ -202,8 +253,12 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config,
     tr = Spec.ones((N,), C)
     cur = med_idx
     o = p
-    remaining = dist
-    active = jnp.ones(N, bool)
+    remaining = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (N,))
+    # lanes with dist <= 0 never trace: callers pass 0 for NEE-inactive
+    # lanes, whose maxt-0 rays sort to the dead end of the wavefront and
+    # retire at the BVH root (same lever as the surface integrator's
+    # shadow rays)
+    active = remaining > 0
     eps = 1e-4
 
     for _ in range(_MAX_NULL):
@@ -232,6 +287,14 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config,
         remaining = jnp.where(active & is_null,
                               remaining - si.t - eps, remaining)
         active = active & is_null & (remaining > 0)
+    if config.remat:
+        # adjoint: save the transmittance across the bounce checkpoint —
+        # its _MAX_NULL traversals are the expensive part of a volpath
+        # bounce and nothing differentiable hides inside the loop
+        # (saving is NOT detaching: named residuals stay exact under
+        # vjp; see integrators._path_bounce)
+        from jax.ad_checkpoint import checkpoint_name
+        tr = jax.tree.map(lambda a: checkpoint_name(a, "trace"), tr)
     return tr, sampler
 
 
@@ -244,6 +307,14 @@ def _vol_flight(scene, config, depth, carry):
     C = config.n_channels
 
     si = scene_mod.ray_intersect(scene, ray)
+    if config.remat:
+        # save the flight intersection across the bounce checkpoint
+        # (integrators._path_bounce note); identity outside a checkpoint
+        # context, so the trailing flight-only call is unaffected
+        from jax.ad_checkpoint import checkpoint_name
+        named = jax.tree.map(lambda a: checkpoint_name(a, "trace"),
+                             si.replace(tex=None))
+        si = named.replace(tex=si.tex)
     t_surf = jnp.where(si.valid, si.t, jnp.float32(1e20))
 
     # --- free flight --------------------------------------------------
@@ -289,7 +360,8 @@ def _vol_bounce(scene, config, depth, carry):
     ds, e_val = emitters.sample_direction(scene, p_med, ray.wavelengths,
                                           u_nee, u2_nee, config)
     tr_sh, sampler = eval_transmittance(
-        scene, p_med + ds.d * 1e-4, ds.d, ds.dist * (1 - 1e-3), med,
+        scene, p_med + ds.d * 1e-4, ds.d,
+        jnp.where(m_act & (ds.pdf > 0), ds.dist * (1 - 1e-3), 0.0), med,
         sampler, config, ray.wavelengths)
     ph_val = media_mod.phase_eval(g_hg, wi_med, ds.d)
     w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, ph_val))
@@ -314,8 +386,10 @@ def _vol_bounce(scene, config, depth, carry):
                                               config)
     tr_s, sampler = eval_transmittance(
         scene, si.p + si.n * (jnp.sign(vdot(si.n, ds_s.d)) * 1e-4),
-        ds_s.d, ds_s.dist * (1 - 1e-3), med, sampler, config,
-        si.wavelengths)
+        ds_s.d,
+        jnp.where(s_act & is_smooth & (ds_s.pdf > 0),
+                  ds_s.dist * (1 - 1e-3), 0.0),
+        med, sampler, config, si.wavelengths)
     wo_local = si.to_local(ds_s.d)
     f_val = bsdf_mod.eval_(scene, si, wo_local, config)
     f_pdf = bsdf_mod.pdf(scene, si, wo_local, config)
@@ -385,19 +459,24 @@ def sample_path_vol(scene, ray: Ray, sampler: Sampler, config: RenderConfig
              jnp.ones(N, bool))              # depth-1 emitter hits unweighted
 
     n_full = config.max_depth - 1
+    # selective remat: save the tagged traversal/transmittance outputs,
+    # re-run only the scattering arithmetic in the backward sweep
+    # (integrators.sample_path note; measured 2.73x -> 2.03x there)
+    _remat_policy = (jax.checkpoint_policies.save_only_these_names("trace")
+                     if config.remat else None)
     if n_full >= 2:
         def body(c, depth):
             return _vol_bounce(scene, config, depth, c), None
 
         if config.remat:
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(body, policy=_remat_policy)
         carry, _ = jax.lax.scan(body, carry, jnp.arange(n_full))
     elif n_full == 1:
         def step(c):
             return _vol_bounce(scene, config, 0, c)
 
         if config.remat:
-            step = jax.checkpoint(step)
+            step = jax.checkpoint(step, policy=_remat_policy)
         carry = step(carry)
 
     # trailing iteration: intersect + free flight + emitter hit only
