@@ -89,6 +89,8 @@ class ParameterMap:
         arr = _get_table(self.scene, table)
         if kind == "image":
             return arr[row]
+        if kind == "full":   # whole-table view (e.g. the density grid)
+            return arr
         return arr[row, c0:c1] if c1 - c0 > 1 else arr[row, c0]
 
     def keep(self, patterns) -> "ParameterMap":
@@ -134,10 +136,14 @@ def scene_with(scene, values: Dict[str, jnp.ndarray], entries=None):
             value = jnp.asarray(value, jnp.float32)
             if kind == "image":
                 arr = arr.at[row].set(value)
+            elif kind == "full":
+                arr = value.reshape(arr.shape)
             elif kind == "rgb":
                 slot = _slot_update(arr[row, c0:c0 + 8], value)
                 arr = arr.at[row, c0:c0 + 8].set(slot)
             else:
+                # "vec"/"scalar": plain columns (medium rows store raw
+                # RGB, not 8-wide spectrum slots)
                 arr = arr.at[row, c0:c1].set(value.reshape(c1 - c0))
         scene = _set_table(scene, table, arr)
     return scene

@@ -41,6 +41,9 @@ from .sampler import Sampler
 
 _MAX_NULL = 2       # null-boundary crossings tracked per shadow ray
 _DELTA_STEPS = 64   # delta-tracking trials per free-flight sample
+_TAU_STEPS = 8      # midpoint raymarch points for the DERIVATIVE-side
+                    # optical depth of a heterogeneous free flight (the
+                    # differential-tracking factor; primal unaffected)
 
 
 def _medium_coeffs(scene, med_idx, config, wavelengths=None):
@@ -188,41 +191,52 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     sgf = jax.lax.stop_gradient
 
     def body(_, state):
-        t, done, collided, w, st = state
+        t, done, collided, st = state
         u1, st = _next1(st)
         u2, st = _next1(st)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-38)) / maj
         past = t_new >= t_surf
         p = ray.o + ray.d * t_new
         dens = _density(scene, med_idx, p)
-        ratio = jnp.clip((sig_bar * dens) / maj, 0.0, 1.0)
-        real = u2 < sgf(ratio)
-        # DIFFERENTIAL tracking (the smoke-recovery workflow's gradient
-        # path): each tracking decision multiplies a primal-1 factor
-        # p(theta)/sg(p(theta)) into the weight — the weight stays
-        # exactly 1 in the primal render while its derivative is the
-        # score of the stochastic transmittance chain w.r.t. the grid
-        # densities / sigma_t (delta tracking's unit weight otherwise
-        # carries NO derivative: a purely absorbing heterogeneous
-        # medium would have zero density gradients).
-        r_real = ratio / sgf(jnp.maximum(ratio, 1e-8))
-        r_null = (1.0 - ratio) / sgf(jnp.maximum(1.0 - ratio, 1e-8))
-        step_w = jnp.where(real, r_real, r_null)
-        w = jnp.where(~done & ~past, w * step_w, w)
+        real = u2 < sgf(jnp.clip((sig_bar * dens) / maj, 0.0, 1.0))
         new_done = done | past | real
         collided = jnp.where(~done & ~past & real, True, collided)
         t = jnp.where(done, t, t_new)
-        return t, new_done, collided, w, st
+        return t, new_done, collided, st
 
     st0 = sampler
     zero = jnp.zeros_like(t_surf)
     done0 = ~in_med | (sig_bar <= 0)
-    t, done, collided, w_track, sampler = jax.lax.fori_loop(
+    t, done, collided, sampler = jax.lax.fori_loop(
         0, _DELTA_STEPS, body,
-        (zero, done0, jnp.zeros_like(done0),
-         jnp.ones_like(t_surf), st0))
+        (zero, done0, jnp.zeros_like(done0), st0))
     med_event = collided & in_med
     t_col = jnp.where(med_event, t, t_surf)
+
+    # DIFFERENTIAL free flight (the smoke-recovery gradient path): the
+    # PRIMAL stays the unbiased unit-weight delta-tracking estimate
+    # (decisions detached above), while the DERIVATIVE comes from a
+    # primal-1 ratio R/sg(R) with R the pathwise event density of this
+    # flight — exp(-tau) [x sigma(x_col) on collision] — evaluated with
+    # a DETERMINISTIC _TAU_STEPS-point midpoint raymarch of the optical
+    # depth. d log R is the transport derivative w.r.t. sigma_t and the
+    # grid voxels; unlike the per-decision score estimator (REINFORCE
+    # over the tracking chain — tried first, its variance random-walked
+    # the smoke-recovery demo into divergence) this is smooth per
+    # voxel, at the cost of raymarch-resolution bias in the DERIVATIVE
+    # only (the primal is untouched: the factor is exactly 1).
+    t_cl = sgf(jnp.minimum(t_col, 1e20))
+    dt_m = t_cl / _TAU_STEPS
+    dens_sum = jnp.zeros_like(t_cl)
+    for i in range(_TAU_STEPS):
+        pm = ray.o + ray.d * ((i + 0.5) * dt_m)
+        dens_sum = dens_sum + _density(scene, med_idx, pm)
+    tau = sig_bar * dt_m * dens_sum
+    col_dens = _density(scene, med_idx, ray.o + ray.d * t_cl)
+    logR = -tau + jnp.where(
+        med_event,
+        jnp.log(jnp.maximum(sig_bar * col_dens, 1e-30)), 0.0)
+    w_track = jnp.where(in_med, jnp.exp(logR - sgf(logR)), 1.0)
     return t_col, med_event, Spec.splat(w_track, C), sampler
 
 

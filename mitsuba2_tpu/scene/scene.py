@@ -761,6 +761,27 @@ def _build_scene_impl(shapes, sensor, emitters, tex_staging, texture_mod,
         tname = tb.name or f"texture{t_idx}"
         param_paths.append((f"{tname}.data", "textures.data",
                             t_idx, -1, -1, "image"))
+    # media (medium.cpp's sigma_t/albedo/phase traverse entries; rows
+    # store raw RGB, so these are "vec"/"scalar" kinds, not spectrum
+    # slots). The shared heterogeneous grid is one whole-table entry.
+    seen_med = set()
+    for s_idx, sh in enumerate(shapes):
+        m_row = int(shape_interior[s_idx])
+        if m_row < 0 or m_row in seen_med:
+            continue
+        seen_med.add(m_row)
+        mname = f"{sh.id or f'shape{s_idx}'}.interior"
+        param_paths.append((f"{mname}.sigma_t", "med_data",
+                            m_row, 0, 3, "vec"))
+        param_paths.append((f"{mname}.albedo", "med_data",
+                            m_row, 3, 6, "vec"))
+        param_paths.append((f"{mname}.phase_g", "med_data",
+                            m_row, 6, 7, "scalar"))
+        param_paths.append((f"{mname}.scale", "med_data",
+                            m_row, 7, 8, "scalar"))
+    if medium_grid is not None:
+        param_paths.append(("medium.density.data", "medium_grid.data",
+                            -1, -1, -1, "full"))
 
     dev = jnp.asarray
     return SceneData(

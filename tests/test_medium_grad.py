@@ -86,6 +86,35 @@ def test_grid_density_gradient_nonzero_and_localized():
         s2.medium_grid.data - 2.0 * scene.medium_grid.data))) == 0.0
 
 
+def test_traverse_exposes_medium_params():
+    """mitsuba-style workflow: traverse() names the medium parameters;
+    scene_with applies them differentiably (grad w.r.t. the value)."""
+    from mitsuba2_tpu.diff.params import traverse, scene_with
+    scene = _slab(sigma=0.6)
+    pm = traverse(scene)
+    assert "vol.interior.sigma_t" in pm
+    np.testing.assert_allclose(np.asarray(pm["vol.interior.sigma_t"]),
+                               [0.6] * 3, rtol=1e-6)
+    assert "vol.interior.albedo" in pm and "vol.interior.phase_g" in pm
+
+    def loss(sig):
+        s = scene_with(scene, {"vol.interior.sigma_t": sig})
+        return jnp.mean(render(s, CFG.replace(spp=8, spp_per_pass=8),
+                               seed=2))
+
+    g = jax.grad(loss)(jnp.full(3, 0.6, jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(np.asarray(g).sum()) < 0  # more extinction -> darker
+
+    # heterogeneous: the shared grid is a whole-table entry
+    pm2 = traverse(_slab(sigma=0.8, grid=np.ones((2, 4, 4), np.float32)))
+    assert "medium.density.data" in pm2
+    assert pm2["medium.density.data"].shape == (2, 4, 4)
+    s2 = pm2.update({"medium.density.data":
+                     2.0 * pm2["medium.density.data"]}).scene
+    assert float(jnp.max(s2.medium_grid.data)) == 2.0
+
+
 def test_sigma_t_gradient_sign():
     """More extinction between camera and emitter -> darker image: the
     gradient of the mean w.r.t. sigma_t must be negative for a purely
