@@ -103,6 +103,7 @@ METRICS = [
     "cornell_box_fwd_adjoint_mrays_per_s",
     "cornell_reparam_mrays_per_s",
     "cornell_reparam_all_rays_mrays_per_s",
+    "smoke_volpath_mrays_per_s",
 ]
 
 
@@ -375,6 +376,24 @@ def main():
         _emit("cornell_reparam_all_rays_mrays_per_s", total / dt / 1e6)
         return counted / dt / 1e6
 
+    def m_smoke():
+        # Volumetric transport (volpath: delta-tracked heterogeneous
+        # free flights + multi-segment NEE transmittance). Counted rays
+        # use the SAME lanes*(1+2*(depth-1)) convention as the surface
+        # metrics for cross-metric comparability; each counted ray may
+        # traverse several null-boundary segments, so this UNDERSTATES
+        # per-ray traversal work (documented, not hidden).
+        from mitsuba2_tpu.scene.presets import smoke_box
+        vol_scene = smoke_box(8 if smoke else 32)
+        scfg = mi.RenderConfig(width=R, height=R,
+                               spp=4 if smoke else 16, spp_per_pass=4,
+                               max_depth=3, rr_depth=8,
+                               integrator="volpath")
+        s_passes = scfg.spp // scfg.spp_per_pass
+        dt = _median_time(jax, lambda r: _render_all_passes_jit(
+            vol_scene, scfg, r, s_passes))
+        return _rays_per_pass(scfg) * s_passes / dt / 1e6
+
     metrics = [
         ("mesh_gallery_fwd_mrays_per_s", m_gallery_fwd),
         ("mesh_gallery_fwd_adjoint_mrays_per_s", m_gallery_adj),
@@ -383,6 +402,7 @@ def main():
         ("cornell_box_fwd_mrays_per_s", m_cornell_fwd),
         ("cornell_box_fwd_adjoint_mrays_per_s", m_cornell_adj),
         ("cornell_reparam_mrays_per_s", m_reparam),
+        ("smoke_volpath_mrays_per_s", m_smoke),
     ]
     try:
         for name, fn in metrics:

@@ -190,8 +190,18 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
 
     sgf = jax.lax.stop_gradient
 
-    def body(_, state):
-        t, done, collided, st = state
+    def t_cond(state):
+        # early exit once EVERY lane is done: a fori_loop here ran all
+        # _DELTA_STEPS trials unconditionally — the expected trial count
+        # is the majorant optical depth (~10 on the smoke bench) and
+        # bounce wavefronts that are mostly OUTSIDE the medium exit at
+        # iteration 0 (measured: the volumetric bench's single biggest
+        # lever, see BENCH_r05 smoke metric)
+        i, _, done = state[0], state[1], state[2]
+        return (i < _DELTA_STEPS) & ~jnp.all(done)
+
+    def body(state):
+        i, t, done, collided, st = state
         u1, st = _next1(st)
         u2, st = _next1(st)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-38)) / maj
@@ -202,14 +212,18 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
         new_done = done | past | real
         collided = jnp.where(~done & ~past & real, True, collided)
         t = jnp.where(done, t, t_new)
-        return t, new_done, collided, st
+        return i + 1, t, new_done, collided, st
 
     st0 = sampler
     zero = jnp.zeros_like(t_surf)
     done0 = ~in_med | (sig_bar <= 0)
-    t, done, collided, sampler = jax.lax.fori_loop(
-        0, _DELTA_STEPS, body,
-        (zero, done0, jnp.zeros_like(done0), st0))
+    # stop_gradient barrier: the loop state is decision-only (maj and
+    # the draws are detached), and the barrier guarantees reverse AD
+    # never asks for the while_loop transpose (unsupported in JAX)
+    _, t, done, collided, sampler = jax.lax.stop_gradient(
+        jax.lax.while_loop(
+            t_cond, body,
+            (jnp.int32(0), zero, done0, jnp.zeros_like(done0), st0)))
     med_event = collided & in_med
     t_col = jnp.where(med_event, t, t_surf)
 

@@ -359,3 +359,52 @@ def instanced_field(n: int = 64, subdiv: int = 3,
               "fov": 55.0}
     return build_scene(s, sensor,
                        [{"type": "constant", "radiance": [0.9, 0.95, 1.0]}])
+
+
+def smoke_box(res: int = 32) -> SceneData:
+    """Volumetric benchmark preset: a procedural smoke plume (res^3
+    heterogeneous density grid, scattering albedo 0.7, HG g=0.3) in a
+    null-boundary box over a diffuse floor, lit by an area light above —
+    the volpath transport bench scene (bench.py's volumetric metric) and
+    the scaled-up version of examples/smoke_recovery.py's slab.
+    Deterministic (procedural turbulence from a fixed seed)."""
+    rng = np.random.default_rng(7)
+    # plume: vertical Gaussian column modulated by octave noise
+    z, y, x = np.meshgrid(np.linspace(-1, 1, res),
+                          np.linspace(-1, 1, res),
+                          np.linspace(-1, 1, res), indexing="ij")
+    h = (z + 1.0) * 0.5                      # 0 at bottom, 1 at top
+    r2 = x * x + y * y
+    core = np.exp(-r2 / (0.08 + 0.35 * h * h))   # widening column
+    noise = np.zeros_like(core)
+    for oct_ in range(3):
+        k = 2 ** oct_
+        n = rng.uniform(-1, 1, (4 * k, 4 * k, 4 * k)).astype(np.float32)
+        reps = -(-res // (4 * k))
+        n = np.tile(n, (reps, reps, reps))[:res, :res, :res]
+        noise += n / (1.6 ** oct_)
+    dens = np.clip(core * (0.75 + 0.45 * noise) * (1.0 - 0.55 * h),
+                   0.0, None).astype(np.float32)
+
+    box = shapes.cube(bsdf={"type": "null"}, id="smoke").transformed(
+        np.asarray((Transform4.translate([0, 0.9, 0])
+                    @ Transform4.scale([0.8, 0.9, 0.8])).matrix))
+    box.interior = {"type": "heterogeneous", "sigma_t": 4.0,
+                    "albedo": 0.7, "g": 0.3, "density": dens,
+                    "bbox_min": [-0.8, 0.0, -0.8],
+                    "bbox_max": [0.8, 1.8, 0.8]}
+    floor = shapes.rectangle(
+        bsdf={"type": "diffuse", "reflectance": [0.5] * 3},
+        id="floor").transformed(
+        np.asarray((Transform4.rotate([1, 0, 0], -90)
+                    @ Transform4.scale([3.0, 3.0, 1.0])).matrix))
+    light = _quad([-0.5, 2.6, -0.5], [0.5, 2.6, -0.5],
+                  [0.5, 2.6, 0.5], [-0.5, 2.6, 0.5],
+                  bsdf={"type": "diffuse", "reflectance": [0, 0, 0]},
+                  emitter={"type": "area", "radiance": [14.0] * 3},
+                  id="slight")
+    cam = Transform4.look_at(origin=[0.0, 1.1, -3.2],
+                             target=[0.0, 0.9, 0.0], up=[0, 1, 0])
+    return build_scene([box, floor, light],
+                       {"type": "perspective",
+                        "to_world": np.asarray(cam.matrix), "fov": 40.0})

@@ -94,8 +94,15 @@ def test_heterogeneous_constant_grid_matches_homogeneous():
                        "density": np.ones((4, 4, 4), np.float32),
                        "bbox_min": [-2, -2, -0.5],
                        "bbox_max": [2, 2, 0.5]})
-    a = np.asarray(render(hom, CFG))[8, 8].mean()
-    b = np.asarray(render(het, CFG))[8, 8].mean()
+    # patch + seed average: the per-sample estimator is ~Bernoulli in
+    # the collision outcome (std ~0.12 at spp=64 for a SINGLE pixel),
+    # so single-pixel single-seed comparisons flip on any change to the
+    # draw-stream layout (caught when the delta-tracking loop gained
+    # its early exit)
+    a = np.mean([np.asarray(render(hom, CFG, seed=s))[6:10, 6:10].mean()
+                 for s in range(4)])
+    b = np.mean([np.asarray(render(het, CFG, seed=s))[6:10, 6:10].mean()
+                 for s in range(4)])
     np.testing.assert_allclose(b, a, rtol=0.12)
 
 
