@@ -214,16 +214,29 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
         t = jnp.where(done, t, t_new)
         return i + 1, t, new_done, collided, st
 
-    st0 = sampler
+    # FORKED tracking stream: the while_loop's trip count is a
+    # wavefront max, so drawing from the MAIN sampler inside it would
+    # make every later draw depend on how the wavefront was sharded —
+    # breaking the bit-identical N-device == 1-device contract
+    # (dist/sharding.py). Instead the main stream advances by EXACTLY
+    # two draws, which seed an independent per-lane PCG32 whose final
+    # state is discarded (its consumption cannot matter).
+    from ..core import pcg32 as _pcg
+    from .sampler import Sampler as _Indep
+    u_f1, sampler = sampler.next_1d()
+    u_f2, sampler = sampler.next_1d()
+    k1 = (u_f1 * 4294967296.0).astype(jnp.uint32)
+    k2 = (u_f2 * 4294967296.0).astype(jnp.uint32)
+    track0 = _Indep(state=_pcg.seed(k1, k2, jnp.zeros_like(k1), k2))
     zero = jnp.zeros_like(t_surf)
     done0 = ~in_med | (sig_bar <= 0)
     # stop_gradient barrier: the loop state is decision-only (maj and
     # the draws are detached), and the barrier guarantees reverse AD
     # never asks for the while_loop transpose (unsupported in JAX)
-    _, t, done, collided, sampler = jax.lax.stop_gradient(
+    _, t, done, collided, _ = jax.lax.stop_gradient(
         jax.lax.while_loop(
             t_cond, body,
-            (jnp.int32(0), zero, done0, jnp.zeros_like(done0), st0)))
+            (jnp.int32(0), zero, done0, jnp.zeros_like(done0), track0)))
     med_event = collided & in_med
     t_col = jnp.where(med_event, t, t_surf)
 

@@ -165,3 +165,42 @@ def test_pallas_kernel_under_shard_map():
         tp.MXU_LEAVES = old
     np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_un),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_heterogeneous_volpath_matches_single(mesh):
+    """The delta-tracking while_loop's trip count is a per-shard
+    wavefront max; the tracking draws therefore come from a FORKED
+    per-lane stream (volpath._sample_free_flight) so the main sampler
+    advances by a fixed amount per flight — this is what keeps the
+    N-device render bit-identical to the 1-device render on
+    heterogeneous-media scenes (the fork regression would show up ONLY
+    here)."""
+    from mitsuba2_tpu.scene import shapes
+    from mitsuba2_tpu.core.geometry import Transform4
+    from mitsuba2_tpu.scene.scene import build_scene
+
+    cube = shapes.cube(bsdf={"type": "null"}, id="vol").transformed(
+        np.asarray((Transform4.scale([1.5, 1.5, 0.5])).matrix))
+    rng = np.random.default_rng(5)
+    cube.interior = {"type": "heterogeneous", "sigma_t": 1.0,
+                     "albedo": 0.6,
+                     "density": rng.uniform(
+                         0.2, 1.0, (4, 4, 4)).astype(np.float32),
+                     "bbox_min": [-1.5, -1.5, -0.5],
+                     "bbox_max": [1.5, 1.5, 0.5]}
+    wall = shapes.rectangle(
+        bsdf={"type": "diffuse", "reflectance": [0.4] * 3},
+        emitter={"type": "area", "radiance": [2.0] * 3},
+        id="wall").transformed(
+        np.asarray(Transform4.translate([0, 0, -2.0]).matrix))
+    cam = Transform4.look_at(origin=[0, 0, 4], target=[0, 0, 0],
+                             up=[0, 1, 0])
+    vscene = build_scene([cube, wall],
+                         {"type": "perspective",
+                          "to_world": np.asarray(cam.matrix), "fov": 30.0})
+    vcfg = CFG.replace(spp=8, spp_per_pass=8, integrator="volpath",
+                       max_depth=3)
+    img_1 = render(vscene, vcfg, seed=4)
+    img_8 = render_sharded(vscene, vcfg, mesh=mesh, seed=4)
+    np.testing.assert_allclose(np.asarray(img_8), np.asarray(img_1),
+                               rtol=2e-4, atol=2e-5)
