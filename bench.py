@@ -210,6 +210,14 @@ class _Abort(Exception):
     """Two consecutive watchdog hits on one metric — presumed dead chip."""
 
 
+# Metrics emitted as a SIDE EFFECT of another metric's fn: when the
+# primary fails, its companions must get skip markers too or the
+# artifact silently loses lines (r05 review finding).
+_COMPANIONS = {
+    "cornell_reparam_mrays_per_s": ("cornell_reparam_all_rays_mrays_per_s",),
+}
+
+
 def _run_metric(name, fn, first_budget=1500):
     """Run one metric with the watchdog armed; ONE blind retry after a
     watchdog hit (today's tunnel stalls — erratic first-builds, remote
@@ -249,6 +257,9 @@ def _run_metric(name, fn, first_budget=1500):
         except Exception as e:  # pragma: no cover - defensive
             signal.alarm(0)
             _emit(name, None, skipped=repr(e)[:120])
+            for comp in _COMPANIONS.get(name, ()):
+                if comp in _REMAINING:
+                    _emit(comp, None, skipped=repr(e)[:120])
             return
 
 

@@ -143,7 +143,8 @@ def warp_and_divergence_multi(scene, sites, k_aux: int = None):
     primal exactly 1 and carries the boundary derivative.
     """
     sg = jax.lax.stop_gradient
-    k = int(k_aux) if k_aux else K_AUX
+    k = K_AUX if k_aux is None else int(k_aux)
+    assert k > 0, f"reparam_kaux={k}: the warp needs >= 1 auxiliary ray"
     offs = _aux_offsets(k)                     # (K, 2), static
     # aux samples must cover the kernel's support well past its std dev
     # (1/sqrt(kappa)), else the importance-reweighted warp derivative is

@@ -38,9 +38,13 @@ def _already_initialized() -> bool:
         from jax._src import distributed
         return distributed.global_state.client is not None
     except (ImportError, AttributeError):  # pragma: no cover - future jax
-        # fallback: a >1 process count proves initialization happened
-        # (and by then the backend side effect no longer matters)
-        return jax.process_count() > 1
+        # Deliberately assume NOT initialized: the tempting
+        # jax.process_count() fallback would initialize the backend as
+        # a side effect and re-create the very silent-standalone bug
+        # this guard exists to prevent. Worst case of returning False
+        # is a duplicate-initialize error, which initialize() surfaces
+        # (explicit args) or swallows harmlessly (bare call).
+        return False
 
 
 def initialize(coordinator_address: str = None, num_processes: int = None,

@@ -223,11 +223,17 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     # state is discarded (its consumption cannot matter).
     from ..core import pcg32 as _pcg
     from .sampler import Sampler as _Indep
+    # three draws (~24 usable bits each after float32 quantization) give
+    # ~2^72 distinct (state, stream) tuples — two lanes share a tracking
+    # stream only if all three collide (the 2-draw version had ~2^48 and
+    # a non-negligible birthday collision rate on 8M-lane wavefronts)
     u_f1, sampler = sampler.next_1d()
     u_f2, sampler = sampler.next_1d()
+    u_f3, sampler = sampler.next_1d()
     k1 = (u_f1 * 4294967296.0).astype(jnp.uint32)
     k2 = (u_f2 * 4294967296.0).astype(jnp.uint32)
-    track0 = _Indep(state=_pcg.seed(k1, k2, jnp.zeros_like(k1), k2))
+    k3 = (u_f3 * 4294967296.0).astype(jnp.uint32)
+    track0 = _Indep(state=_pcg.seed(k1, k2, k3, k2 ^ (k1 >> 7)))
     zero = jnp.zeros_like(t_surf)
     done0 = ~in_med | (sig_bar <= 0)
     # stop_gradient barrier: the loop state is decision-only (maj and
@@ -329,11 +335,16 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config,
                               remaining - si.t - eps, remaining)
         active = active & is_null & (remaining > 0)
     if config.remat:
-        # adjoint: save the transmittance across the bounce checkpoint —
-        # its _MAX_NULL traversals are the expensive part of a volpath
-        # bounce and nothing differentiable hides inside the loop
-        # (saving is NOT detaching: named residuals stay exact under
-        # vjp; see integrators._path_bounce)
+        # adjoint: save the transmittance value across the bounce
+        # checkpoint (saving is NOT detaching — named residuals stay
+        # exact under vjp; integrators._path_bounce). HONESTY NOTE:
+        # this spares the backward sweep the _MAX_NULL re-traversals
+        # only for cotangent paths that consume tr's VALUE (throughput/
+        # contribution chains). When MEDIUM parameters are gradient
+        # targets, d tr/d sigma needs the loop's unsaved segment
+        # primals, so that part of the backward DOES replay the loop —
+        # the "never re-traces" property is exact for surface-parameter
+        # adjoints and partial for media adjoints.
         from jax.ad_checkpoint import checkpoint_name
         tr = jax.tree.map(lambda a: checkpoint_name(a, "trace"), tr)
     return tr, sampler

@@ -216,9 +216,11 @@ def _prim_count(m) -> int:
 
 def _pick_cluster_k(n_prims: int) -> int:
     """MEASURED scale policy (docs/TPU_TRAVERSAL.md "Big scenes",
-    round-5 hardware sweep): CK=128 is optimal up to ~100k prims; at
-    ~500k prims block unions dominate and CK=256 wins +3-7% on every
-    workload (CK=512 loses everywhere). Explicit overrides
+    round-5 hardware sweep): CK=128 wins at the 31k-tri gallery, CK=256
+    wins +3-7% on every workload at 491k tris (CK=512 loses at both).
+    The 250k-prim threshold is the midpoint of the two measured scenes
+    on a log scale — unmeasured in between, so treat a ±3-7% swing near
+    the threshold as tunable, not noise. Explicit overrides
     (MI_CLUSTER_K env / bvh.set_cluster_k) win over the policy."""
     if bvh_mod.CK_FORCED:
         return bvh_mod.CLUSTER_K
@@ -1433,8 +1435,14 @@ def ray_intersect_positions(scene: SceneData, ray: Ray):
     qvy = tvz * e1x - tvx * e1z
     qvz = tvx * e1y - tvy * e1x
     v_x = (ray.d.x * qvx + ray.d.y * qvy + ray.d.z * qvz) * mt_inv
+    t_x = (e2x * qvx + e2y * qvy + e2z * qvz) * mt_inv
     is_tri = ptype == PRIM_TRI
-    ok_x = valid & is_tri & (mt_inv != 0.0)
+    # acceptance mask must mirror compute_surface_interaction's ok_x
+    # EXACTLY (incl. the isfinite/positive-t guards): a lane where the
+    # two paths disagree would hand the reparam warp a followed point
+    # far from si.p (r05 review finding)
+    ok_x = (valid & is_tri & (mt_inv != 0.0) &
+            jnp.isfinite(t_x) & (t_x > 0.0))
     u = sg(jnp.where(ok_x, u_x, u))
     v = sg(jnp.where(ok_x, v_x, v))
     px = p0x + e1x * u + e2x * v
