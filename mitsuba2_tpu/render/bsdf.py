@@ -1329,6 +1329,18 @@ def _flip_wo(wo, flip):
     return vwhere(flip, Vec3(wo.x, wo.y, -wo.z), wo)
 
 
+def null_transmission(scene, si, config) -> Spec:
+    """Per-lane straight-through transmission of the hit surface's null
+    lobe (BSDF::eval_null_transmission, used by the volumetric
+    Scene::eval_transmittance analog): 1 for `null` boundaries,
+    (1 - opacity) for `mask` surfaces. Callers gate on F_NULL; the
+    value for non-null materials is irrelevant (returned as 1)."""
+    mtype, mdata, _ = _lane_materials(scene, si)
+    one = Spec.ones((jnp.shape(si.t)[0],), config.n_channels)
+    opacity = _spec(mdata, 2, si, config)
+    return swhere(mtype == MASK, one - opacity, one)
+
+
 def sample(scene, si, u1, u2, config) -> Tuple[BSDFSample, Spec]:
     """BSDF::sample over the wavefront."""
     mtype, mdata, flags = _lane_materials(scene, si)

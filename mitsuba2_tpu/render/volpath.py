@@ -21,6 +21,19 @@ static-shape discipline. All colors are planar Specs (core/spec.py).
 Spectral mode lifts the media's RGB sigma_t/albedo to per-channel hero-
 wavelength values through the sigmoid-polynomial upsampling lattice (same
 treatment as every other color parameter).
+
+Documented deviations from volpath.cpp (costs of the static-loop
+wavefront design, stated rather than hidden):
+- Null boundary crossings CONSUME a bounce of the max_depth budget
+  (the reference's while-loop does not count them); null-shell scenes
+  need ~+2 max_depth for equal scattering order.
+- HETEROGENEOUS free flights track with the channel-MEAN extinction and
+  a gray weight: chromatic grids get gray camera-path transmittance
+  while NEE transmittance stays per-channel (the raymarched segments).
+  Chromatic-medium spectral MIS (volpathmis) applies fully to
+  homogeneous media only.
+- Exhausting _MAX_NULL crossings on a shadow ray fails DARK (tr = 0),
+  never bright.
 """
 from __future__ import annotations
 
@@ -39,7 +52,11 @@ from . import emitters, media as media_mod, sensors
 from .integrators import mis_weight
 from .sampler import Sampler
 
-_MAX_NULL = 2       # null-boundary crossings tracked per shadow ray
+_MAX_NULL = 3       # transmittance segments per shadow ray: a single
+                    # null-bounded volume needs THREE (enter crossing,
+                    # exit crossing, final clear segment to the light).
+                    # 2 "worked" only because budget exhaustion used to
+                    # leak light instead of failing dark.
 _DELTA_STEPS = 64   # delta-tracking trials per free-flight sample
 _TAU_STEPS = 8      # midpoint raymarch points for the DERIVATIVE-side
                     # optical depth of a heterogeneous free flight (the
@@ -182,10 +199,13 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     # STRICTLY below the clip boundary: at a constant-density grid the
     # ratio is otherwise exactly 1.0 and clip's tie-breaking zeroes the
     # differential-tracking score below (measured: all grid gradients
-    # silently 0). Cost: ~5% more null steps.
-    maj = jax.lax.stop_gradient(
-        1.05 * sig_bar * jnp.maximum(jnp.max(scene.medium_grid.data),
-                                     1e-20))
+    # silently 0). Cost: ~5% more null steps. The max(gmax, 1) floor
+    # bounds HOMOGENEOUS lanes too (density multiplier 1): any grid in
+    # the scene routes ALL media lanes through this branch, and a grid
+    # whose peak density is < 1 would otherwise under-majorize the
+    # homogeneous media (clip hid the violation -> too-thin media).
+    gmax = jnp.maximum(jnp.max(scene.medium_grid.data), 1.0)
+    maj = jax.lax.stop_gradient(1.05 * sig_bar * gmax)
     maj = jnp.maximum(maj, 1e-20)
 
     sgf = jax.lax.stop_gradient
@@ -218,8 +238,8 @@ def _sample_free_flight(scene, med_idx, ray, t_surf, u, sampler, config):
     # wavefront max, so drawing from the MAIN sampler inside it would
     # make every later draw depend on how the wavefront was sharded —
     # breaking the bit-identical N-device == 1-device contract
-    # (dist/sharding.py). Instead the main stream advances by EXACTLY
-    # two draws, which seed an independent per-lane PCG32 whose final
+    # (dist/sharding.py). Instead the main stream advances by a FIXED
+    # three draws, which seed an independent per-lane PCG32 whose final
     # state is discarded (its consumption cannot matter).
     from ..core import pcg32 as _pcg
     from .sampler import Sampler as _Indep
@@ -318,22 +338,44 @@ def eval_transmittance(scene, p, d, dist, med_idx, sampler, config,
         if scene.medium_grid is None:
             seg_tr = (sig * (-scale * seg_cl)).map(jnp.exp)
         else:
-            # single-sample ratio estimate: density at segment midpoint
-            mid = o + d * (0.5 * seg_cl)
-            dens = _density(scene, cur, mid)
-            seg_tr = (sig * (-(scale * dens) * seg_cl)).map(jnp.exp)
+            # deterministic _TAU_STEPS midpoint raymarch of the optical
+            # depth (matches the free-flight derivative factor's
+            # resolution). The previous SINGLE midpoint sample could
+            # miss a dense plume core entirely (zero self-shadowing) or
+            # over-darken a mostly-empty segment.
+            dens_sum = jnp.zeros_like(seg_cl)
+            for i in range(_TAU_STEPS):
+                pm = o + d * (((i + 0.5) / _TAU_STEPS) * seg_cl)
+                dens_sum = dens_sum + _density(scene, cur, pm)
+            seg_tr = (sig * (-(scale * dens_sum / _TAU_STEPS) *
+                             seg_cl)).map(jnp.exp)
         tr = swhere(active, tr * seg_tr, tr)
 
         flags = bsdf_mod.lane_flags(scene, si)
         is_null = si.valid & ((flags & bsdf_mod.F_NULL) != 0)
         blocked = active & si.valid & ~is_null
         tr = tr.masked(~blocked)
+        # null-lobe transmission of the crossed surface: 1 for `null`,
+        # (1 - opacity) for `mask` — a masked surface must cast its
+        # partial shadow (Scene::eval_transmittance x
+        # eval_null_transmission; previously masks were fully
+        # transparent to shadow rays)
+        tr = swhere(active & is_null,
+                    tr * bsdf_mod.null_transmission(
+                        scene, si.replace(wavelengths=wavelengths),
+                        config),
+                    tr)
         cur = jnp.where(active & is_null,
                         _transition(scene, si, d, cur), cur)
         o = vwhere(active & is_null, si.p + d * eps, o)
         remaining = jnp.where(active & is_null,
                               remaining - si.t - eps, remaining)
         active = active & is_null & (remaining > 0)
+    # crossing budget exhausted with distance still to cover: the final
+    # segment was never traced, so FAIL DARK (tr = 0) instead of letting
+    # light leak through whatever occluders lie beyond _MAX_NULL
+    # crossings
+    tr = tr.masked(~active)
     if config.remat:
         # adjoint: save the transmittance value across the bounce
         # checkpoint (saving is NOT detaching — named residuals stay
@@ -462,15 +504,30 @@ def _vol_bounce(scene, config, depth, carry):
                    si.p + si.n * (jnp.sign(vdot(si.n, wo_surf)) * 1e-4))
     throughput = swhere(m_act, thr_med,
                         swhere(s_act, throughput * b_weight, throughput))
-    # null crossings switch the medium; refraction through a real
-    # dielectric boundary does too (eta != 1)
-    crossing = s_act & (is_null |
+    # null/transmission crossings switch the medium. The null term uses
+    # the SAMPLED lobe, not the surface's static F_NULL flag: a
+    # reflection off a mask surface's child BSDF stays on the same side
+    # and must NOT transition (the static flag corrupted the lane's
+    # medium index for mask-child reflections).
+    null_sampled = (bs.sampled_flags & bsdf_mod.F_NULL) != 0
+    crossing = s_act & (null_sampled |
                         ((bs.sampled_flags & bsdf_mod.F_DELTA_T) != 0) |
                         ((bs.sampled_flags & bsdf_mod.F_GLOSSY_T) != 0))
     med = jnp.where(crossing, _transition(scene, si, wo_surf, med), med)
 
-    prev_pdf = jnp.where(med_event, ph_pdf, bs.pdf)
-    prev_delta = jnp.where(med_event, False, delta_s | is_null)
+    # MIS bookkeeping: a PURE null crossing is not a scattering event —
+    # carry the previous vertex's (pdf, delta) through it unchanged
+    # (volpath.cpp behavior). Resetting to delta=True here made the
+    # next emitter hit MIS-weight 1 while the previous real vertex's
+    # NEE had already sampled that emitter: ~double-counted emitters
+    # seen through null boundaries. (The emitter pdf at the next hit is
+    # then evaluated from the crossing point rather than the real
+    # vertex — a small MIS-weight approximation, far inside the
+    # double-count it replaces.)
+    prev_pdf = jnp.where(med_event, ph_pdf,
+                         jnp.where(null_sampled, prev_pdf, bs.pdf))
+    prev_delta = jnp.where(med_event, False,
+                           jnp.where(null_sampled, prev_delta, delta_s))
     active = active & (med_event | (s_act & (bs.pdf > 0)))
     active = active & throughput.any_positive()
 
